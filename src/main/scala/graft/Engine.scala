@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session + table access layer.
+  *
+  * Mirrors the reference's catalog/table surface
+  * (/root/reference/src/catalog/src/lib.rs:15-27 — name → table resolution)
+  * re-expressed as Spark temp views over the driver-generated parquet
+  * tables. All reads go through [[table]] so schema quirks (ns timestamps
+  * in `events`) are normalized in exactly one place.
+  */
+object Engine {
+
+  /** TPC-H-ish tables written by the driver (TESTDATA.md). */
+  val tpchTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** LLM-pipeline tables (documents/embeddings) + the event stream table. */
+  val extraTables: Seq[String] = Seq("events", "documents", "embeddings")
+
+  val allTables: Seq[String] = tpchTables ++ extraTables
+
+  /** Build a local session configured the way every entry point (tests,
+    * Verify, Bench) needs it: UTC, AQE on, shuffle parallelism matched to
+    * local cores (not the 200 default — right-sizing shuffle partitions is
+    * the same knob that matters on a real cluster).
+    */
+  def build(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Ensure the ns-timestamp legacy conf is set on an externally-created
+    * session (the driver builds its own sessions for Verify/Bench).
+    */
+  private def ensureNanosConf(spark: SparkSession): Unit =
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+
+  /** Read one named table from a scale-factor directory.
+    *
+    * `events.ts` is physically INT64 TIMESTAMP(NANOS) which Spark refuses
+    * by default; with `nanosAsLong` it surfaces as Long nanos, which we
+    * convert to microsecond TIMESTAMP_NTZ — the same truncation DuckDB
+    * applies, so oracle comparisons agree to the microsecond.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    ensureNanosConf(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    name match {
+      case "events" =>
+        df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long").cast("timestamp_ntz"))
+      case _ => df
+    }
+  }
+
+  /** Register every table as a temp view so `spark.sql` works naturally —
+    * the Spark analog of the reference's `resolve_tables` catalog pass
+    * (/root/reference/src/planner/src/p1_validation/resolve_tables.rs:8-66).
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    allTables.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}

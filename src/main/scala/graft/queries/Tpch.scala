@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's benchmark workload: TPC-H Q1/Q3/Q5/Q6/Q10
+  * (/root/reference/benchmarking/_tpch/incresql_runner.rs:352-500),
+  * adapted to the driver-generated schemas (TESTDATA.md — doubles instead
+  * of decimals, timestamp dates, trimmed column sets).
+  *
+  * Scale notes (the plans Catalyst produces here are the ones we want at
+  * 100 TB): filters sit directly on the parquet scans (pushed down),
+  * aggregations are partial+final hash aggregates, the dimension sides of
+  * every join (region/nation/supplier/customer) are broadcast so the only
+  * shuffles are the aggregation exchanges on the fact table.
+  */
+object Tpch {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  /** l_extendedprice * (1 - l_discount), computed exactly in decimal.
+    * (12,2)×(4,2) → exact (17,4); pinned at (18,4) on both engines. */
+  private def discPrice(price: Column, disc: Column): Column =
+    (dec(price, 12, 2) * (lit(1).cast(DecimalType(4, 2)) - dec(disc, 4, 2)))
+      .cast(DecimalType(18, 4))
+
+  private val discPriceSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
+
+  private def ntz(s: String): Column = lit(s).cast(TimestampNTZType)
+
+  // --- Q1: scan → filter → hash agg → sort --------------------------------
+  // Reference SQL at incresql_runner.rs:358-381.
+  val q1: QueryDef = QueryDef.sqlBacked(
+    "q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(sum(DISC_PRICE) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(DISC_PRICE * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("DISC_PRICE", discPriceSql)
+  ) { (spark, dir) =>
+    val li = Engine.table(spark, dir, "lineitem")
+    val dp = discPrice(col("l_extendedprice"), col("l_discount"))
+    li.filter(col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"), 12, 2)).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(dec(col("l_extendedprice"), 12, 2)).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(dp).cast(DecimalType(38, 4)).as("sum_disc_price"),
+        sum((dp * (lit(1).cast(DecimalType(4, 2)) + dec(col("l_tax"), 4, 2)))
+          .cast(DecimalType(24, 6))).cast(DecimalType(38, 6)).as("sum_charge"),
+        (sum(dec(col("l_quantity"), 12, 2)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"), 12, 2)).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"), 4, 2)).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // --- Q3: 3-way join → agg → top-N ---------------------------------------
+  // Reference SQL at incresql_runner.rs:383-402 (no o_shippriority in our
+  // schema). customer is the small side → broadcast; orders⋈lineitem
+  // shuffles on orderkey.
+  val q3: QueryDef = QueryDef.sqlBacked(
+    "q3_topn",
+    """SELECT l_orderkey,
+      |  CAST(sum(DISC_PRICE) AS DECIMAL(38,4)) AS revenue,
+      |  o_orderdate
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin.replace("DISC_PRICE", discPriceSql)
+  ) { (spark, dir) =>
+    val cust = Engine.table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Engine.table(spark, dir, "orders").filter(col("o_orderdate") < ntz("1998-03-15 00:00:00"))
+    val li = Engine.table(spark, dir, "lineitem").filter(col("l_shipdate") > ntz("1998-03-15 00:00:00"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // --- Q5: 6-way join → agg ----------------------------------------------
+  // Reference SQL at incresql_runner.rs:404-432. All dimension tables
+  // broadcast; the single shuffle is the final group-by on n_name.
+  val q5: QueryDef = QueryDef.sqlBacked(
+    "q5_join",
+    """SELECT n_name,
+      |  CAST(sum(DISC_PRICE) AS DECIMAL(38,4)) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin.replace("DISC_PRICE", discPriceSql)
+  ) { (spark, dir) =>
+    val cust = Engine.table(spark, dir, "customer")
+    val ord = Engine.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ntz("1997-01-01 00:00:00"))
+    val li = Engine.table(spark, dir, "lineitem")
+    val supp = Engine.table(spark, dir, "supplier")
+    val nat = Engine.table(spark, dir, "nation")
+    val reg = Engine.table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // --- Q6: pure scan+filter+global agg ------------------------------------
+  // Reference SQL at incresql_runner.rs:434-445. Every predicate reaches
+  // the parquet scan as a pushed filter; result is a 1-row global agg.
+  val q6: QueryDef = QueryDef.sqlBacked(
+    "q6_filter",
+    """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ntz("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 4, 2))
+        .cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("revenue"))
+  }
+
+  // --- Q10: returned-items customer ranking -------------------------------
+  // Reference SQL at incresql_runner.rs:447-478 (schema-trimmed).
+  val q10: QueryDef = QueryDef.sqlBacked(
+    "q10_join",
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(DISC_PRICE) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+      |  n_name, c_mktsegment
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |  AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)), n_name, c_mktsegment
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin.replace("DISC_PRICE", discPriceSql)
+  ) { (spark, dir) =>
+    val cust = Engine.table(spark, dir, "customer")
+      .withColumn("c_acctbal", dec(col("c_acctbal"), 12, 2))
+    val ord = Engine.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ntz("1996-10-01 00:00:00") &&
+        col("o_orderdate") < ntz("1997-01-01 00:00:00"))
+    val li = Engine.table(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val nat = Engine.table(spark, dir, "nation")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"), col("c_mktsegment"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"),
+        col("n_name"), col("c_mktsegment"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(q1, q3, q5, q6, q10)
+
+  /** Headline benchmark set (BASELINE.md). */
+  val benchmark: Seq[QueryDef] = all
+}
