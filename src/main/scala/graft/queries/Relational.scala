@@ -1,0 +1,384 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's relational operator inventory (SURVEY.md §2.1), one
+  * verifiable query per operator, re-expressed as Spark built-ins:
+  *
+  *   Single → OneRowRelation          (single.rs:4-45)
+  *   Values → LocalRelation           (values.rs:4-36)
+  *   TableScan → parquet scan         (table_scan.rs:12-44)
+  *   Project/Filter → select/filter   (project.rs, filter.rs)
+  *   Limit (offset+limit)             (limit.rs:6-63)
+  *   Sort (multi-key, NULLS FIRST)    (sort.rs:12-207)
+  *   HashJoin inner/left + residual   (hash_join.rs:17-182)
+  *   Cross join                       (parser/src/select.rs:117-140)
+  *   HashGroup / SortedGroup          (hash_group.rs, sorted_group.rs)
+  *   UnionAll                         (union_all.rs:6-50)
+  *   NegateFreq (DELETE)              (negate_freq.rs:6-32, delete.rs:56-60)
+  *   TableInsert (multiset append)    (table_insert.rs:22-55)
+  *   FileScan (CSV dir → JSON col)    (file_scan.rs:15-52)
+  *   TableAlias / views               (logical.rs:88-93, resolve_tables.rs:35-58)
+  *
+  * File:line cites are into /root/reference/src/executor/src/point_in_time/
+  * unless qualified. Every query pins a deterministic total order and
+  * engine-portable output types (see QueryDef).
+  */
+object Relational {
+
+  // --- Single: SELECT with no FROM → OneRowRelation -----------------------
+  val single: QueryDef = QueryDef.sqlBacked(
+    "op_single",
+    "SELECT CAST(2 AS INT) AS two, CAST('x' AS VARCHAR) AS s, CAST(NULL AS INT) AS n"
+  ) { (spark, _) =>
+    spark.range(1).select(
+      (lit(1) + lit(1)).cast(IntegerType).as("two"),
+      lit("x").as("s"),
+      lit(null).cast(IntegerType).as("n"))
+  }
+
+  // --- Values: inline literal rows → LocalRelation ------------------------
+  val values: QueryDef = QueryDef.sqlBacked(
+    "op_values",
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), CAST('a' AS VARCHAR), CAST(1.50 AS DECIMAL(10,2))),
+      |  (CAST(2 AS BIGINT), CAST('b' AS VARCHAR), CAST(NULL AS DECIMAL(10,2))),
+      |  (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(-7.25 AS DECIMAL(10,2)))
+      |) AS t(id, name, amount)
+      |ORDER BY id""".stripMargin
+  ) { (spark, _) =>
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("amount", DecimalType(10, 2))))
+    val rows = java.util.Arrays.asList(
+      Row(1L, "a", new java.math.BigDecimal("1.50")),
+      Row(2L, "b", null),
+      Row(3L, null, new java.math.BigDecimal("-7.25")))
+    spark.createDataFrame(rows, schema).orderBy(col("id"))
+  }
+
+  // --- TableScan: full scan, pruned to selected columns -------------------
+  val scan: QueryDef = QueryDef.sqlBacked(
+    "op_scan",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "region").orderBy(col("r_regionkey"))
+  }
+
+  // --- Project: scalar expressions per row --------------------------------
+  val project: QueryDef = QueryDef.sqlBacked(
+    "op_project",
+    """SELECT n_nationkey, upper(n_name) AS uname,
+      |  n_nationkey * 2 + 1 AS calc,
+      |  CAST(n_regionkey AS BIGINT) AS rk
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "nation").select(
+      col("n_nationkey"),
+      upper(col("n_name")).as("uname"),
+      (col("n_nationkey") * 2 + 1).as("calc"),
+      col("n_regionkey").cast(LongType).as("rk"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  // --- Filter: NULL predicate drops the row (filter.rs:8-42) --------------
+  // nullif() synthesizes NULLs so the 3-valued drop path is exercised.
+  val filter: QueryDef = QueryDef.sqlBacked(
+    "op_filter",
+    """SELECT s_suppkey, s_nationkey FROM supplier
+      |WHERE nullif(s_nationkey, 3) > 5
+      |ORDER BY s_suppkey""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "supplier")
+      .filter(nullif(col("s_nationkey"), lit(3)) > 5)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  // --- Limit + offset (limit.rs:27-45) ------------------------------------
+  val limit: QueryDef = QueryDef.sqlBacked(
+    "op_limit",
+    "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 7 OFFSET 5"
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "orders").select(col("o_orderkey"))
+      .orderBy(col("o_orderkey")).offset(5).limit(7)
+  }
+
+  // --- Sort: multi-key asc/desc with NULLs --------------------------------
+  // Reference: NULL sorts first on ASC and (total Ord) last on DESC
+  // (datum.rs:132-190) — matches Spark's defaults; DuckDB needs it pinned.
+  val sort: QueryDef = QueryDef.sqlBacked(
+    "op_sort",
+    """SELECT c_custkey, nullif(c_nationkey, 7) AS nk, c_mktsegment FROM customer
+      |ORDER BY nk DESC NULLS LAST, c_mktsegment ASC, c_custkey ASC
+      |LIMIT 50""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "customer")
+      .select(col("c_custkey"), nullif(col("c_nationkey"), lit(7)).as("nk"), col("c_mktsegment"))
+      .orderBy(col("nk").desc_nulls_last, col("c_mktsegment").asc, col("c_custkey").asc)
+      .limit(50)
+  }
+
+  // --- HashJoin inner (equi) ----------------------------------------------
+  val joinInner: QueryDef = QueryDef.sqlBacked(
+    "op_join_inner",
+    """SELECT n_nationkey, n_name, r_name FROM nation JOIN region
+      |ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+  ) { (spark, dir) =>
+    val n = Engine.table(spark, dir, "nation")
+    val r = Engine.table(spark, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  // --- HashJoin left outer with null padding (hash_join.rs:147-160) -------
+  // supplier covers few nations, so unmatched nations exercise the
+  // null-padded right side.
+  val joinLeft: QueryDef = QueryDef.sqlBacked(
+    "op_join_left",
+    """SELECT n_nationkey, n_name, s_suppkey, s_name
+      |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+      |ORDER BY n_nationkey, s_suppkey NULLS FIRST""".stripMargin
+  ) { (spark, dir) =>
+    val n = Engine.table(spark, dir, "nation")
+    val s = Engine.table(spark, dir, "supplier")
+    n.join(s, col("n_nationkey") === col("s_nationkey"), "left_outer")
+      .select(col("n_nationkey"), col("n_name"), col("s_suppkey"), col("s_name"))
+      .orderBy(col("n_nationkey"), col("s_suppkey").asc_nulls_first)
+  }
+
+  // --- Join with residual non-equi condition (hash_join.rs:36-39) ---------
+  val joinNonEqui: QueryDef = QueryDef.sqlBacked(
+    "op_join_nonequi",
+    """SELECT n_nationkey, s_suppkey
+      |FROM nation JOIN supplier
+      |ON n_nationkey = s_nationkey AND s_suppkey * 2 > n_regionkey
+      |ORDER BY n_nationkey, s_suppkey""".stripMargin
+  ) { (spark, dir) =>
+    val n = Engine.table(spark, dir, "nation")
+    val s = Engine.table(spark, dir, "supplier")
+    n.join(s, col("n_nationkey") === col("s_nationkey") &&
+        col("s_suppkey") * 2 > col("n_regionkey"))
+      .select(col("n_nationkey"), col("s_suppkey"))
+      .orderBy(col("n_nationkey"), col("s_suppkey"))
+  }
+
+  // --- NULL join keys never match (hash_join.rs:98-102) -------------------
+  val joinNullKeys: QueryDef = QueryDef.sqlBacked(
+    "op_join_null_keys",
+    """SELECT a.s_suppkey AS lk, b.s_suppkey AS rk
+      |FROM (SELECT s_suppkey, nullif(s_nationkey, 3) AS jk FROM supplier) a
+      |JOIN (SELECT s_suppkey, nullif(s_nationkey, 3) AS jk FROM supplier) b
+      |ON a.jk = b.jk
+      |ORDER BY lk, rk""".stripMargin
+  ) { (spark, dir) =>
+    val s = Engine.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), nullif(col("s_nationkey"), lit(3)).as("jk"))
+    val a = s.alias("a")
+    val b = s.alias("b")
+    a.join(b, col("a.jk") === col("b.jk"))
+      .select(col("a.s_suppkey").as("lk"), col("b.s_suppkey").as("rk"))
+      .orderBy(col("lk"), col("rk"))
+  }
+
+  // --- Cross join ---------------------------------------------------------
+  val joinCross: QueryDef = QueryDef.sqlBacked(
+    "op_join_cross",
+    """SELECT r_regionkey, n_nationkey FROM region, nation
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "region")
+      .crossJoin(Engine.table(spark, dir, "nation"))
+      .select(col("r_regionkey"), col("n_nationkey"))
+      .orderBy(col("r_regionkey"), col("n_nationkey"))
+  }
+
+  // --- HashGroup: keyed aggregation with NULL-skipping count/sum ----------
+  val groupHash: QueryDef = QueryDef.sqlBacked(
+    "op_group_hash",
+    """SELECT o_orderstatus,
+      |  count(*) AS cnt_all,
+      |  count(nullif(o_custkey, 5)) AS cnt_nonnull,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("cnt_all"),
+        count(nullif(col("o_custkey"), lit(5))).as("cnt_nonnull"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // --- SortedGroup: global aggregate over EMPTY input → exactly one row ---
+  // (sorted_group.rs guarantees |0|NULL| on empty input; tests/group/mod.rs:20-26)
+  val groupGlobalEmpty: QueryDef = QueryDef.sqlBacked(
+    "op_group_global_empty",
+    """SELECT count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+      |FROM orders WHERE false""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "orders")
+      .filter(lit(false))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("total"))
+  }
+
+  // --- Scalars over aggregates: sqrt(sum(a²)+sum(b²)) ----------------------
+  // (aggregate_expression.rs:7-51 — 3-layer aggregate expression trees)
+  val groupExpr: QueryDef = QueryDef.sqlBacked(
+    "op_group_expr",
+    """SELECT l_returnflag,
+      |  sqrt(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4))) AS DOUBLE)
+      |     + CAST(sum(CAST(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(9,4))) AS DOUBLE)) AS norm,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (spark, dir) =>
+    val q = col("l_quantity").cast(DecimalType(12, 2))
+    val d = col("l_discount").cast(DecimalType(4, 2))
+    Engine.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sqrt(sum((q * q).cast(DecimalType(25, 4))).cast(DoubleType) +
+          sum((d * d).cast(DecimalType(9, 4))).cast(DoubleType)).as("norm"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --- ANY_VALUE-style loose grouping, made deterministic as min ----------
+  // (aggregate_expression.rs:28-33 — non-aggregate non-key exprs take the
+  // first value; we pin determinism with min, the documented divergence)
+  val groupAnyValue: QueryDef = QueryDef.sqlBacked(
+    "op_group_anyvalue",
+    """SELECT c_nationkey, min(c_name) AS a_name, count(*) AS cnt
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(min(col("c_name")).as("a_name"), count(lit(1)).as("cnt"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  // --- UnionAll: bag semantics, no dedup (union_all.rs:6-50) --------------
+  val unionAll: QueryDef = QueryDef.sqlBacked(
+    "op_union_all",
+    """SELECT k, v FROM (
+      |  SELECT r_regionkey AS k, r_name AS v FROM region
+      |  UNION ALL
+      |  SELECT r_regionkey AS k, r_name AS v FROM region
+      |  UNION ALL
+      |  SELECT n_nationkey AS k, n_name AS v FROM nation
+      |) u ORDER BY k, v""".stripMargin
+  ) { (spark, dir) =>
+    val r = Engine.table(spark, dir, "region")
+      .select(col("r_regionkey").as("k"), col("r_name").as("v"))
+    val n = Engine.table(spark, dir, "nation")
+      .select(col("n_nationkey").as("k"), col("n_name").as("v"))
+    r.unionAll(r).unionAll(n).orderBy(col("k"), col("v"))
+  }
+
+  // --- DELETE = NegateFreq(Filter(Scan)) → anti-join rewrite --------------
+  // (delete.rs:56-60; negate_freq.rs:6-32). Batch-parquet semantics: the
+  // surviving multiset is everything not matching the delete predicate.
+  val delete: QueryDef = QueryDef.sqlBacked(
+    "op_delete",
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE o_orderkey NOT IN (
+      |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    val o = Engine.table(spark, dir, "orders")
+    val toDelete = o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    o.join(toDelete.withColumnRenamed("o_orderkey", "d_key"),
+        col("o_orderkey") === col("d_key"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // --- TableInsert: multiset append — duplicate inserts survive -----------
+  // (table_insert.rs:22-55; a user table is a bag). Writes region twice to
+  // a scratch parquet table, reads it back, counts per key.
+  val insert: QueryDef = QueryDef.sqlBacked(
+    "op_insert",
+    """SELECT r_regionkey, r_name, count(*) AS copies FROM (
+      |  SELECT * FROM region UNION ALL SELECT * FROM region
+      |) t GROUP BY r_regionkey, r_name ORDER BY r_regionkey""".stripMargin
+  ) { (spark, dir) =>
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_sink_").resolve("region_copy").toString
+    val r = Engine.table(spark, dir, "region")
+    r.write.mode("append").parquet(target)
+    r.write.mode("append").parquet(target)
+    spark.read.parquet(target)
+      .groupBy(col("r_regionkey"), col("r_name"))
+      .agg(count(lit(1)).as("copies"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  // --- FileScan: recursive CSV directory → one JSON-array column ----------
+  // (file_scan.rs:15-52 + FIXTURES.md §2 — the embedded quoted comma case)
+  val fileScan: QueryDef = QueryDef.sqlBacked(
+    "op_filescan_csv",
+    """SELECT * FROM (VALUES
+      |  ('["123","abc","12.1"]'), ('["456","d,ef","13.2"]')
+      |) t(data) ORDER BY data""".stripMargin
+  ) { (spark, _) =>
+    val d = java.nio.file.Files.createTempDirectory("graft_csv_")
+    val sub = java.nio.file.Files.createDirectory(d.resolve("nested"))
+    java.nio.file.Files.writeString(sub.resolve("simple.csv"),
+      "123,abc,12.1\n456,\"d,ef\",13.2\n")
+    val raw = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("delimiter", ",")
+      .schema(StructType(Seq(
+        StructField("_c0", StringType), StructField("_c1", StringType),
+        StructField("_c2", StringType))))
+      .csv(d.toString)
+    raw.select(to_json(array(col("_c0"), col("_c1"), col("_c2"))).as("data"))
+      .orderBy(col("data"))
+  }
+
+  // --- Views: registered, inlined at plan time (resolve_tables.rs:35-58) --
+  val view: QueryDef = QueryDef.sqlBacked(
+    "op_view",
+    """SELECT v.nk, v.cnt, n_name FROM (
+      |  SELECT c_nationkey AS nk, count(*) AS cnt FROM customer GROUP BY c_nationkey
+      |) v JOIN nation ON v.nk = n_nationkey
+      |ORDER BY v.nk""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("cnt"))
+      .createOrReplaceTempView("graft_cust_by_nation")
+    Engine.table(spark, dir, "nation").createOrReplaceTempView("graft_nation_v")
+    spark.sql(
+      """SELECT v.nk, v.cnt, n_name FROM graft_cust_by_nation v
+        |JOIN graft_nation_v ON v.nk = n_nationkey
+        |ORDER BY v.nk""".stripMargin)
+  }
+
+  // --- Distinct (Spark-native extension; reference parser never emits it) -
+  val distinct: QueryDef = QueryDef.sqlBacked(
+    "op_distinct",
+    "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus"
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "orders").select(col("o_orderstatus"))
+      .distinct().orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    single, values, scan, project, filter, limit, sort,
+    joinInner, joinLeft, joinNonEqui, joinNullKeys, joinCross,
+    groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
+    unionAll, delete, insert, fileScan, view, distinct)
+}
