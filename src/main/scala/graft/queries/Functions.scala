@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar + aggregate function inventory (SURVEY.md §2.2/2.3), mapped to
+  * Spark built-ins (reference impls under
+  * /root/reference/src/functions/src/scalar/ and aggregate/).
+  *
+  * Engine-portability rules baked into the oracles (verified against
+  * DuckDB 1.0): `/` on ints is double division in both; x/0 → NULL in
+  * both; `%` matches; double→int CAST diverges (DuckDB rounds, Spark
+  * truncates) so it is never used; `year()` is BIGINT in DuckDB → pinned
+  * to INT; DuckDB `concat` skips NULLs → oracles use `||`.
+  */
+object Functions {
+
+  // --- comparisons + BETWEEN + IS NULL over a NULL-bearing projection -----
+  // (scalar/bool/{eq,ne,gt,gte,lt,lte}.rs, between.rs:8-39, is_null.rs)
+  val compare: QueryDef = QueryDef.sqlBacked(
+    "fn_compare",
+    """SELECT s_suppkey,
+      |  nk = 5 AS eq5, nk <> 5 AS ne5, nk > 5 AS gt5, nk >= 5 AS ge5,
+      |  nk < 5 AS lt5, nk <= 5 AS le5,
+      |  nk BETWEEN 3 AND 8 AS btw, nk IS NULL AS isn, nk IS NOT NULL AS isnn
+      |FROM (SELECT s_suppkey, nullif(s_nationkey, 3) AS nk FROM supplier) t
+      |ORDER BY s_suppkey""".stripMargin
+  ) { (spark, dir) =>
+    val nk = nullif(col("s_nationkey"), lit(3))
+    Engine.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), nk.as("nk"))
+      .select(col("s_suppkey"),
+        (col("nk") === 5).as("eq5"), (col("nk") =!= 5).as("ne5"),
+        (col("nk") > 5).as("gt5"), (col("nk") >= 5).as("ge5"),
+        (col("nk") < 5).as("lt5"), (col("nk") <= 5).as("le5"),
+        col("nk").between(3, 8).as("btw"),
+        col("nk").isNull.as("isn"), col("nk").isNotNull.as("isnn"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  // --- 3-valued AND/OR/NOT truth table (scalar/bool/{and,or,not}.rs) ------
+  val bool3vl: QueryDef = QueryDef.sqlBacked(
+    "fn_bool_3vl",
+    """SELECT a, b, a AND b AS land, a OR b AS lor, NOT a AS lnot,
+      |  a IS TRUE AS istrue, a IS FALSE AS isfalse
+      |FROM (SELECT * FROM (VALUES (TRUE),(FALSE),(CAST(NULL AS BOOLEAN))) x(a),
+      |              (VALUES (TRUE),(FALSE),(CAST(NULL AS BOOLEAN))) y(b)) t
+      |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin
+  ) { (spark, _) =>
+    spark.sql(
+      """SELECT a, b, a AND b AS land, a OR b AS lor, NOT a AS lnot,
+        |  a IS NOT NULL AND a AS istrue, a IS NOT NULL AND NOT a AS isfalse
+        |FROM (SELECT * FROM VALUES (TRUE),(FALSE),(CAST(NULL AS BOOLEAN)) x(a)
+        |      CROSS JOIN VALUES (TRUE),(FALSE),(CAST(NULL AS BOOLEAN)) y(b)) t
+        |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin)
+  }
+
+  // --- arithmetic incl. div-by-zero → NULL (scalar/maths/*.rs) ------------
+  val arith: QueryDef = QueryDef.sqlBacked(
+    "fn_arith",
+    """SELECT n_nationkey,
+      |  n_nationkey + 7 AS add_i, n_nationkey - 7 AS sub_i,
+      |  CAST(n_nationkey AS BIGINT) * 1000000007 AS mul_b,
+      |  n_nationkey / 4 AS div_d,
+      |  n_nationkey % 4 AS mod_i,
+      |  n_nationkey / nullif(n_regionkey, n_regionkey) AS div_null,
+      |  CAST(CAST(n_nationkey AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(10,2)) AS DECIMAL(11,2)) AS dec_add,
+      |  CAST(CAST(n_nationkey AS DECIMAL(10,2)) * CAST(1.5 AS DECIMAL(4,1)) AS DECIMAL(15,3)) AS dec_mul,
+      |  -n_nationkey AS neg
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+  ) { (spark, dir) =>
+    val k = col("n_nationkey")
+    Engine.table(spark, dir, "nation").select(
+      k,
+      (k + 7).as("add_i"), (k - 7).as("sub_i"),
+      (k.cast(LongType) * 1000000007L).as("mul_b"),
+      (k / 4).as("div_d"),
+      (k % 4).as("mod_i"),
+      // x/NULL — and division by zero in both engines — yields NULL
+      // (reference: divide.rs div-by-zero → NULL)
+      (k / nullif(col("n_regionkey"), col("n_regionkey"))).as("div_null"),
+      (k.cast(DecimalType(10, 2)) + lit(0.25).cast(DecimalType(10, 2)))
+        .cast(DecimalType(11, 2)).as("dec_add"),
+      (k.cast(DecimalType(10, 2)) * lit(1.5).cast(DecimalType(4, 1)))
+        .cast(DecimalType(15, 3)).as("dec_mul"),
+      (-k).as("neg"))
+      .orderBy(k)
+  }
+
+  // --- conditionals: if / coalesce / CASE (scalar/misc/*.rs) --------------
+  val cond: QueryDef = QueryDef.sqlBacked(
+    "fn_cond",
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS if_fn,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'fallback') AS coal,
+      |  CASE c_nationkey % 3 WHEN 0 THEN 'zero' WHEN 1 THEN 'one' ELSE 'two' END AS branch
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "customer").select(
+      col("c_custkey"),
+      when(col("c_acctbal") > 5000, "high").otherwise("low").as("if_fn"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("fallback")).as("coal"),
+      when(col("c_nationkey") % 3 === 0, "zero")
+        .when(col("c_nationkey") % 3 === 1, "one")
+        .otherwise("two").as("branch"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // --- casts (scalar/casts/to_*.rs; CAST compiles to these) ---------------
+  val casts: QueryDef = QueryDef.sqlBacked(
+    "fn_cast",
+    """SELECT
+      |  CAST('123' AS INT) AS s2i,
+      |  CAST('12.50' AS DECIMAL(10,2)) AS s2d,
+      |  CAST(42 AS VARCHAR) AS i2s,
+      |  CAST(CAST(1 AS BOOLEAN) AS INT) AS b2i,
+      |  CAST(0 AS BOOLEAN) AS i2b,
+      |  CAST('2024-03-05 10:30:00' AS TIMESTAMP) AS s2ts,
+      |  CAST('true' AS BOOLEAN) AS s2b,
+      |  CAST(CAST(2.75 AS DECIMAL(10,2)) AS VARCHAR) AS d2s,
+      |  CAST(CAST(1712345678 AS BIGINT) AS DOUBLE) AS l2dbl""".stripMargin
+  ) { (spark, _) =>
+    spark.range(1).select(
+      lit("123").cast(IntegerType).as("s2i"),
+      lit("12.50").cast(DecimalType(10, 2)).as("s2d"),
+      lit(42).cast(StringType).as("i2s"),
+      lit(1).cast(BooleanType).cast(IntegerType).as("b2i"),
+      lit(0).cast(BooleanType).as("i2b"),
+      lit("2024-03-05 10:30:00").cast(TimestampNTZType).as("s2ts"),
+      lit("true").cast(BooleanType).as("s2b"),
+      lit(2.75).cast(DecimalType(10, 2)).cast(StringType).as("d2s"),
+      lit(1712345678L).cast(DoubleType).as("l2dbl"))
+  }
+
+  // --- date/time: interval arithmetic, extraction, truncation -------------
+  // (scalar/date/date_sub.rs:10-32 — date minus N days)
+  val datetime: QueryDef = QueryDef.sqlBacked(
+    "fn_datetime",
+    """SELECT o_orderkey,
+      |  o_orderdate - INTERVAL 30 DAY AS date_sub_30,
+      |  o_orderdate + INTERVAL 1 DAY AS date_add_1,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS d,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+      |  CAST(o_orderdate AS DATE) AS as_date
+      |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin
+  ) { (spark, dir) =>
+    val od = col("o_orderdate")
+    Engine.table(spark, dir, "orders").select(
+      col("o_orderkey"),
+      (od - expr("INTERVAL 30 DAYS")).as("date_sub_30"),
+      (od + expr("INTERVAL 1 DAY")).as("date_add_1"),
+      year(od).as("y"), month(od).as("m"), dayofmonth(od).as("d"),
+      date_trunc("month", od).cast(TimestampNTZType).as("mon_start"),
+      od.cast(DateType).as("as_date"))
+      .orderBy(col("o_orderkey")).limit(100)
+  }
+
+  // --- strings (Spark-native extension set; portable subset) --------------
+  val strings: QueryDef = QueryDef.sqlBacked(
+    "fn_string",
+    """SELECT p_partkey,
+      |  upper(p_name) AS up, lower(p_brand) AS lo,
+      |  substring(p_name, 2, 5) AS sub,
+      |  CAST(length(p_name) AS INT) AS len,
+      |  p_brand || '#' || p_type AS cat,
+      |  replace(p_type, 'a', '_') AS repl,
+      |  trim('  pad  ') AS trimmed,
+      |  lpad(CAST(p_size AS VARCHAR), 5, '0') AS padded,
+      |  p_name LIKE '%a%' AS has_a,
+      |  starts_with(p_type, 'S') AS pref
+      |FROM part ORDER BY p_partkey""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+      substring(col("p_name"), 2, 5).as("sub"),
+      length(col("p_name")).as("len"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("cat"),
+      regexp_replace(col("p_type"), "a", "_").as("repl"),
+      trim(lit("  pad  ")).as("trimmed"),
+      lpad(col("p_size").cast(StringType), 5, "0").as("padded"),
+      col("p_name").like("%a%").as("has_a"),
+      col("p_type").startsWith("S").as("pref"))
+      .orderBy(col("p_partkey"))
+  }
+
+  // --- JSON: -> / ->> over events.props (scalar/json/json_extract.rs) -----
+  // `->>` ≡ json_unquote(json_extract(..)) ≡ get_json_object (SURVEY §2.2).
+  val json: QueryDef = QueryDef.sqlBacked(
+    "fn_json",
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_text,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+      |  json_extract_string(props, '$.missing') AS k_missing
+      |FROM events ORDER BY event_id LIMIT 200""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_text"),
+      get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"),
+      get_json_object(col("props"), "$.missing").as("k_missing"))
+      .orderBy(col("event_id")).limit(200)
+  }
+
+  // --- type_of (scalar/casts/type_of.rs) — Spark type names, pinned -------
+  val typeOf: QueryDef = QueryDef.sqlBacked(
+    "fn_typeof",
+    """SELECT * FROM (VALUES
+      | ('bigint', 'string', 'double', 'boolean', 'date', 'decimal(10,2)')
+      |) t(t_bigint, t_string, t_double, t_boolean, t_date, t_decimal)""".stripMargin
+  ) { (spark, _) =>
+    spark.sql(
+      """SELECT typeof(CAST(1 AS BIGINT)) AS t_bigint, typeof('x') AS t_string,
+        |  typeof(CAST(1.5 AS DOUBLE)) AS t_double, typeof(TRUE) AS t_boolean,
+        |  typeof(DATE '2024-01-01') AS t_date,
+        |  typeof(CAST(1.5 AS DECIMAL(10,2))) AS t_decimal""".stripMargin)
+  }
+
+  // --- aggregates: count/sum/avg incl. NULL handling (aggregate/*) --------
+  // avg as exact-decimal sum ÷ count, cast to double (portable, see Tpch).
+  val aggregates: QueryDef = QueryDef.sqlBacked(
+    "fn_aggregates",
+    """SELECT c_mktsegment,
+      |  count(*) AS cnt_star,
+      |  count(ab) AS cnt_col,
+      |  CAST(sum(CAST(ab AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_bal,
+      |  CAST(sum(CAST(ab AS DECIMAL(12,2))) AS DOUBLE) / count(ab) AS avg_bal,
+      |  min(ab) AS min_bal, max(ab) AS max_bal,
+      |  count(DISTINCT c_nationkey) AS n_nations
+      |FROM (SELECT c_mktsegment, c_nationkey,
+      |        CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS ab
+      |      FROM customer) t
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (spark, dir) =>
+    val ab = when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("ab")
+    Engine.table(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"), ab)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("cnt_star"),
+        count(col("ab")).as("cnt_col"),
+        sum(col("ab").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_bal"),
+        (sum(col("ab").cast(DecimalType(12, 2))).cast(DoubleType) / count(col("ab"))).as("avg_bal"),
+        min(col("ab")).as("min_bal"), max(col("ab")).as("max_bal"),
+        countDistinct(col("c_nationkey")).as("n_nations"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    compare, bool3vl, arith, cond, casts, datetime, strings, json, typeOf,
+    aggregates)
+}
