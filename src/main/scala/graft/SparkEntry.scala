@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Functions, Relational, Tpch}
+import graft.queries.{Dedup, Functions, Multimodal, Relational, Similarity, TextAnalysis, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{Functions, Relational, Tpch}
 object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
-    Tpch.all ++ Relational.all ++ Functions.all
+    Tpch.all ++ Relational.all ++ Functions.all ++
+      Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

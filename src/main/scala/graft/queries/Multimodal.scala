@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with a
+  * typed metadata struct, plus a batched "decode / feature-extract" stage.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked DETERMINISTIC FAKE (byte-statistics stand in for pixel
+  * statistics). Everything around it is the real Spark shape you'd run at
+  * 100 TB: binary payload column, metadata struct, partition-batched
+  * decode via mapPartitions over a typed Dataset (the Scala analog of
+  * mapInPandas — one iterator per partition so a real codec could amortize
+  * model/codec init per batch, never per row), and a pure-SQL metadata
+  * path that never touches the payload bytes.
+  */
+object Multimodal {
+
+  /** Simulated media row: payload + the typed metadata a real pipeline
+    * would carry (format/width/height inferred at ingest). */
+  private def mediaFrame(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.table(spark, dir, "documents")
+    // Payload: utf-8 bytes of the text stand in for encoded media bytes.
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpeg")
+          .otherwise("webp").as("format"),
+        (col("doc_id") % 640 + 32).cast(IntegerType).as("width"),
+        (col("doc_id") % 480 + 32).cast(IntegerType).as("height")).as("meta"))
+  }
+
+  // --- metadata path: SQL-only, payload never deserialized ----------------
+  // At scale this is a column-pruned scan: the binary column is not read.
+  val meta: QueryDef = QueryDef.sqlBacked(
+    "mm_meta",
+    """SELECT
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+      |       ELSE 'webp' END AS format,
+      |  count(*) AS n,
+      |  CAST(sum(doc_id % 640 + 32) AS BIGINT) AS total_width,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY 1 ORDER BY format""".stripMargin
+  ) { (spark, dir) =>
+    mediaFrame(spark, dir)
+      .select(col("meta.format").as("format"), col("meta.width"),
+        octet_length(col("payload")).as("nbytes"))
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("width")).cast(LongType).as("total_width"),
+        sum(col("nbytes")).cast(LongType).as("total_bytes"))
+      .orderBy(col("format"))
+  }
+
+  /** Decoded feature row produced by the batched decode stage. */
+  final case class MediaFeatures(
+      media_id: Long, format: String, width: Int, height: Int,
+      n_bytes: Int, byte_mean: Double, frame_samples: Array[Int])
+
+  // --- decode path: partition-batched feature extraction ------------------
+  // STUB DECODE: byte statistics replace codec output. The signature —
+  // Iterator[raw rows] => Iterator[feature rows] per partition — is the
+  // contract a real decoder plugs into.
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFrame(spark, dir)
+      .select(col("media_id"), col("payload"),
+        col("meta.format").as("format"), col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .as[(Long, Array[Byte], String, Int, Int)]
+    media.mapPartitions { rows =>
+      // A real implementation would initialize the codec once here.
+      rows.map { case (id, payload, format, w, h) =>
+        val mean =
+          if (payload.isEmpty) 0.0
+          else payload.map(b => (b & 0xff).toLong).sum.toDouble / payload.length
+        // "Frame sampling": every 16th byte, capped at 8 samples.
+        val frames = payload.grouped(16).take(8).map(g => g.head & 0xff).toArray
+        MediaFeatures(id, format, w, h, payload.length, mean, frames)
+      }
+    }.toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val decode: QueryDef = QueryDef.rowsOnly("mm_decode")(decodeFeatures(_, _))
+
+  val all: Seq[QueryDef] = Seq(meta, decode)
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (Array[Float], L2-normalized → dot product = cosine).
+  *
+  * Two paths, as the north star requires:
+  *   - brute-force top-k: the exactness baseline. Query set is broadcast;
+  *     the corpus is scanned once and never shuffled — per-query top-k is
+  *     the only exchange, carrying k rows per query per partition thanks
+  *     to partial top-k (window over a per-partition pre-filter would be
+  *     overkill at this k; the shuffle payload is (query, candidate,
+  *     score) triples only, no vectors).
+  *   - IVF (inverted-file) variant: corpus is assigned to the nearest of
+  *     C deterministic centroids at write time; queries probe only the
+  *     nProbe closest cells. At 100 TB the centroid assignment becomes
+  *     the partition key, so a probe touches nProbe/C of the data.
+  *
+  * Dot products fold in array-index order via zip_with+aggregate —
+  * deterministic doubles, inside codegen, no UDF.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): Unit =
+    Engine.table(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+
+  private val dotSql =
+    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+
+  /** Deterministic pseudo-random centroids: centroid c, dim d ∈ [-0.5, 0.5)
+    * from xxhash64 — reproducible across runs and engines with no RNG. */
+  private val centroidSql =
+    """SELECT c AS cid,
+      |  transform(sequence(0, 63), d ->
+      |    CAST(xxhash64(c, d) % 1000 AS DOUBLE) / 1000.0) AS cv
+      |FROM (SELECT explode(sequence(0, 15)) AS c)""".stripMargin
+
+  // --- brute-force cosine top-k -------------------------------------------
+  def bruteForceTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    emb(spark, dir)
+    spark.sql(
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < $nQueries
+         |),
+         |c AS (
+         |  SELECT vec_id AS cand_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings
+         |),
+         |scored AS (
+         |  SELECT query_id, cand_id, $dotSql AS score
+         |  FROM q JOIN c ON query_id <> cand_id
+         |)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT query_id, cand_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  val bruteForce: QueryDef =
+    QueryDef.rowsOnly("ann_bruteforce_topk")(bruteForceTopK(_, _))
+
+  // --- IVF-style probed search --------------------------------------------
+  // Corpus rows are assigned to their max-dot centroid; each query probes
+  // the nProbe nearest cells and ranks only those candidates.
+  def ivfTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    emb(spark, dir)
+    spark.sql(
+      s"""WITH cent AS ($centroidSql),
+         |e AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |assign AS (
+         |  -- nearest centroid per vector; struct-max is tie-broken by cid
+         |  SELECT vec_id,
+         |    max(struct(aggregate(zip_with(v, cv, (x, y) -> x * y),
+         |      CAST(0 AS DOUBLE), (acc, p) -> acc + p) AS d, cid AS cid)).cid AS cell
+         |  FROM e CROSS JOIN cent GROUP BY vec_id
+         |),
+         |corpus AS (
+         |  SELECT e.vec_id AS cand_id, e.v AS cv, a.cell
+         |  FROM e JOIN assign a ON e.vec_id = a.vec_id
+         |),
+         |queries AS (
+         |  SELECT vec_id AS query_id, v AS qv FROM (
+         |    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |    FROM embeddings WHERE vec_id < $nQueries) e
+         |),
+         |probes AS (
+         |  SELECT query_id, qv, cid AS cell FROM (
+         |    SELECT q.query_id, q.qv, cent.cid,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        aggregate(zip_with(q.qv, cent.cv, (x, y) -> x * y),
+         |          CAST(0 AS DOUBLE), (acc, p) -> acc + p) DESC, cent.cid) AS pr
+         |    FROM queries q CROSS JOIN cent) t
+         |  WHERE pr <= $nProbe
+         |)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT p.query_id, c.cand_id,
+         |    aggregate(zip_with(p.qv, c.cv, (x, y) -> x * y),
+         |      CAST(0 AS DOUBLE), (acc, pp) -> acc + pp) AS score,
+         |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |      aggregate(zip_with(p.qv, c.cv, (x, y) -> x * y),
+         |        CAST(0 AS DOUBLE), (acc, pp) -> acc + pp) DESC, c.cand_id) AS rnk
+         |  FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.cand_id) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  val ivf: QueryDef = QueryDef.rowsOnly("ann_ivf_topk")(ivfTopK(_, _))
+
+  val all: Seq[QueryDef] = Seq(bruteForce, ivf)
+}

