@@ -61,7 +61,8 @@ object Engine {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       case "events" =>
-        df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long").cast("timestamp_ntz"))
+        // Integer `div`, not `/`: double division loses ULPs at ns scale.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       case _ => df
     }
   }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference never shipped its
+  * incremental executor (SURVEY.md §2.5 — dormant storage hooks only);
+  * this is the Spark-native realization of that capability: the same
+  * DataFrame→DataFrame transforms run identically over a batch frame or
+  * a readStream frame, which is what makes a materialized view
+  * incrementally maintainable with zero operator rewrites.
+  */
+object Streams {
+
+  /** Tumbling-window counts/sums per event type. Works on batch and
+    * streaming inputs alike; streaming gets a 1-hour watermark so state
+    * for closed windows is dropped (bounded state at 100 TB/day rates).
+    */
+  def hourlyByType(events: DataFrame, streaming: Boolean): DataFrame = {
+    val ts = col("ts").cast(TimestampType)
+    val base = events.withColumn("ts", ts)
+    val withWm = if (streaming) base.withWatermark("ts", "1 hour") else base
+    withWm
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("total"))
+      .select(col("win.start").as("hour_start"), col("event_type"), col("n"), col("total"))
+  }
+
+  final case class Evt(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Int,
+      start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
+  final case class SessionState(lastTs: Long, sessionId: Long, n: Int, startTs: Long)
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState) — the Spark analog of the custom stateful
+    * operator a streaming engine would hand-roll. Batch-callable for
+    * testing: in batch mode each group sees all its events at once.
+    */
+  def sessionize(events: Dataset[Evt], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evts: Iterator[Evt], state: GroupState[SessionState]) => {
+          val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0, 0L))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.n == 0) {
+              st = SessionState(t, 1L, 1, t)
+            } else if (t - st.lastTs > gapMs) {
+              out += SessionOut(user, st.sessionId, st.n,
+                new java.sql.Timestamp(st.startTs), new java.sql.Timestamp(st.lastTs))
+              st = SessionState(t, st.sessionId + 1, 1, t)
+            } else {
+              st = st.copy(lastTs = t, n = st.n + 1)
+            }
+          }
+          // Batch mode: flush the open session too (stream mode would hold
+          // it in state awaiting more events / a timeout).
+          if (st.n > 0) {
+            out += SessionOut(user, st.sessionId, st.n,
+              new java.sql.Timestamp(st.startTs), new java.sql.Timestamp(st.lastTs))
+            st = st.copy(n = 0)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}
