@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import graft.ivm.IncrementalAggView
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end incremental-view scenario, oracle-verified.
+  *
+  * Scenario (deterministic so DuckDB can recompute it from scratch):
+  *   1. materialize orders-by-status (count, sum(totalprice));
+  *   2. delta 1: retract every 'F' order with o_orderkey % 10 = 0;
+  *   3. delta 2: insert copies of every 'O' order with o_orderkey % 7 = 0
+  *      at double price.
+  * The view is maintained incrementally (two applyDelta merges over
+  * partial-aggregate state); the oracle recomputes the same multiset
+  * from scratch with freq arithmetic. Hash-match ⟺ retraction and
+  * merge semantics are exactly right.
+  */
+object Ivm {
+
+  val refresh: QueryDef = QueryDef.sqlBacked(
+    "ivm_refresh",
+    """WITH changes AS (
+      |  SELECT o_orderstatus, o_totalprice, 1 AS freq FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice, -1 AS freq FROM orders
+      |  WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice * 2, 1 AS freq FROM orders
+      |  WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 0
+      |)
+      |SELECT o_orderstatus, CAST(sum(freq) AS BIGINT) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * freq) AS DECIMAL(38,2)) AS sum_o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * freq) AS DOUBLE) / sum(freq) AS avg_o_totalprice
+      |FROM changes GROUP BY o_orderstatus HAVING sum(freq) <> 0
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (spark, dir) =>
+    val orders = Engine.table(spark, dir, "orders")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_ivm_").toString
+    val view = new IncrementalAggView(
+      spark, Seq("o_orderstatus"), Seq("o_totalprice"), statePath)
+    view.initialize(orders.select(col("o_orderstatus"), col("o_totalprice")))
+
+    val retractions = orders
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 0)
+      .select(col("o_orderstatus"), col("o_totalprice"), lit(-1L).as(view.freqCol))
+    view.applyDelta(retractions)
+
+    val insertions = orders
+      .filter(col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0)
+      .select(col("o_orderstatus"), (col("o_totalprice") * 2).as("o_totalprice"),
+        lit(1L).as(view.freqCol))
+    view.applyDelta(insertions)
+
+    view.current().orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[QueryDef] = Seq(refresh)
+}

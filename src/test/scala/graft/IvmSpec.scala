@@ -1,0 +1,71 @@
+package graft
+
+import graft.ivm.IncrementalAggView
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvmSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def norm(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("incremental refresh over 3 delta batches equals full recompute") {
+    val li = Engine.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val statePath = java.nio.file.Files.createTempDirectory("ivm_spec_").toString
+    val view = new IncrementalAggView(
+      spark, Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice"), statePath)
+    view.initialize(li)
+
+    // Three deterministic delta batches: retract, insert, mixed.
+    val liK = Engine.table(spark, sf, "lineitem")
+    val d1 = liK.filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        lit(-1L).as(view.freqCol))
+    val d2 = liK.filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_returnflag"), (col("l_quantity") + 1).as("l_quantity"),
+        col("l_extendedprice"), lit(2L).as(view.freqCol))
+    val d3 = d2.withColumn(view.freqCol, lit(-2L)) // retract d2 entirely
+    Seq(d1, d2, d3).foreach(view.applyDelta)
+    assert(view.currentVersion == 3)
+
+    // From-scratch recompute of the equivalent multiset: base minus d1.
+    val expected = liK.filter(!(col("l_orderkey") % 5 === 0))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_l_quantity"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_l_extendedprice"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_l_quantity"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_l_extendedprice"))
+
+    assert(norm(view.current()) == norm(expected))
+  }
+
+  test("full retraction of a group removes it from the view") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("ivm_spec2_").toString
+    val view = new IncrementalAggView(spark, Seq("k"), Seq("v"), statePath)
+    val base = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+    view.initialize(base)
+    assert(view.current().count() == 2)
+
+    val retractA = Seq(("a", 1.0, -1L), ("a", 2.0, -1L)).toDF("k", "v", view.freqCol)
+    view.applyDelta(retractA)
+    val remaining = view.current().collect()
+    assert(remaining.length == 1 && remaining(0).getString(0) == "b")
+  }
+
+  test("freq > 1 counts as that many rows") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("ivm_spec3_").toString
+    val view = new IncrementalAggView(spark, Seq("k"), Seq("v"), statePath)
+    view.initialize(Seq(("a", 10.0)).toDF("k", "v"))
+    view.applyDelta(Seq(("a", 10.0, 4L)).toDF("k", "v", view.freqCol))
+    val r = view.current().collect()(0)
+    assert(r.getAs[Long]("cnt") == 5L)
+    assert(r.getAs[java.math.BigDecimal]("sum_v").doubleValue() == 50.0)
+  }
+}
