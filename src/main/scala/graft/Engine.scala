@@ -39,6 +39,7 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.register(spark)
     spark
   }
 
@@ -71,6 +72,8 @@ object Engine {
     * the Spark analog of the reference's `resolve_tables` catalog pass
     * (/root/reference/src/planner/src/p1_validation/resolve_tables.rs:8-66).
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    functions.GraftFunctions.register(spark)
     allTables.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+  }
 }

@@ -1,0 +1,188 @@
+package graft.sql
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.atomic.AtomicInteger
+import scala.util.matching.Regex
+
+/** The reference's SQL front door re-expressed over Spark SQL: a thin
+  * statement dispatcher + dialect pre-rewriter, NOT a parser fork
+  * (SURVEY.md §4.2 — "string pre-rewriter" verdict). Statement surface
+  * mirrors /root/reference/src/runtime/src/connection.rs:35-136:
+  *
+  *   SHOW FUNCTIONS / DATABASES / TABLES, USE db, CREATE/DROP DATABASE,
+  *   CREATE TABLE (incresql types), CREATE/DROP VIEW, DROP TABLE,
+  *   COMPACT TABLE, and queries/DML in the MySQL-ish dialect:
+  *     - `FROM DIRECTORY "path" [WITH(delimiter="c")]` recursive CSV
+  *       scan emitting one `data` JSON-array column (file_scan.rs:15-52)
+  *     - `LIMIT offset, n` (select.rs:232-254)
+  *     - `->` / `->>` json operators (expression.rs:176-196)
+  *     - backtick identifiers and double-quoted strings (Spark-native).
+  */
+final class GraftSession(val spark: SparkSession) {
+
+  GraftFunctions.register(spark)
+  private val dirCounter = new AtomicInteger(0)
+
+  /** incresql → Spark column types (SURVEY.md §1.5). */
+  private def mapType(t: String): String = t.trim.toUpperCase match {
+    case "TEXT" => "STRING"
+    case "BYTEA" => "BINARY"
+    case "JSON" => "STRING"
+    case "JSONPATH" => "STRING"
+    case other => other // BOOLEAN/INTEGER/BIGINT/DECIMAL(p,s)/DATE/TIMESTAMP
+  }
+
+  private val showFunctionsRe = """(?is)^\s*show\s+functions\s*;?\s*$""".r
+  private val showDatabasesRe = """(?is)^\s*show\s+databases\s*;?\s*$""".r
+  private val showTablesRe = """(?is)^\s*show\s+tables\s*;?\s*$""".r
+  private val useRe = """(?is)^\s*use\s+([\w`]+)\s*;?\s*$""".r
+  private val createDbRe = """(?is)^\s*create\s+database\s+([\w`]+)\s*;?\s*$""".r
+  private val dropDbRe = """(?is)^\s*drop\s+database\s+([\w`]+)\s*;?\s*$""".r
+  private val createTableRe = """(?is)^\s*create\s+table\s+([\w.`]+)\s*\((.*)\)\s*;?\s*$""".r
+  private val dropTableRe = """(?is)^\s*drop\s+table\s+([\w.`]+)\s*;?\s*$""".r
+  private val createViewRe = """(?is)^\s*create\s+view\s+([\w.`]+)\s+as\s+(.*)$""".r
+  private val dropViewRe = """(?is)^\s*drop\s+view\s+([\w.`]+)\s*;?\s*$""".r
+  private val compactRe = """(?is)^\s*compact\s+table\s+([\w.`]+)\s*;?\s*$""".r
+
+  def sql(text: String): DataFrame = text match {
+    case showFunctionsRe() =>
+      import spark.implicits._
+      val names = spark.sessionState.functionRegistry.listFunction()
+        .map(_.funcName).distinct.sorted
+      names.toDF("function_name")
+    case showDatabasesRe() =>
+      spark.sql("SHOW DATABASES").select(col("namespace").as("database"))
+    case showTablesRe() =>
+      spark.sql("SHOW TABLES").select(col("tableName").as("table"))
+    case useRe(db) => spark.sql(s"USE $db")
+    case createDbRe(db) => spark.sql(s"CREATE DATABASE $db")
+    case dropDbRe(db) => spark.sql(s"DROP DATABASE $db")
+    case createTableRe(name, cols) =>
+      val mapped = splitTopLevel(cols).map { colDef =>
+        val parts = colDef.trim.split("\\s+", 2)
+        s"${parts(0)} ${mapType(parts.lift(1).getOrElse("STRING"))}"
+      }.mkString(", ")
+      spark.sql(s"CREATE TABLE $name ($mapped) USING PARQUET")
+    case dropTableRe(name) => spark.sql(s"DROP TABLE $name")
+    case createViewRe(name, body) =>
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS ${rewriteQuery(body)}")
+    case dropViewRe(name) => spark.sql(s"DROP VIEW $name")
+    case compactRe(name) =>
+      // Parquet/Spark analog of RocksDB compaction (connection.rs:113-126):
+      // refresh + recompute stats so subsequent plans see the table fresh.
+      spark.catalog.refreshTable(name)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    case other => spark.sql(rewriteQuery(other))
+  }
+
+  /** Split "a INT, b DECIMAL(10,2)" on top-level commas only. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0
+    s.zipWithIndex.foreach {
+      case ('(', _) => depth += 1
+      case (')', _) => depth -= 1
+      case (',', i) if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ => ()
+    }
+    out += s.substring(start)
+    out.result().filter(_.trim.nonEmpty)
+  }
+
+  // --- query dialect rewriting -------------------------------------------
+
+  private val directoryRe: Regex =
+    """(?is)\bdirectory\s+"([^"]+)"(?:\s+with\s*\(\s*delimiter\s*=\s*"([^"]*)"\s*\))?""".r
+  private val limitOffsetRe: Regex =
+    """(?i)\blimit\s+(\d+)\s*,\s*(\d+)""".r
+
+  private[sql] def rewriteQuery(q: String): String = {
+    var out = q
+    // FROM DIRECTORY "path" WITH(delimiter=",") → registered temp view
+    out = directoryRe.replaceAllIn(out, m => {
+      val path = m.group(1)
+      val delim = Option(m.group(2)).getOrElse(",")
+      val view = s"graft_dir_${dirCounter.incrementAndGet()}"
+      val raw = spark.read
+        .option("recursiveFileLookup", "true")
+        .option("delimiter", delim)
+        .option("inferSchema", "false")
+        .csv(path)
+      val cols = raw.columns.map(col)
+      raw.select(to_json(array(cols.map(_.cast("string")): _*)).as("data"))
+        .createOrReplaceTempView(view)
+      Regex.quoteReplacement(view)
+    })
+    // LIMIT off,n → LIMIT n OFFSET off
+    out = limitOffsetRe.replaceAllIn(out, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    // -> / ->> json operators
+    out = rewriteJsonOps(out)
+    out
+  }
+
+  /** Rewrite `lhs -> 'path'` / `lhs ->> 'path'` right-to-left, where lhs
+    * is an identifier chain or a balanced-paren call. */
+  private[sql] def rewriteJsonOps(q: String): String = {
+    val opRe = """->>|->""".r
+    var text = q
+    var m = opRe.findFirstMatchIn(text)
+    while (m.isDefined) {
+      val mm = m.get
+      val isUnquote = mm.matched == "->>"
+      val lhsEnd = mm.start
+      val lhsStart = findLeftOperandStart(text, lhsEnd)
+      val (rhs, rhsEnd) = findRightOperand(text, mm.end)
+      val lhs = text.substring(lhsStart, lhsEnd).trim
+      val inner = s"json_extract_mysql($lhs, $rhs)"
+      val call = if (isUnquote) s"json_unquote($inner)" else inner
+      text = text.substring(0, lhsStart) + call + text.substring(rhsEnd)
+      m = opRe.findFirstMatchIn(text)
+    }
+    text
+  }
+
+  private def findLeftOperandStart(s: String, opStart: Int): Int = {
+    var i = opStart - 1
+    while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
+    if (i >= 0 && (s.charAt(i) == '\'' || s.charAt(i) == '"')) {
+      // string literal operand: scan back to its opening quote
+      val quote = s.charAt(i)
+      i -= 1
+      while (i >= 0 && s.charAt(i) != quote) i -= 1
+      i
+    } else if (i >= 0 && s.charAt(i) == ')') {
+      var depth = 0
+      while (i >= 0) {
+        s.charAt(i) match {
+          case ')' => depth += 1
+          case '(' => depth -= 1; if (depth == 0) { i -= 1; return skipIdentBack(s, i) + 1 }
+          case _ => ()
+        }
+        i -= 1
+      }
+      0
+    } else skipIdentBack(s, i) + 1
+  }
+
+  private def skipIdentBack(s: String, from: Int): Int = {
+    var i = from
+    while (i >= 0 && (s.charAt(i).isLetterOrDigit ||
+        "_.`$".contains(s.charAt(i)))) i -= 1
+    i
+  }
+
+  /** Right operand: a quoted path literal (single or double quoted). */
+  private def findRightOperand(s: String, from: Int): (String, Int) = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    require(i < s.length && (s.charAt(i) == '"' || s.charAt(i) == '\''),
+      s"expected quoted jsonpath after -> in: $s")
+    val quote = s.charAt(i)
+    var j = i + 1
+    while (j < s.length && s.charAt(j) != quote) j += 1
+    ("'" + s.substring(i + 1, j).replace("'", "\\'") + "'", j + 1)
+  }
+}
