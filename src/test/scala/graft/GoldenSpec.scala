@@ -1,0 +1,158 @@
+package graft
+
+import graft.sql.GraftSession
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipe-format golden harness — the Spark port of the reference's SQL
+  * integration runner (/root/reference/tests/runner/mod.rs:10-80):
+  * each row renders as `|v1|v2|…|` with NULL, TRUE/FALSE, scale-padded
+  * decimals (datum.rs:288-344), compared line-by-line after trimming.
+  */
+object Golden {
+  def render(df: DataFrame): Seq[String] = {
+    df.collect().toSeq.map { row =>
+      val cells = (0 until row.length).map { i =>
+        if (row.isNullAt(i)) "NULL"
+        else row.get(i) match {
+          case b: Boolean => if (b) "TRUE" else "FALSE"
+          case d: java.math.BigDecimal => d.toPlainString
+          case other => other.toString
+        }
+      }
+      cells.mkString("|", "|", "|")
+    }
+  }
+
+  def check(gs: GraftSession, sql: String, expected: String): Unit = {
+    val got = render(gs.sql(sql))
+    val exp = expected.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    assert(got == exp,
+      s"\nquery: $sql\nactual:\n${got.mkString("\n")}\nexpected:\n${exp.mkString("\n")}")
+  }
+}
+
+/** Ports of the reference's golden integration tests (tests/building_blocks,
+  * tests/group, tests/join), minus EXPLAIN-format and type_of-name goldens
+  * (our plans/type names are Spark's — documented divergence).
+  */
+class GoldenSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val gs = new GraftSession(spark)
+  private def q(sql: String, expected: String): Unit = Golden.check(gs, sql, expected)
+
+  // tests/building_blocks/literals.rs
+  test("literals") {
+    q("SELECT 123", "|123|")
+    q("SELECT 9123123123", "|9123123123|")
+    q("SELECT 12.34", "|12.34|")
+    q("SELECT 1.00", "|1.00|")
+    q("SELECT .12", "|0.12|")
+    q("""SELECT "abc"""", "|abc|")
+    q("SELECT NULL", "|NULL|")
+  }
+
+  // tests/building_blocks/boolean_logic.rs
+  test("boolean logic 3VL") {
+    q("SELECT null and true", "|NULL|")
+    q("SELECT true and true", "|TRUE|")
+    q("SELECT true and false", "|FALSE|")
+    q("SELECT null or true", "|TRUE|") // Spark: NULL OR TRUE = TRUE (ANSI 3VL; reference printed NULL — MySQL quirk we do not reproduce)
+    q("SELECT true or false", "|TRUE|")
+    q("SELECT false or false", "|FALSE|")
+    q("SELECT not true", "|FALSE|")
+    q("SELECT not null", "|NULL|")
+  }
+
+  // tests/building_blocks/eq_ne.rs shapes
+  test("comparisons with NULL propagation") {
+    q("SELECT 1 = 1, 1 != 1, 1 < 2, 2 <= 2, 3 > 2, 2 >= 3", "|TRUE|FALSE|TRUE|TRUE|TRUE|FALSE|")
+    q("SELECT NULL = 1, 1 != NULL", "|NULL|NULL|")
+    q("""SELECT "a" = "a", "a" = "b"""", "|TRUE|FALSE|")
+  }
+
+  // tests/building_blocks/between.rs
+  test("between") {
+    q("SELECT 2 BETWEEN 1 AND 3", "|TRUE|")
+    q("SELECT 4 BETWEEN 1 AND 3", "|FALSE|")
+    q("SELECT NULL BETWEEN 1 AND 3", "|NULL|")
+    q("SELECT 2 NOT BETWEEN 1 AND 3", "|FALSE|")
+  }
+
+  // tests/building_blocks/order_by.rs
+  test("order by") {
+    val src = "SELECT 1 as foo UNION ALL SELECT 4 UNION ALL SELECT 3 UNION ALL SELECT 2"
+    q(s"SELECT foo FROM ($src) ORDER BY foo", "|1|\n|2|\n|3|\n|4|")
+    q(s"SELECT foo FROM ($src) ORDER BY foo desc", "|4|\n|3|\n|2|\n|1|")
+    q(s"SELECT foo FROM ($src) ORDER BY foo ASC LIMIT 2", "|1|\n|2|")
+  }
+
+  // tests/building_blocks/limit.rs (non-EXPLAIN cases)
+  test("limit and offset incl. MySQL comma form") {
+    val src = "SELECT 1 as foo UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4"
+    q(s"SELECT foo FROM ($src ORDER BY foo) LIMIT 2", "|1|\n|2|")
+    q(s"SELECT foo FROM ($src ORDER BY foo) LIMIT 1, 2", "|2|\n|3|")
+    q(s"SELECT foo FROM ($src ORDER BY foo) LIMIT 2 OFFSET 1", "|2|\n|3|")
+  }
+
+  // tests/building_blocks/unions.rs
+  test("union all") {
+    q("""SELECT 1, "a" UNION ALL SELECT 2, "b"""", "|1|a|\n|2|b|")
+    q("""SELECT c1, c2 FROM (SELECT 1 as c1, "a" as c2 UNION ALL SELECT 2, "b")""",
+      "|1|a|\n|2|b|")
+  }
+
+  // tests/building_blocks/aliases.rs shapes
+  test("aliases") {
+    q("SELECT 1 as one, 2 two", "|1|2|")
+    q("SELECT t.a FROM (SELECT 1 as a) t", "|1|")
+  }
+
+  // tests/group/mod.rs:20-43 — the grouping fixture with NULLs
+  test("group by with nulls and empty-input global aggregate") {
+    gs.sql("create view golden_grp as " +
+      """SELECT * FROM (VALUES ('a',1),('a',2),('b',3),('b',CAST(NULL AS INT)),('c',CAST(NULL AS INT))) AS t(c1, c2)""")
+    q("SELECT count(*), count(c2), sum(c2) FROM golden_grp", "|5|3|6|")
+    q("SELECT c1, count(*), count(c2), sum(c2) FROM golden_grp GROUP BY c1 ORDER BY c1",
+      "|a|2|2|3|\n|b|2|1|3|\n|c|1|0|NULL|")
+    q("SELECT count(*), sum(c2) FROM golden_grp WHERE false", "|0|NULL|")
+    gs.sql("drop view golden_grp")
+  }
+
+  // tests/join/mod.rs shapes — inner/left/cross + NULL keys + residual
+  test("joins: inner, left-outer null padding, null keys never match") {
+    gs.sql("create view golden_l as " +
+      """SELECT * FROM (VALUES ('a',1),('b',2),('b',3),('c',4),(CAST(NULL AS STRING),10)) AS t(k, lv)""")
+    gs.sql("create view golden_r as " +
+      """SELECT * FROM (VALUES ('a',100),('b',200),(CAST(NULL AS STRING),300)) AS t(k, rv)""")
+    q("""SELECT l.k, lv, rv FROM golden_l l JOIN golden_r r ON l.k = r.k
+        |ORDER BY lv""".stripMargin,
+      "|a|1|100|\n|b|2|200|\n|b|3|200|")
+    q("""SELECT l.k, lv, rv FROM golden_l l LEFT JOIN golden_r r ON l.k = r.k
+        |ORDER BY lv""".stripMargin,
+      "|a|1|100|\n|b|2|200|\n|b|3|200|\n|c|4|NULL|\n|NULL|10|NULL|")
+    q("""SELECT l.k, lv, rv FROM golden_l l JOIN golden_r r
+        |ON l.k = r.k AND lv + rv > 150 ORDER BY lv""".stripMargin,
+      "|b|2|200|\n|b|3|200|")
+    q("SELECT count(*) FROM golden_l, golden_r", "|15|")
+    gs.sql("drop view golden_l")
+    gs.sql("drop view golden_r")
+  }
+
+  // tests/casts shapes (value-level; type names are Spark's)
+  test("casts") {
+    q("""SELECT CAST("123" AS INT)""", "|123|")
+    q("""SELECT CAST("12.5" AS DECIMAL(10,2))""", "|12.50|")
+    q("SELECT CAST(1 AS BOOLEAN), CAST(0 AS BOOLEAN)", "|TRUE|FALSE|")
+    q("""SELECT CAST("2024-03-05" AS DATE)""", "|2024-03-05|")
+    q("SELECT CAST(12.56 AS INT)", "|12|") // Spark truncates (MySQL rounds — divergence documented in Functions)
+  }
+
+  // tests/json/mod.rs via the dialect operators
+  test("json operators golden") {
+    q("""select cast("[1,2,3,4]" as string)->"$.1"""", "|2|")
+    q("""select cast("[[1,2],[3,4],[5,6]]" as string)->"$.*.0"""", "|[1,3,5]|")
+    q("""select json_unquote(cast("\"test\"" as string))""", "|test|")
+    q("""select json_unquote(cast("123" as string))""", "|123|")
+  }
+}
