@@ -249,7 +249,18 @@ object Functions {
       .orderBy(col("c_mktsegment"))
   }
 
+  // --- approximate aggregates (scale extension; engine-specific sketches
+  // → rows-only, error bounds pinned in FunctionsSpec) --------------------
+  val approx: QueryDef = QueryDef.rowsOnly("fn_approx") { (spark, dir) =>
+    Engine.table(spark, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("median_qty"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     compare, bool3vl, arith, cond, casts, datetime, strings, json, typeOf,
-    aggregates)
+    aggregates, approx)
 }

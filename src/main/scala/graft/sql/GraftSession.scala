@@ -46,6 +46,7 @@ final class GraftSession(val spark: SparkSession) {
   private val createViewRe = """(?is)^\s*create\s+view\s+([\w.`]+)\s+as\s+(.*)$""".r
   private val dropViewRe = """(?is)^\s*drop\s+view\s+([\w.`]+)\s*;?\s*$""".r
   private val compactRe = """(?is)^\s*compact\s+table\s+([\w.`]+)\s*;?\s*$""".r
+  private val explainRe = """(?is)^\s*explain\s+(.*)$""".r
 
   def sql(text: String): DataFrame = text match {
     case showFunctionsRe() =>
@@ -75,6 +76,14 @@ final class GraftSession(val spark: SparkSession) {
       // refresh + recompute stats so subsequent plans see the table fresh.
       spark.catalog.refreshTable(name)
       spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    case explainRe(body) =>
+      // Reference renders its logical plan as a values table
+      // (explain/mod.rs:38-80); we surface Spark's formatted plan —
+      // the honest equivalent for a Catalyst-planned engine.
+      import spark.implicits._
+      val plan = spark.sql(rewriteQuery(body)).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      plan.split("\n").toSeq.toDF("plan")
     case other => spark.sql(rewriteQuery(other))
   }
 
@@ -101,6 +110,12 @@ final class GraftSession(val spark: SparkSession) {
 
   private[sql] def rewriteQuery(q: String): String = {
     var out = q
+    // MySQL @@ magic variables → constants
+    // (p1_validation/sub_in_special_vars.rs:7-32)
+    out = out.replaceAll("(?i)@@max_allowed_packet", "16777215")
+    out = out.replaceAll("(?i)@@socket", "''")
+    // database() → Spark's current_database()
+    out = out.replaceAll("(?i)\\bdatabase\\s*\\(\\s*\\)", "current_database()")
     // FROM DIRECTORY "path" WITH(delimiter=",") → registered temp view
     out = directoryRe.replaceAllIn(out, m => {
       val path = m.group(1)
