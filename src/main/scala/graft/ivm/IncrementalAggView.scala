@@ -87,4 +87,17 @@ final class IncrementalAggView(
   }
 
   def currentVersion: Int = version
+
+  /** Continuous maintenance: subscribe the view to a streaming source of
+    * freq-annotated deltas. Each micro-batch becomes one applyDelta merge —
+    * Structured Streaming's exactly-once foreachBatch gives the refresh
+    * loop the reference's storage layer was being built for
+    * (storage.rs:34-63 log-section design). */
+  def maintainFrom(deltaStream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    deltaStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) applyDelta(batch)
+      }
+      .start()
 }

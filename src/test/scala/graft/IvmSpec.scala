@@ -58,6 +58,38 @@ class IvmSpec extends AnyFunSuite {
     assert(remaining.length == 1 && remaining(0).getString(0) == "b")
   }
 
+  test("streaming maintenance: foreachBatch deltas reach the same state as batch applyDelta") {
+    import org.apache.spark.sql.types._
+    val statePath = java.nio.file.Files.createTempDirectory("ivm_stream_").toString
+    val deltaDir = java.nio.file.Files.createTempDirectory("ivm_deltas_").toString
+    val view = new IncrementalAggView(spark, Seq("o_orderstatus"), Seq("o_totalprice"), statePath)
+    val orders = Engine.table(spark, sf, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"))
+    view.initialize(orders)
+
+    // Stage two delta files, then drain them through the streaming path.
+    val d1 = Engine.table(spark, sf, "orders")
+      .filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderstatus"), col("o_totalprice"), lit(-1L).as(view.freqCol))
+    d1.write.parquet(s"$deltaDir/d1")
+    val schema = StructType(Seq(
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField(view.freqCol, LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(deltaDir)
+    val q = view.maintainFrom(stream)
+    try {
+      q.processAllAvailable()
+      val expected = Engine.table(spark, sf, "orders")
+        .filter(!(col("o_orderkey") % 4 === 0))
+        .groupBy(col("o_orderstatus")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = view.current().collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("freq > 1 counts as that many rows") {
     import spark.implicits._
     val statePath = java.nio.file.Files.createTempDirectory("ivm_spec3_").toString
