@@ -47,6 +47,8 @@ final class GraftSession(val spark: SparkSession) {
   private val dropViewRe = """(?is)^\s*drop\s+view\s+([\w.`]+)\s*;?\s*$""".r
   private val compactRe = """(?is)^\s*compact\s+table\s+([\w.`]+)\s*;?\s*$""".r
   private val explainRe = """(?is)^\s*explain\s+(.*)$""".r
+  private val deleteRe =
+    """(?is)^\s*delete\s+from\s+([\w.`]+)(?:\s+where\s+(.+?))?(?:\s+limit\s+(\d+))?\s*;?\s*$""".r
 
   def sql(text: String): DataFrame = text match {
     case showFunctionsRe() =>
@@ -76,6 +78,8 @@ final class GraftSession(val spark: SparkSession) {
       // refresh + recompute stats so subsequent plans see the table fresh.
       spark.catalog.refreshTable(name)
       spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    case deleteRe(table, whereOpt, limitOpt) =>
+      delete(table, Option(whereOpt), Option(limitOpt).map(_.toInt))
     case explainRe(body) =>
       // Reference renders its logical plan as a values table
       // (explain/mod.rs:38-80); we surface Spark's formatted plan —
@@ -85,6 +89,32 @@ final class GraftSession(val spark: SparkSession) {
         org.apache.spark.sql.execution.FormattedMode)
       plan.split("\n").toSeq.toDF("plan")
     case other => spark.sql(rewriteQuery(other))
+  }
+
+  /** DELETE FROM t [WHERE p] [LIMIT n] — the reference plans this as
+    * TableInsert(NegateFreq(Filter(Scan t))) with freq-aware LIMIT
+    * (delete.rs:12-62, limit.rs:27-45). Parquet-table rewrite analog:
+    * keep everything except the matched rows (all of them, or the first
+    * n in scan order for LIMIT). Rows where the predicate is NULL stay.
+    */
+  private def delete(table: String, where: Option[String], limit: Option[Int]): DataFrame = {
+    val df = spark.table(table)
+    val pred = where.map(w => expr(rewriteQuery(w))).getOrElse(lit(true))
+    val remaining = limit match {
+      case None =>
+        df.filter(!coalesce(pred, lit(false)))
+      case Some(n) =>
+        val staged = df.withColumn("__rid", monotonically_increasing_id())
+        val doomed = staged.filter(coalesce(pred, lit(false)))
+          .orderBy(col("__rid")).limit(n).select(col("__rid").as("__doomed"))
+        staged.join(doomed, col("__rid") === col("__doomed"), "left_anti")
+          .drop("__rid")
+    }
+    // Stage through a temp path so the overwrite never reads its target.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delete_").toString
+    remaining.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").insertInto(table)
+    spark.emptyDataFrame
   }
 
   /** Split "a INT, b DECIMAL(10,2)" on top-level commas only. */

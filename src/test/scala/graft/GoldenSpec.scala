@@ -148,6 +148,43 @@ class GoldenSpec extends AnyFunSuite {
     q("SELECT CAST(12.56 AS INT)", "|12|") // Spark truncates (MySQL rounds — divergence documented in Functions)
   }
 
+  // tests/building_blocks/predicates.rs + star.rs (non-EXPLAIN)
+  test("predicates and star expansion") {
+    q("SELECT 1 where true", "|1|")
+    q("SELECT foo from (select 1 as foo) where foo = 1", "|1|")
+    q("SELECT * FROM (SELECT 1 as c1, 2 as c2) foo", "|1|2|")
+    q("SELECT foo.* FROM (SELECT 1 as c1, 2 as c2) foo", "|1|2|")
+  }
+
+  // reference NULL ordering: first on ASC, last on DESC (datum.rs:132-190)
+  test("null sort order matches reference defaults") {
+    val src = "SELECT * FROM (VALUES (1),(CAST(NULL AS INT)),(2)) t(a)"
+    q(s"SELECT a FROM ($src) ORDER BY a", "|NULL|\n|1|\n|2|")
+    q(s"SELECT a FROM ($src) ORDER BY a DESC", "|2|\n|1|\n|NULL|")
+  }
+
+  // tests/insert/mod.rs + tests/delete/mod.rs through the dialect shim
+  test("insert and delete statement round-trip (multiset semantics)") {
+    gs.sql("drop table if exists golden_t1")
+    gs.sql("CREATE TABLE golden_t1 (a INT, b TEXT)")
+    try {
+      gs.sql("""INSERT INTO golden_t1 SELECT 1, "abc"""")
+      gs.sql("""INSERT INTO golden_t1 SELECT 1, "abc"""")
+      gs.sql("""INSERT INTO golden_t1 SELECT 2, "def"""")
+      gs.sql("""INSERT INTO golden_t1 SELECT 3, "ghi"""")
+      q("SELECT * FROM golden_t1 ORDER BY a, b",
+        "|1|abc|\n|1|abc|\n|2|def|\n|3|ghi|")
+      gs.sql("""DELETE FROM golden_t1 WHERE golden_t1.b="def"""")
+      q("SELECT * FROM golden_t1 ORDER BY a, b", "|1|abc|\n|1|abc|\n|3|ghi|")
+      // freq-aware LIMIT: exactly one physical row goes
+      gs.sql("DELETE FROM golden_t1 LIMIT 1")
+      assert(gs.sql("SELECT count(*) c FROM golden_t1").collect()(0).getLong(0) == 2L)
+      // INSERT ... VALUES form
+      gs.sql("""INSERT INTO golden_t1 VALUES (7, "xyz"), (8, "zyx")""")
+      assert(gs.sql("SELECT count(*) c FROM golden_t1").collect()(0).getLong(0) == 4L)
+    } finally gs.sql("drop table if exists golden_t1")
+  }
+
   // tests/json/mod.rs via the dialect operators
   test("json operators golden") {
     q("""select cast("[1,2,3,4]" as string)->"$.1"""", "|2|")
