@@ -50,6 +50,11 @@ object Engine {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
 
+  // (session, dir, name) → DataFrame. Plans are immutable; caching skips
+  // re-listing parquet footers on every query invocation.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   /** Read one named table from a scale-factor directory.
     *
     * `events.ts` is physically INT64 TIMESTAMP(NANOS) which Spark refuses
@@ -57,16 +62,17 @@ object Engine {
     * convert to microsecond TIMESTAMP_NTZ — the same truncation DuckDB
     * applies, so oracle comparisons agree to the microsecond.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    ensureNanosConf(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    name match {
-      case "events" =>
-        // Integer `div`, not `/`: double division loses ULPs at ns scale.
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      case _ => df
-    }
-  }
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    tableCache.computeIfAbsent((spark, sfDir, name), { case (s, dir, n) =>
+      ensureNanosConf(s)
+      val df = s.read.parquet(s"$dir/$n.parquet")
+      n match {
+        case "events" =>
+          // Integer `div`, not `/`: double division loses ULPs at ns scale.
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ => df
+      }
+    })
 
   /** Register every table as a temp view so `spark.sql` works naturally —
     * the Spark analog of the reference's `resolve_tables` catalog pass
