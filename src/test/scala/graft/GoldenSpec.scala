@@ -185,6 +185,26 @@ class GoldenSpec extends AnyFunSuite {
     } finally gs.sql("drop table if exists golden_t1")
   }
 
+  // the reference's benchmark load path: DIRECTORY csv → ->> + CAST →
+  // INSERT (benchmarking/_tpch/incresql_runner.rs:182-350)
+  test("csv load path: directory scan, json extraction, typed insert") {
+    val d = java.nio.file.Files.createTempDirectory("graft_load_")
+    java.nio.file.Files.writeString(d.resolve("nation.tbl"),
+      "0|ALGERIA|0\n1|ARGENTINA|1\n2|BRAZIL|1\n")
+    gs.sql("drop table if exists golden_nation")
+    gs.sql("CREATE TABLE golden_nation (n_nationkey INTEGER, n_name TEXT, n_regionkey INTEGER)")
+    try {
+      gs.sql(
+        s"""INSERT INTO golden_nation
+           |SELECT CAST(data ->> "$$[0]" AS INTEGER),
+           |       data ->> "$$[1]",
+           |       CAST(data ->> "$$[2]" AS INTEGER)
+           |FROM DIRECTORY "$d" WITH(delimiter="|")""".stripMargin)
+      q("SELECT * FROM golden_nation ORDER BY n_nationkey",
+        "|0|ALGERIA|0|\n|1|ARGENTINA|1|\n|2|BRAZIL|1|")
+    } finally gs.sql("drop table if exists golden_nation")
+  }
+
   // tests/json/mod.rs via the dialect operators
   test("json operators golden") {
     q("""select cast("[1,2,3,4]" as string)->"$.1"""", "|2|")
