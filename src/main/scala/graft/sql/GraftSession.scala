@@ -168,25 +168,43 @@ final class GraftSession(val spark: SparkSession) {
     out
   }
 
-  /** Rewrite `lhs -> 'path'` / `lhs ->> 'path'` right-to-left, where lhs
-    * is an identifier chain or a balanced-paren call. */
+  /** Rewrite `lhs -> 'path'` / `lhs ->> 'path'` where lhs is a string
+    * literal, an identifier chain, or a balanced-paren call. Operators
+    * inside quoted string literals are left untouched. */
   private[sql] def rewriteJsonOps(q: String): String = {
-    val opRe = """->>|->""".r
     var text = q
-    var m = opRe.findFirstMatchIn(text)
-    while (m.isDefined) {
-      val mm = m.get
-      val isUnquote = mm.matched == "->>"
-      val lhsEnd = mm.start
-      val lhsStart = findLeftOperandStart(text, lhsEnd)
-      val (rhs, rhsEnd) = findRightOperand(text, mm.end)
-      val lhs = text.substring(lhsStart, lhsEnd).trim
+    var idx = findOpOutsideQuotes(text)
+    while (idx >= 0) {
+      val isUnquote = text.startsWith("->>", idx)
+      val opLen = if (isUnquote) 3 else 2
+      val lhsStart = findLeftOperandStart(text, idx)
+      val (rhs, rhsEnd) = findRightOperand(text, idx + opLen)
+      val lhs = text.substring(lhsStart, idx).trim
       val inner = s"json_extract_mysql($lhs, $rhs)"
       val call = if (isUnquote) s"json_unquote($inner)" else inner
       text = text.substring(0, lhsStart) + call + text.substring(rhsEnd)
-      m = opRe.findFirstMatchIn(text)
+      idx = findOpOutsideQuotes(text)
     }
     text
+  }
+
+  /** Index of the first `->` / `->>` not inside a quoted literal; -1 if none.
+    * The scan runs front-to-back tracking quote state, so an operator whose
+    * LEFT OPERAND is itself a string literal is still found (the literal
+    * closes before the operator starts). */
+  private def findOpOutsideQuotes(s: String): Int = {
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length - 1) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\') i += 1 // skip escaped char inside literal
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '-' && s.charAt(i + 1) == '>') return i
+      i += 1
+    }
+    -1
   }
 
   private def findLeftOperandStart(s: String, opStart: Int): Int = {

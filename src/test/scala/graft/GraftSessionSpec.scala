@@ -45,6 +45,12 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r.length == 3 && r.forall(row => row.getString(1).forall(_.isDigit)))
   }
 
+  test("-> inside a string literal is not rewritten") {
+    val r = gs.sql("""select 'a->b' as s, '{"k":9}' ->> "$.k" as k""").collect()(0)
+    assert(r.getString(0) == "a->b")
+    assert(r.getString(1) == "9")
+  }
+
   test("SHOW FUNCTIONS lists registered functions including custom ones") {
     val fns = gs.sql("show functions").collect().map(_.getString(0))
     assert(fns.contains("json_extract_mysql") && fns.contains("rolling_hash64"))
