@@ -75,9 +75,16 @@ final class IncrementalAggView(
   }
 
   /** Finalized view: count, sums, and derived averages per key. */
-  def current(): DataFrame = {
+  def current(): DataFrame = at(version)
+
+  /** Time-travel read of any retained snapshot version — the Spark-side
+    * analog of the reference's MVCC read-at-LogicalTimestamp scans
+    * (/root/reference/src/storage/src/table.rs:128-171): every applyDelta
+    * produces an immutable version, so historical states stay queryable. */
+  def at(v: Int): DataFrame = {
     require(version >= 0, "view not initialized")
-    val st = spark.read.parquet(versionDir(version))
+    require(v >= 0 && v <= version, s"version $v out of range [0, $version]")
+    val st = spark.read.parquet(versionDir(v))
     val finalCols =
       keyCols.map(col) ++ Seq(col("cnt")) ++
         sumCols.map(c => col(sumName(c))) ++

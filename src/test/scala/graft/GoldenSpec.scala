@@ -71,12 +71,15 @@ class GoldenSpec extends AnyFunSuite {
     q("""SELECT "a" = "a", "a" = "b"""", "|TRUE|FALSE|")
   }
 
-  // tests/building_blocks/between.rs
+  // tests/building_blocks/between.rs (overloads: int, decimal, text, date)
   test("between") {
     q("SELECT 2 BETWEEN 1 AND 3", "|TRUE|")
     q("SELECT 4 BETWEEN 1 AND 3", "|FALSE|")
     q("SELECT NULL BETWEEN 1 AND 3", "|NULL|")
     q("SELECT 2 NOT BETWEEN 1 AND 3", "|FALSE|")
+    q("SELECT 2.5 BETWEEN 1.1 AND 3.9", "|TRUE|")
+    q("""SELECT "b" BETWEEN "a" AND "c"""", "|TRUE|")
+    q("SELECT DATE '2024-06-15' BETWEEN DATE '2024-01-01' AND DATE '2024-12-31'", "|TRUE|")
   }
 
   // tests/building_blocks/order_by.rs

@@ -44,6 +44,22 @@ class IvmSpec extends AnyFunSuite {
     assert(norm(view.current()) == norm(expected))
   }
 
+  test("time travel: every snapshot version stays queryable after deltas") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("ivm_tt_").toString
+    val view = new IncrementalAggView(spark, Seq("k"), Seq("v"), statePath)
+    view.initialize(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+    view.applyDelta(Seq(("a", 5.0, 1L)).toDF("k", "v", view.freqCol))
+    view.applyDelta(Seq(("b", 2.0, -1L)).toDF("k", "v", view.freqCol))
+
+    def counts(v: Int) = view.at(v).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+    assert(counts(0) == Map("a" -> 1L, "b" -> 1L))
+    assert(counts(1) == Map("a" -> 2L, "b" -> 1L))
+    assert(counts(2) == Map("a" -> 2L))
+    intercept[IllegalArgumentException](view.at(3))
+  }
+
   test("full retraction of a group removes it from the view") {
     import spark.implicits._
     val statePath = java.nio.file.Files.createTempDirectory("ivm_spec2_").toString
