@@ -106,9 +106,13 @@ class GoldenSpec extends AnyFunSuite {
   }
 
   // tests/building_blocks/aliases.rs shapes
-  test("aliases") {
+  test("aliases incl. backtick-qualified references (tests/building_blocks/aliases.rs)") {
     q("SELECT 1 as one, 2 two", "|1|2|")
     q("SELECT t.a FROM (SELECT 1 as a) t", "|1|")
+    q("SELECT foo FROM (SELECT 1 as foo)", "|1|")
+    q("SELECT foo FROM (SELECT 1 as foo) as bar", "|1|")
+    q("SELECT bar.foo FROM (SELECT 1 as foo) bar", "|1|")
+    q("SELECT `bar`.`foo` FROM (SELECT 1 as foo) bar", "|1|")
   }
 
   // tests/group/mod.rs:20-43 — the grouping fixture with NULLs
