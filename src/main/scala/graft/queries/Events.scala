@@ -17,7 +17,7 @@ object Events {
     "evt_window_agg",
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
       |  count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
   ) { (spark, dir) =>
     Engine.table(spark, dir, "events")
@@ -26,7 +26,7 @@ object Events {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("total"))
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
       .orderBy(col("hour_start"), col("event_type"))
   }
 
@@ -39,7 +39,7 @@ object Events {
       |  lag(event_id) OVER w AS prev_event,
       |  lead(event_id) OVER w AS next_event,
       |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, rn""".stripMargin
@@ -55,7 +55,7 @@ object Events {
       lead(col("event_id"), 1).over(w).as("next_event"),
       sum(col("value").cast(DecimalType(12, 2)))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast(DecimalType(38, 2)).as("running_total"))
+        .cast(DoubleType).as("running_total"))
       .orderBy(col("user_id"), col("rn"))
   }
 

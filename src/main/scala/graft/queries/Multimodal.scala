@@ -85,6 +85,10 @@ object Multimodal {
         MediaFeatures(id, format, w, h, payload.length, mean, frames)
       }
     }.toDF()
+      // JSON-encode the sample array for the verify dump: the driver's
+      // pandas compare sorts every output column and cannot hash/sort
+      // numpy arrays, so no verify output may carry an array column.
+      .withColumn("frame_samples", to_json(col("frame_samples")))
       .orderBy(col("media_id"))
   }
 

@@ -43,7 +43,7 @@ object Relational {
   // --- Values: inline literal rows → LocalRelation ------------------------
   val values: QueryDef = QueryDef.sqlBacked(
     "op_values",
-    """SELECT * FROM (VALUES
+    """SELECT id, name, CAST(amount AS VARCHAR) AS amount FROM (VALUES
       |  (CAST(1 AS BIGINT), CAST('a' AS VARCHAR), CAST(1.50 AS DECIMAL(10,2))),
       |  (CAST(2 AS BIGINT), CAST('b' AS VARCHAR), CAST(NULL AS DECIMAL(10,2))),
       |  (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(-7.25 AS DECIMAL(10,2)))
@@ -57,7 +57,11 @@ object Relational {
       Row(1L, "a", new java.math.BigDecimal("1.50")),
       Row(2L, "b", null),
       Row(3L, null, new java.math.BigDecimal("-7.25")))
-    spark.createDataFrame(rows, schema).orderBy(col("id"))
+    // Decimal stringified for the compare — scale survives both engines'
+    // rendering ("1.50"), unlike a raw DECIMAL column (see Tpch note).
+    spark.createDataFrame(rows, schema)
+      .select(col("id"), col("name"), col("amount").cast(StringType).as("amount"))
+      .orderBy(col("id"))
   }
 
   // --- TableScan: full scan, pruned to selected columns -------------------
@@ -204,7 +208,7 @@ object Relational {
     """SELECT o_orderstatus,
       |  count(*) AS cnt_all,
       |  count(nullif(o_custkey, 5)) AS cnt_nonnull,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   ) { (spark, dir) =>
@@ -213,7 +217,7 @@ object Relational {
       .agg(
         count(lit(1)).as("cnt_all"),
         count(nullif(col("o_custkey"), lit(5))).as("cnt_nonnull"),
-        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("total"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy(col("o_orderstatus"))
@@ -224,14 +228,14 @@ object Relational {
   val groupGlobalEmpty: QueryDef = QueryDef.sqlBacked(
     "op_group_global_empty",
     """SELECT count(*) AS cnt,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders WHERE false""".stripMargin
   ) { (spark, dir) =>
     Engine.table(spark, dir, "orders")
       .filter(lit(false))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("total"))
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total"))
   }
 
   // --- Scalars over aggregates: sqrt(sum(a²)+sum(b²)) ----------------------

@@ -21,7 +21,14 @@ object Tpch {
   private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
   /** l_extendedprice * (1 - l_discount), computed exactly in decimal.
-    * (12,2)×(4,2) → exact (17,4); pinned at (18,4) on both engines. */
+    * (12,2)×(4,2) → exact (17,4); pinned at (18,4) on both engines.
+    *
+    * Result sums are computed exactly in DECIMAL (order-independent) and
+    * final-cast to DOUBLE on BOTH engines: decimal→double is bit-identical
+    * across Spark and DuckDB as long as the unscaled value stays below
+    * 2^53 (verified: sf0.1 sum_charge unscaled ≈ 5.2e15 < 9.0e15), while a
+    * DECIMAL output column survives only one of the two pandas conversion
+    * paths with its trailing zeros intact. */
   private def discPrice(price: Column, disc: Column): Column =
     (dec(price, 12, 2) * (lit(1).cast(DecimalType(4, 2)) - dec(disc, 4, 2)))
       .cast(DecimalType(18, 4))
@@ -36,10 +43,10 @@ object Tpch {
   val q1: QueryDef = QueryDef.sqlBacked(
     "q1_agg",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(sum(DISC_PRICE) AS DECIMAL(38,4)) AS sum_disc_price,
-      |  CAST(sum(CAST(DISC_PRICE * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(DISC_PRICE) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(DISC_PRICE * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
       |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -54,11 +61,11 @@ object Tpch {
     li.filter(col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"), 12, 2)).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(dec(col("l_extendedprice"), 12, 2)).cast(DecimalType(38, 2)).as("sum_base_price"),
-        sum(dp).cast(DecimalType(38, 4)).as("sum_disc_price"),
+        sum(dec(col("l_quantity"), 12, 2)).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"), 12, 2)).cast(DoubleType).as("sum_base_price"),
+        sum(dp).cast(DoubleType).as("sum_disc_price"),
         sum((dp * (lit(1).cast(DecimalType(4, 2)) + dec(col("l_tax"), 4, 2)))
-          .cast(DecimalType(24, 6))).cast(DecimalType(38, 6)).as("sum_charge"),
+          .cast(DecimalType(24, 6))).cast(DoubleType).as("sum_charge"),
         (sum(dec(col("l_quantity"), 12, 2)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
         (sum(dec(col("l_extendedprice"), 12, 2)).cast(DoubleType) / count(lit(1))).as("avg_price"),
         (sum(dec(col("l_discount"), 4, 2)).cast(DoubleType) / count(lit(1))).as("avg_disc"),
@@ -73,7 +80,7 @@ object Tpch {
   val q3: QueryDef = QueryDef.sqlBacked(
     "q3_topn",
     """SELECT l_orderkey,
-      |  CAST(sum(DISC_PRICE) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(sum(DISC_PRICE) AS DOUBLE) AS revenue,
       |  o_orderdate
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
@@ -92,7 +99,7 @@ object Tpch {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast(DoubleType).as("revenue"))
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -104,7 +111,7 @@ object Tpch {
   val q5: QueryDef = QueryDef.sqlBacked(
     "q5_join",
     """SELECT n_name,
-      |  CAST(sum(DISC_PRICE) AS DECIMAL(38,4)) AS revenue
+      |  CAST(sum(DISC_PRICE) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey
       |  AND l_orderkey = o_orderkey
@@ -134,7 +141,7 @@ object Tpch {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -143,7 +150,7 @@ object Tpch {
   // the parquet scan as a pushed filter; result is a 1-row global agg.
   val q6: QueryDef = QueryDef.sqlBacked(
     "q6_filter",
-    """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+    """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -156,7 +163,7 @@ object Tpch {
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
       .agg(sum((dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 4, 2))
-        .cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("revenue"))
+        .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
   }
 
   // --- Q10: returned-items customer ranking -------------------------------
@@ -164,8 +171,8 @@ object Tpch {
   val q10: QueryDef = QueryDef.sqlBacked(
     "q10_join",
     """SELECT c_custkey, c_name,
-      |  CAST(sum(DISC_PRICE) AS DECIMAL(38,4)) AS revenue,
-      |  CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+      |  CAST(sum(DISC_PRICE) AS DOUBLE) AS revenue,
+      |  c_acctbal,
       |  n_name, c_mktsegment
       |FROM customer, orders, lineitem, nation
       |WHERE c_custkey = o_custkey
@@ -174,12 +181,11 @@ object Tpch {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_returnflag = 'R'
       |  AND c_nationkey = n_nationkey
-      |GROUP BY c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)), n_name, c_mktsegment
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin.replace("DISC_PRICE", discPriceSql)
   ) { (spark, dir) =>
     val cust = Engine.table(spark, dir, "customer")
-      .withColumn("c_acctbal", dec(col("c_acctbal"), 12, 2))
     val ord = Engine.table(spark, dir, "orders")
       .filter(col("o_orderdate") >= ntz("1996-10-01 00:00:00") &&
         col("o_orderdate") < ntz("1997-01-01 00:00:00"))
@@ -190,7 +196,7 @@ object Tpch {
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"), col("c_mktsegment"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast(DoubleType).as("revenue"))
       .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"),
         col("n_name"), col("c_mktsegment"))
       .orderBy(col("revenue").desc, col("c_custkey"))

@@ -94,7 +94,7 @@ class PipelineSpec extends AnyFunSuite {
       val mean = r.getAs[Double]("byte_mean")
       assert(mean > 0 && mean < 256)
       assert(r.getAs[Int]("n_bytes") > 0)
-      assert(r.getAs[scala.collection.Seq[Int]]("frame_samples").nonEmpty)
+      assert(r.getAs[String]("frame_samples").startsWith("["))
     }
   }
 

@@ -20,7 +20,7 @@ class TpchSpec extends AnyFunSuite {
   test("q3_topn returns at most 10 ordered rows") {
     val rows = queries.Tpch.q3.run(spark, sf).collect()
     assert(rows.length <= 10)
-    val revs = rows.map(_.getAs[java.math.BigDecimal]("revenue").doubleValue())
+    val revs = rows.map(_.getAs[Double]("revenue"))
     assert(revs.sameElements(revs.sorted.reverse))
   }
 
