@@ -16,18 +16,21 @@ import org.apache.spark.sql.functions._
   *       higher-doc_id member of every detected pair)
   *     → curated corpus + stats.
   *
-  * MinHash candidates make the output engine-specific → rows-only check;
-  * CurateSpec pins the invariants instead.
+  * The DuckDB oracle recomputes the same pipeline with the near-dup set
+  * expanded to the EXACT all-pairs Jaccard ≥ 0.8 relation — valid because
+  * the LSH candidate set provably covers every Jaccard ≥ 0.5 pair on this
+  * corpus (see Dedup.minhash's oracle), and 0.8-pairs ⊆ 0.5-pairs.
   */
 object Curate {
 
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
 
-    // per-row analysis (reuses TextAnalysis rule shapes)
+    // per-row analysis (reuses TextAnalysis rule shapes; raw IEEE ratios,
+    // no rounding — round() tie behavior is not engine-portable)
     val scored = spark.sql(
       """SELECT doc_id, lang, text,
-        |  size(regexp_extract_all(text, '\\S+', 0)) AS n_tokens,
+        |  CAST(size(regexp_extract_all(text, '\\S+', 0)) AS INT) AS n_tokens,
         |  CAST(size(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b', 0)) AS DOUBLE)
         |    / size(regexp_extract_all(text, '\\S+', 0)) AS stopword_ratio,
         |  CAST(size(array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0))) AS DOUBLE)
@@ -44,12 +47,33 @@ object Curate {
     filtered
       .join(dupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        round(col("stopword_ratio"), 6).as("stopword_ratio"),
-        round(col("distinct_ratio"), 6).as("distinct_ratio"))
+        col("stopword_ratio"), col("distinct_ratio"))
       .orderBy(col("doc_id"))
   }
 
-  val curate: QueryDef = QueryDef.rowsOnly("pipeline_curate")(curatedCorpus(_, _))
+  private val curateOracle =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS DOUBLE)
+       |      / len(regexp_extract_all(text, '\\S+')) AS stopword_ratio,
+       |    CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE)
+       |      / len(regexp_extract_all(lower(text), '[a-z]+')) AS distinct_ratio
+       |  FROM documents
+       |),
+       |sh AS (${Dedup.shingleDuckSql}),
+       |dup_losers AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE ${Dedup.jaccardDuckSql("a.shingles", "b.shingles")} >= 0.8
+       |)
+       |SELECT doc_id, lang, n_tokens, stopword_ratio, distinct_ratio
+       |FROM scored
+       |WHERE n_tokens >= 5 AND distinct_ratio >= 0.2
+       |  AND doc_id NOT IN (SELECT doc_id FROM dup_losers)
+       |ORDER BY doc_id""".stripMargin
+
+  val curate: QueryDef = QueryDef.sqlBacked("pipeline_curate", curateOracle)(curatedCorpus(_, _))
 
   val all: Seq[QueryDef] = Seq(curate)
 }

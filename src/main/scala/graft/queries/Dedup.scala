@@ -14,21 +14,50 @@ import org.apache.spark.sql.functions._
   * band_signature) for candidate generation, then a hash-join back to
   * fetch token sets for exact verification of the (tiny) candidate set.
   * Candidate pairs scale with true-duplicate density, not corpus size².
+  *
+  * Oracle strategy: the signature operators (simhash, hyperplane LSH)
+  * derive their bits from [[portableHash60]] — a 60-bit md5-prefix hash
+  * both Spark and DuckDB compute identically — so the DuckDB oracle
+  * replays the exact banding pipeline. MinHash keeps xxhash64 (faster,
+  * Spark-native); its oracle is the *exact* all-pairs Jaccard set, which
+  * the LSH path must fully recall at the operating threshold — a
+  * recall=1.0 check, not just a row count.
   */
 object Dedup {
 
   private def docs(spark: SparkSession, dir: String): Unit =
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
 
+  /** 60-bit engine-portable hash of a string expression: the first 15 hex
+    * chars of md5, read as an integer. Spark spells it with conv(); DuckDB
+    * casts a 0x-prefixed literal. Identical values on both engines. */
+  private def portableHash60Spark(x: String): String =
+    s"CAST(conv(substr(md5($x), 1, 15), 16, 10) AS BIGINT)"
+  private def portableHash60Duck(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
   /** Shared tokenization: whitespace split, empties dropped. */
   private val tokSql =
     "SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS tokens FROM documents"
+  private val tokDuck =
+    "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens FROM documents"
 
-  /** Distinct word-3-gram shingles per doc. */
+  /** Distinct word-3-gram shingles per doc (arrays are 0-based in Spark,
+    * 1-based in DuckDB — the two forms enumerate identical shingles). */
   private val shingleSql =
     s"""SELECT doc_id, array_distinct(transform(sequence(0, size(tokens)-3),
        |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))) AS shingles
        |FROM ($tokSql) WHERE size(tokens) >= 3""".stripMargin
+  private val shingleDuck =
+    s"""SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)-1),
+       |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))) AS shingles
+       |FROM ($tokDuck) WHERE len(tokens) >= 3""".stripMargin
+
+  /** Exact Jaccard between two distinct-element shingle lists, DuckDB
+    * spelling (|a∩b| / (|a|+|b|−|a∩b|) ≡ Spark's intersect/union). */
+  private def jaccardDuck(a: String, b: String): String =
+    s"""CAST(len(list_intersect($a, $b)) AS DOUBLE)
+       |    / (len($a) + len($b) - len(list_intersect($a, $b)))""".stripMargin
 
   // --- exact dedup: hash-groupBy on the full text -------------------------
   val exact: QueryDef = QueryDef.sqlBacked(
@@ -60,8 +89,6 @@ object Dedup {
   // --- MinHash + LSH near-dup pairs ---------------------------------------
   // k=64 hashes (xxhash64 seeded by hash index), 16 bands × 4 rows,
   // candidates from band-bucket equality, verified with exact Jaccard.
-  // xxhash64 is Spark-specific → rows-only oracle; properties are pinned
-  // by DedupSpec instead.
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     docs(spark, dir)
     spark.sql(
@@ -95,26 +122,46 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
-  val minhash: QueryDef = QueryDef.rowsOnly("dedup_minhash_lsh")(minhashPairs(_, _))
+  /** Oracle = the EXACT all-pairs Jaccard ≥ t set: candidate generation is
+    * an optimization that must not lose pairs, so matching this oracle
+    * proves the 16×4 banding achieves full recall at t=0.5 on this corpus
+    * (xxhash64 is deterministic → the equality is stable run to run). */
+  private val minhashOracle =
+    s"""WITH sh AS ($shingleDuck)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  ${jaccardDuck("a.shingles", "b.shingles")} AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE ${jaccardDuck("a.shingles", "b.shingles")} >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val minhash: QueryDef =
+    QueryDef.sqlBacked("dedup_minhash_lsh", minhashOracle)(minhashPairs(_, _))
 
   // --- SimHash near-dup pairs ---------------------------------------------
-  // 64-bit simhash per doc (per-row lambda over tokens), banded into
-  // 4 × 16-bit chunks for candidates, verified with hamming ≤ 3.
+  // 60-bit simhash per doc from portableHash60 token hashes (60, not 64:
+  // DuckDB's checked shift overflows at 1<<63, and bits beyond the hash
+  // width could never be set anyway), banded into 4 × 15-bit chunks for
+  // candidates, verified with hamming ≤ 3. The oracle replays the whole
+  // pipeline bit for bit.
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     docs(spark, dir)
     spark.sql(
       s"""WITH tok AS ($tokSql),
+         |th AS (
+         |  SELECT doc_id, transform(tokens, t -> ${portableHash60Spark("t")}) AS hs
+         |  FROM tok WHERE size(tokens) > 0
+         |),
          |fp AS (
          |  SELECT doc_id,
-         |    aggregate(sequence(0, 63), 0L, (acc, j) -> acc +
-         |      CASE WHEN aggregate(tokens, 0L, (a, t) -> a +
-         |             CASE WHEN (shiftright(xxhash64(t), j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+         |    aggregate(sequence(0, 59), 0L, (acc, j) -> acc +
+         |      CASE WHEN aggregate(hs, 0L, (a, h) -> a +
+         |             CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
          |           THEN shiftleft(1L, j) ELSE 0L END) AS simhash
-         |  FROM tok WHERE size(tokens) > 0
+         |  FROM th
          |),
          |bands AS (
          |  SELECT doc_id, simhash, b AS band_idx,
-         |    shiftright(simhash, b * 16) & 65535 AS band_val
+         |    shiftright(simhash, b * 15) & 32767 AS band_val
          |  FROM fp LATERAL VIEW explode(sequence(0, 3)) t AS b
          |),
          |cand AS (
@@ -129,12 +176,45 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
-  val simhash: QueryDef = QueryDef.rowsOnly("dedup_simhash")(simhashPairs(_, _))
+  private val simhashOracle =
+    s"""WITH tok AS ($tokDuck),
+       |th AS (
+       |  SELECT doc_id, list_transform(tokens, t -> ${portableHash60Duck("t")}) AS hs
+       |  FROM tok WHERE len(tokens) > 0
+       |),
+       |fp AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 60), j ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(hs, h ->
+       |             CASE WHEN (h >> j) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+       |             (a, b) -> a + b) >= 0
+       |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a + b) AS simhash
+       |  FROM th
+       |),
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 15)) & 32767 AS band_val
+       |  FROM fp, range(0, 4) t(b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val simhash: QueryDef =
+    QueryDef.sqlBacked("dedup_simhash", simhashOracle)(simhashPairs(_, _))
 
   // --- n-gram Jaccard via rare-shingle candidate join ---------------------
   // Pairs must share at least one "rare" shingle (doc-freq ≤ maxDf) —
   // the inverted-index trick that keeps the self-join from exploding on
-  // stop-shingles at scale.
+  // stop-shingles at scale. Fully portable → the oracle is a direct
+  // translation including the candidate filter.
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4, maxDf: Int = 10): DataFrame = {
     docs(spark, dir)
@@ -164,16 +244,45 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
-  val ngramJaccard: QueryDef = QueryDef.rowsOnly("dedup_ngram_jaccard")(ngramJaccardPairs(_, _))
+  private val ngramOracle =
+    s"""WITH sh AS ($shingleDuck),
+       |inv AS (
+       |  SELECT unnest(shingles) AS shingle, doc_id FROM sh
+       |),
+       |rare AS (
+       |  SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 10
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM inv a JOIN rare r ON a.shingle = r.shingle
+       |             JOIN inv b ON a.shingle = b.shingle
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT c.id_a, c.id_b,
+       |  ${jaccardDuck("sa.shingles", "sb.shingles")} AS jaccard
+       |FROM cand c
+       |JOIN sh sa ON c.id_a = sa.doc_id
+       |JOIN sh sb ON c.id_b = sb.doc_id
+       |WHERE ${jaccardDuck("sa.shingles", "sb.shingles")} >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val ngramJaccard: QueryDef =
+    QueryDef.sqlBacked("dedup_ngram_jaccard", ngramOracle)(ngramJaccardPairs(_, _))
 
   // --- embedding-cosine near-dup via random-hyperplane LSH ----------------
   // Embeddings are L2-normalized (TESTDATA) so dot = cosine. Hyperplane
-  // components are derived deterministically from xxhash64(p, d); 16-bit
-  // signatures banded 4×4 generate candidates, exact dot verifies.
-  // The dot product folds in array-index order (deterministic doubles).
+  // components derive deterministically from portableHash60(p||'_'||d);
+  // 16-bit signatures banded 4×4 generate candidates, exact dot verifies.
+  // The dot product folds in array-index order (deterministic doubles),
+  // so the DuckDB oracle replays the identical pipeline.
   // Default threshold is calibrated to the synthetic corpus (embeddings
   // are near-orthogonal; top-1 cosines sit around 0.3-0.5), so the
   // operator produces a non-trivial pair set end-to-end.
+  private def planeSpark(p: String, d: String): String =
+    s"CAST(${portableHash60Spark(s"concat(CAST($p AS STRING), '_', CAST($d AS STRING))")} % 1000 AS DOUBLE) / 1000.0"
+  private def planeDuck(p: String, d: String): String =
+    s"CAST(${portableHash60Duck(s"concat(CAST($p AS VARCHAR), '_', CAST($d AS VARCHAR))")} % 1000 AS DOUBLE) / 1000.0"
+
   def embeddingCosinePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {
     Engine.table(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
@@ -186,7 +295,7 @@ object Dedup {
          |  SELECT vec_id, v,
          |    aggregate(sequence(0, 15), 0, (acc, p) -> acc +
          |      CASE WHEN aggregate(sequence(0, size(v) - 1), CAST(0 AS DOUBLE),
-         |             (s, d) -> s + v[d] * (CAST(xxhash64(p, d) % 1000 AS DOUBLE) / 1000.0)) >= 0
+         |             (s, d) -> s + v[d] * (${planeSpark("p", "d")})) >= 0
          |           THEN CAST(shiftleft(1, p) AS INT) ELSE 0 END) AS lsh
          |  FROM e
          |),
@@ -210,8 +319,52 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
+  /** DuckDB left-fold dot with init 0 — identical fp-addition order to
+    * Spark's aggregate(..., 0.0, +). Lists are 1-based in DuckDB, so the
+    * hash input index is i-1 to match Spark's 0-based d. */
+  private def dotDuck(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+
+  private val embeddingOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |sig AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_prepend(0, list_transform(range(0, 16), p ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |             list_transform(range(1, len(v) + 1), i -> v[i] * (${planeDuck("p", "i - 1")}))),
+       |             (x, y) -> x + y) >= 0
+       |           THEN (1 << p) ELSE 0 END)), (a, b) -> a + b) AS lsh
+       |  FROM e
+       |),
+       |bands AS (
+       |  SELECT vec_id, v, b AS band_idx, (lsh >> (b * 4)) & 15 AS band_val
+       |  FROM sig, range(0, 4) t(b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.v AS va, b.v AS vb
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b, ${dotDuck("va", "vb")} AS cosine
+       |FROM cand
+       |WHERE ${dotDuck("va", "vb")} >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+
   val embeddingCosine: QueryDef =
-    QueryDef.rowsOnly("dedup_embedding_cosine")(embeddingCosinePairs(_, _))
+    QueryDef.sqlBacked("dedup_embedding_cosine", embeddingOracle)(embeddingCosinePairs(_, _))
+
+  /** DuckDB spellings shared with other query modules' oracles. */
+  private[queries] def shingleDuckSql: String = shingleDuck
+  private[queries] def jaccardDuckSql(a: String, b: String): String = jaccardDuck(a, b)
+  private[queries] def planeDuckSql(p: String, d: String): String = planeDuck(p, d)
+  private[queries] def planeSparkSql(p: String, d: String): String = planeSpark(p, d)
+  private[queries] def dotDuckSql(a: String, b: String): String = dotDuck(a, b)
 
   val all: Seq[QueryDef] =
     Seq(exact, exactHash, minhash, simhash, ngramJaccard, embeddingCosine)

@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   *     the partition key, so a probe touches nProbe/C of the data.
   *
   * Dot products fold in array-index order via zip_with+aggregate —
-  * deterministic doubles, inside codegen, no UDF.
+  * deterministic doubles, inside codegen, no UDF. Centroid components
+  * derive from the portable 60-bit md5 hash (see Dedup.portableHash60),
+  * so both DuckDB oracles replay the pipelines bit for bit.
   */
 object Similarity {
 
@@ -30,13 +32,20 @@ object Similarity {
   private val dotSql =
     "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
 
-  /** Deterministic pseudo-random centroids: centroid c, dim d ∈ [-0.5, 0.5)
-    * from xxhash64 — reproducible across runs and engines with no RNG. */
+  /** Deterministic pseudo-random centroids: centroid c, dim d ∈ [0, 1)
+    * from the portable hash — reproducible across runs and engines with
+    * no RNG. */
   private val centroidSql =
-    """SELECT c AS cid,
-      |  transform(sequence(0, 63), d ->
-      |    CAST(xxhash64(c, d) % 1000 AS DOUBLE) / 1000.0) AS cv
-      |FROM (SELECT explode(sequence(0, 15)) AS c)""".stripMargin
+    s"""SELECT c AS cid,
+       |  transform(sequence(0, 63), d ->
+       |    ${Dedup.planeSparkSql("c", "d")}) AS cv
+       |FROM (SELECT explode(sequence(0, 15)) AS c)""".stripMargin
+
+  private val centroidDuck =
+    s"""SELECT c AS cid,
+       |  list_transform(range(0, 64), d ->
+       |    ${Dedup.planeDuckSql("c", "d")}) AS cv
+       |FROM range(0, 16) t(c)""".stripMargin
 
   // --- brute-force cosine top-k -------------------------------------------
   def bruteForceTopK(spark: SparkSession, dir: String,
@@ -63,12 +72,33 @@ object Similarity {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  private val bruteForceOracle =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id < 8
+       |),
+       |c AS (
+       |  SELECT vec_id AS cand_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings
+       |),
+       |scored AS (
+       |  SELECT query_id, cand_id, ${Dedup.dotDuckSql("qv", "cv")} AS score
+       |  FROM q JOIN c ON query_id <> cand_id
+       |)
+       |SELECT query_id, cand_id, score, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT query_id, cand_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
   val bruteForce: QueryDef =
-    QueryDef.rowsOnly("ann_bruteforce_topk")(bruteForceTopK(_, _))
+    QueryDef.sqlBacked("ann_bruteforce_topk", bruteForceOracle)(bruteForceTopK(_, _))
 
   // --- IVF-style probed search --------------------------------------------
-  // Corpus rows are assigned to their max-dot centroid; each query probes
-  // the nProbe nearest cells and ranks only those candidates.
+  // Corpus rows are assigned to their max-dot centroid (argmax via
+  // row_number — explicit, engine-identical tie-break on cid); each query
+  // probes the nProbe nearest cells and ranks only those candidates.
   def ivfTopK(spark: SparkSession, dir: String,
       nQueries: Int = 8, k: Int = 10, nProbe: Int = 4): DataFrame = {
     emb(spark, dir)
@@ -79,11 +109,13 @@ object Similarity {
          |  FROM embeddings
          |),
          |assign AS (
-         |  -- nearest centroid per vector; struct-max is tie-broken by cid
-         |  SELECT vec_id,
-         |    max(struct(aggregate(zip_with(v, cv, (x, y) -> x * y),
-         |      CAST(0 AS DOUBLE), (acc, p) -> acc + p) AS d, cid AS cid)).cid AS cell
-         |  FROM e CROSS JOIN cent GROUP BY vec_id
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, cent.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        aggregate(zip_with(e.v, cent.cv, (x, y) -> x * y),
+         |          CAST(0 AS DOUBLE), (acc, p) -> acc + p) DESC, cent.cid) AS rn
+         |    FROM e CROSS JOIN cent) t
+         |  WHERE rn = 1
          |),
          |corpus AS (
          |  SELECT e.vec_id AS cand_id, e.v AS cv, a.cell
@@ -115,7 +147,47 @@ object Similarity {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
-  val ivf: QueryDef = QueryDef.rowsOnly("ann_ivf_topk")(ivfTopK(_, _))
+  private val ivfOracle =
+    s"""WITH cent AS ($centroidDuck),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${Dedup.dotDuckSql("e.v", "cent.cv")} DESC, cent.cid) AS rn
+       |    FROM e CROSS JOIN cent) t
+       |  WHERE rn = 1
+       |),
+       |corpus AS (
+       |  SELECT e.vec_id AS cand_id, e.v AS cv, a.cell
+       |  FROM e JOIN assign a ON e.vec_id = a.vec_id
+       |),
+       |queries AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM (
+       |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |    FROM embeddings WHERE vec_id < 8) e
+       |),
+       |probes AS (
+       |  SELECT query_id, qv, cid AS cell FROM (
+       |    SELECT q.query_id, q.qv, cent.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${Dedup.dotDuckSql("q.qv", "cent.cv")} DESC, cent.cid) AS pr
+       |    FROM queries q CROSS JOIN cent) t
+       |  WHERE pr <= 4
+       |)
+       |SELECT query_id, cand_id, score, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT p.query_id, c.cand_id,
+       |    ${Dedup.dotDuckSql("p.qv", "c.cv")} AS score,
+       |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |      ${Dedup.dotDuckSql("p.qv", "c.cv")} DESC, c.cand_id) AS rnk
+       |  FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.cand_id) t
+       |WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val ivf: QueryDef = QueryDef.sqlBacked("ann_ivf_topk", ivfOracle)(ivfTopK(_, _))
 
   val all: Seq[QueryDef] = Seq(bruteForce, ivf)
 }

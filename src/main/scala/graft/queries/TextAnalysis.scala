@@ -73,23 +73,28 @@ object TextAnalysis {
 
   val langId: QueryDef = QueryDef.sqlBacked(
     "ta_langid",
+    // NOTE this is an s-interpolated string, so escapes ARE processed even
+    // in triple quotes: "\\b" here emits the two chars \b, which DuckDB's
+    // raw string literal passes through to the regex as a word boundary.
     s"""SELECT doc_id, lang AS labeled_lang, $langCase AS predicted_lang FROM (
        |  SELECT doc_id, lang,
-       |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS en,
-       |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS es,
-       |    len(regexp_extract_all(lower(text), '\b(le|les|des|et|une)\b')) AS fr,
-       |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de
+       |    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS en,
+       |    len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y)\\b')) AS es,
+       |    len(regexp_extract_all(lower(text), '\\b(le|les|des|et|une)\\b')) AS fr,
+       |    len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS de
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     docs(spark, dir)
+    // Interpolated string + Spark SQL literal each strip one backslash
+    // level, so the regex word boundary \b needs four here.
     spark.sql(
       s"""SELECT doc_id, lang AS labeled_lang, $langCase AS predicted_lang FROM (
          |  SELECT doc_id, lang,
-         |    size(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b', 0)) AS en,
-         |    size(regexp_extract_all(lower(text), '\\b(el|la|de|que|y)\\b', 0)) AS es,
-         |    size(regexp_extract_all(lower(text), '\\b(le|les|des|et|une)\\b', 0)) AS fr,
-         |    size(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b', 0)) AS de
+         |    size(regexp_extract_all(lower(text), '\\\\b(the|and|of|to|is)\\\\b', 0)) AS en,
+         |    size(regexp_extract_all(lower(text), '\\\\b(el|la|de|que|y)\\\\b', 0)) AS es,
+         |    size(regexp_extract_all(lower(text), '\\\\b(le|les|des|et|une)\\\\b', 0)) AS fr,
+         |    size(regexp_extract_all(lower(text), '\\\\b(der|die|und|das|ist)\\\\b', 0)) AS de
          |  FROM documents) t
          |ORDER BY doc_id""".stripMargin)
   }

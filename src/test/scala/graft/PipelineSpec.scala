@@ -103,5 +103,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val preds = rows.map(_.getString(2)).toSet
     assert(preds.subsetOf(Set("en", "es", "fr", "de", "und")))
+    // The classifier must actually fire — a broken marker regex silently
+    // predicts 'und' for every row (regression guard for \b escaping).
+    val enRows = rows.filter(_.getString(1) == "en")
+    val enHits = enRows.count(_.getString(2) == "en")
+    assert(enRows.nonEmpty && enHits * 2 > enRows.length,
+      s"en recall too low: $enHits/${enRows.length}")
   }
 }
