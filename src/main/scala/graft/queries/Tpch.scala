@@ -18,23 +18,34 @@ import org.apache.spark.sql.types._
   */
 object Tpch {
 
-  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
-
-  /** l_extendedprice * (1 - l_discount), computed exactly in decimal.
-    * (12,2)×(4,2) → exact (17,4); pinned at (18,4) on both engines.
+  /** Oracle-side l_extendedprice * (1 - l_discount), computed exactly in
+    * decimal: (12,2)×(4,2) → exact (17,4); pinned at (18,4).
     *
-    * Result sums are computed exactly in DECIMAL (order-independent) and
-    * final-cast to DOUBLE on BOTH engines: decimal→double is bit-identical
-    * across Spark and DuckDB as long as the unscaled value stays below
-    * 2^53 (verified: sf0.1 sum_charge unscaled ≈ 5.2e15 < 9.0e15), while a
+    * Result sums are exact on both engines (order-independent) and
+    * final-cast to DOUBLE on BOTH: the conversion is correctly rounded
+    * from the same exact rational as long as the scaled value stays below
+    * 2^53 (verified: sf0.1 sum_charge scaled ≈ 5.2e15 < 9.0e15), while a
     * DECIMAL output column survives only one of the two pandas conversion
-    * paths with its trailing zeros intact. */
-  private def discPrice(price: Column, disc: Column): Column =
-    (dec(price, 12, 2) * (lit(1).cast(DecimalType(4, 2)) - dec(disc, 4, 2)))
-      .cast(DecimalType(18, 4))
-
+    * paths with its trailing zeros intact. The Spark side computes the
+    * identical exact sums in long fixed-point — see [[cents]]. */
   private val discPriceSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
+
+  /** Long fixed-point ("cents") form of the money columns: every monetary
+    * value in the generated data is an exact 2-decimal quantity, so
+    * `round(x*100)` recovers the exact scaled integer and the whole
+    * aggregation runs as 64-bit integer arithmetic inside whole-stage
+    * codegen — no per-row Decimal allocation. The final
+    * `sum_scaled / 10^s` double division is correctly rounded from the
+    * same exact rational as the oracle's decimal-sum→DOUBLE cast, so
+    * results stay bit-identical while the hot loop is ~pure long adds.
+    * Overflow headroom: scale-6 sums reach ~5.2e15 at sf0.1 — far under
+    * 2^63 for exactness and under 2^53 for the double conversion. */
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** price*(1-disc) as a scale-4 long: cents(price) * (100 - cents(disc)). */
+  private def discPriceC4(price: Column, disc: Column): Column =
+    cents(price) * (lit(100L) - cents(disc))
 
   private def ntz(s: String): Column = lit(s).cast(TimestampNTZType)
 
@@ -57,18 +68,17 @@ object Tpch {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("DISC_PRICE", discPriceSql)
   ) { (spark, dir) =>
     val li = Engine.table(spark, dir, "lineitem")
-    val dp = discPrice(col("l_extendedprice"), col("l_discount"))
+    val dpC4 = discPriceC4(col("l_extendedprice"), col("l_discount"))
     li.filter(col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"), 12, 2)).cast(DoubleType).as("sum_qty"),
-        sum(dec(col("l_extendedprice"), 12, 2)).cast(DoubleType).as("sum_base_price"),
-        sum(dp).cast(DoubleType).as("sum_disc_price"),
-        sum((dp * (lit(1).cast(DecimalType(4, 2)) + dec(col("l_tax"), 4, 2)))
-          .cast(DecimalType(24, 6))).cast(DoubleType).as("sum_charge"),
-        (sum(dec(col("l_quantity"), 12, 2)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
-        (sum(dec(col("l_extendedprice"), 12, 2)).cast(DoubleType) / count(lit(1))).as("avg_price"),
-        (sum(dec(col("l_discount"), 4, 2)).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        (sum(cents(col("l_quantity"))).cast(DoubleType) / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))).cast(DoubleType) / 100.0).as("sum_base_price"),
+        (sum(dpC4).cast(DoubleType) / 1e4).as("sum_disc_price"),
+        (sum(dpC4 * (lit(100L) + cents(col("l_tax")))).cast(DoubleType) / 1e6).as("sum_charge"),
+        (sum(cents(col("l_quantity"))).cast(DoubleType) / 100.0 / count(lit(1))).as("avg_qty"),
+        (sum(cents(col("l_extendedprice"))).cast(DoubleType) / 100.0 / count(lit(1))).as("avg_price"),
+        (sum(cents(col("l_discount"))).cast(DoubleType) / 100.0 / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -98,8 +108,8 @@ object Tpch {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
-        .cast(DoubleType).as("revenue"))
+      .agg((sum(discPriceC4(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType) / 1e4).as("revenue"))
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -140,8 +150,8 @@ object Tpch {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
-        .cast(DoubleType).as("revenue"))
+      .agg((sum(discPriceC4(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType) / 1e4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -162,8 +172,8 @@ object Tpch {
         col("l_shipdate") < ntz("1997-01-01 00:00:00") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(sum((dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 4, 2))
-        .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
+      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+        .cast(DoubleType) / 1e4).as("revenue"))
   }
 
   // --- Q10: returned-items customer ranking -------------------------------
@@ -195,8 +205,8 @@ object Tpch {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"), col("c_mktsegment"))
-      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
-        .cast(DoubleType).as("revenue"))
+      .agg((sum(discPriceC4(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType) / 1e4).as("revenue"))
       .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"),
         col("n_name"), col("c_mktsegment"))
       .orderBy(col("revenue").desc, col("c_custkey"))
