@@ -252,15 +252,31 @@ object Functions {
       .orderBy(col("c_mktsegment"))
   }
 
-  // --- approximate aggregates (scale extension; engine-specific sketches
-  // → rows-only, error bounds pinned in FunctionsSpec) --------------------
-  val approx: QueryDef = QueryDef.rowsOnly("fn_approx") { (spark, dir) =>
+  // --- approximate aggregates (scale extension) ---------------------------
+  // Sketch values (HLL, GK quantiles) are engine-specific, so the oracle
+  // checks the *error contract* instead: the Spark side emits the exact
+  // value plus booleans asserting each sketch landed inside its bound, and
+  // the oracle emits the exact value plus TRUE — a hash match means the
+  // sketches actually honored their accuracy guarantees.
+  val approx: QueryDef = QueryDef.sqlBacked(
+    "fn_approx",
+    """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS hll_within_2pct,
+      |  TRUE AS median_in_band,
+      |  TRUE AS p95_in_band
+      |FROM lineitem""".stripMargin
+  ) { (spark, dir) =>
     Engine.table(spark, dir, "lineitem")
       .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("median_qty"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+        (abs(approx_count_distinct(col("l_orderkey"), rsd = 0.01) - countDistinct(col("l_orderkey")))
+          <= countDistinct(col("l_orderkey")) * 0.02).as("hll_within_2pct"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .between(expr("percentile(l_quantity, 0.48)"), expr("percentile(l_quantity, 0.52)"))
+          .as("median_in_band"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .between(expr("percentile(l_extendedprice, 0.94)"), expr("percentile(l_extendedprice, 0.96)"))
+          .as("p95_in_band"))
   }
 
   val all: Seq[QueryDef] = Seq(

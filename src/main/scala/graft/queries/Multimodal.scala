@@ -92,7 +92,30 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  val decode: QueryDef = QueryDef.rowsOnly("mm_decode")(decodeFeatures(_, _))
+  /** DuckDB replay of the stub decode: the corpus is pure ASCII (checked:
+    * octet_length = char length for every doc), so utf-8 byte i ≡ code
+    * point of char i and the byte statistics are expressible in SQL —
+    * unicode(text[i]) per position, exact integer sum → DOUBLE division,
+    * every-16th-byte frame samples capped at 8, JSON-encoded like the
+    * Spark side. */
+  private val decodeOracle =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+      |       ELSE 'webp' END AS format,
+      |  CAST(doc_id % 640 + 32 AS INT) AS width,
+      |  CAST(doc_id % 480 + 32 AS INT) AS height,
+      |  CAST(length(text) AS INT) AS n_bytes,
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(range(1, length(text) + 1), i -> CAST(unicode(text[i]) AS BIGINT))),
+      |              (a, b) -> a + b) AS DOUBLE) / length(text) END AS byte_mean,
+      |  CAST(to_json(list_transform(
+      |    range(0, least(8, CAST(ceil(length(text) / 16.0) AS BIGINT))),
+      |    i -> unicode(text[i * 16 + 1]))) AS VARCHAR) AS frame_samples
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  val decode: QueryDef = QueryDef.sqlBacked("mm_decode", decodeOracle)(decodeFeatures(_, _))
 
   val all: Seq[QueryDef] = Seq(meta, decode)
 }

@@ -9,17 +9,12 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("approximate aggregates stay within error bounds of exact") {
     val r = queries.Functions.approx.run(spark, sf).collect()(0)
-    val approx = r.getAs[Long]("approx_orders").toDouble
-    val exact = r.getAs[Long]("exact_orders").toDouble
-    assert(math.abs(approx - exact) / exact < 0.05,
-      s"approx_count_distinct off by ${math.abs(approx - exact) / exact}")
-    val median = r.getAs[Double]("median_qty")
-    assert(median >= 1.0 && median <= 50.0)
-    val p95 = r.getAs[Double]("p95_price")
-    val max = Engine.table(spark, sf, "lineitem")
-      .agg(org.apache.spark.sql.functions.max("l_extendedprice"))
-      .collect()(0).getDouble(0)
-    assert(p95 <= max && p95 > 0)
+    assert(r.getAs[Long]("exact_orders") > 0)
+    // The query itself now emits the bound checks (the DuckDB oracle pins
+    // them to TRUE) — the spec asserts they hold at this SF too.
+    assert(r.getAs[Boolean]("hll_within_2pct"))
+    assert(r.getAs[Boolean]("median_in_band"))
+    assert(r.getAs[Boolean]("p95_in_band"))
   }
 
   test("@@ magic vars and database() dialect substitution") {
