@@ -200,6 +200,12 @@ object GraftFunctions {
       "json_unquote", exprs => JsonUnquote(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash60", exprs => SimHash60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash64", exprs => MinHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_sig", exprs => HyperplaneSig(exprs(0), exprs(1)), "built-in")
   }
 
   /** `->`: json-context extraction (wildcards wrap in an array). */

@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd signature kernels for the dedup operators.
+  *
+  * The SQL higher-order-function spellings of these folds are evaluated
+  * one interpreted lambda call per element — for simhash that is
+  * |tokens| × 60 calls per document (~30M for sf0.1), which measured at
+  * ~60 s. These expressions run the identical arithmetic as a generated
+  * Java loop inside the whole-stage-codegen span: same results, ~ms cost,
+  * and the shape that survives a 100 TB scan.
+  *
+  * Reference analog: the scalar-function extension point
+  * (/root/reference/src/functions/src/lib.rs:91-104) — re-expressed as
+  * Catalyst expressions with doGenCode, tier (b) of the extension ladder.
+  */
+
+/** 60-bit SimHash over a document's token-hash array: bit j is set iff
+  * Σ_tokens (bit j of hash ? +1 : −1) ≥ 0. Matches the portable-hash
+  * DuckDB oracle fold in queries/Dedup.scala bit for bit. 60 bits, not
+  * 64, so the hash width matches the 15-hex-digit portable hash (and
+  * DuckDB's checked 1<<63 shift is never needed). */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash60"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash60 needs array<bigint>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 60) {
+        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) >= 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $votes = new int[60];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < 60; $j++) {
+         |    $votes[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < 60; $j++) {
+         |  if ($votes[$j] >= 0) $fp |= (1L << $j);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-lane MinHash over a set's base-hash array: lane i tracks
+  * min over elements of g_i(h) = h·A_i + B_i (wrapping 64-bit arithmetic;
+  * A_i odd ⇒ each g_i is a bijection on Z/2^64). An empty array yields
+  * all-Long.MaxValue lanes, matching the SQL fold's init value.
+  *
+  * MinHash needs only *some* family of deterministic per-lane hashes —
+  * the correctness gate is the exact all-pairs Jaccard oracle (recall
+  * must stay 1.0), so the lane family is chosen for speed, not for
+  * matching any particular SQL builtin. */
+/** Random-hyperplane LSH signature: bit p of the result is set iff
+  * v · planes[p] ≥ 0, with the dot product folded in index order from 0.0
+  * — the same IEEE sequence as the SQL `aggregate` spelling and the
+  * DuckDB oracle's list_reduce, so signatures stay bit-identical while
+  * the 16×64 multiply-adds per row run as a generated Java loop. */
+case class HyperplaneSig(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.DoubleType
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sig needs (array<double>, array<array<double>>), got $other")
+    }
+  }
+
+  override def nullSafeEval(v: Any, planes: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val pm = planes.asInstanceOf[ArrayData]
+    val dims = vec.numElements()
+    var sig = 0
+    var p = 0
+    while (p < pm.numElements()) {
+      val plane = pm.getArray(p)
+      var s = 0.0
+      var d = 0
+      while (d < dims) { s += vec.getDouble(d) * plane.getDouble(d); d += 1 }
+      if (s >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, pm) => {
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val plane = ctx.freshName("plane")
+      s"""
+         |int $sig = 0;
+         |for (int $p = 0; $p < $pm.numElements(); $p++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $plane = $pm.getArray($p);
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $v.numElements(); $d++) {
+         |    $s += $v.getDouble($d) * $plane.getDouble($d);
+         |  }
+         |  if ($s >= 0) $sig |= (1 << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class MinHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "minhash64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash64 needs array<bigint>, got $other")
+    }
+  }
+
+  // Odd multiplier / increment families (splitmix64 constants).
+  @inline private def mulOf(lane: Int): Long = (2L * lane + 1L) * 0x9E3779B97F4A7C15L
+  @inline private def incOf(lane: Int): Long = lane * 0xBF58476D1CE4E5B9L
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(64)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < 64) {
+        val g = h * mulOf(k) + incOf(k)
+        if (g < mins(k)) mins(k) = g
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val g = ctx.freshName("g")
+      s"""
+         |long[] $mins = new long[64];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    long $g = $h * ((2L * $k + 1L) * -7046029254386353131L)
+         |            + ($k * -4658895280553007687L);
+         |    if ($g < $mins[$k]) $mins[$k] = $g;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

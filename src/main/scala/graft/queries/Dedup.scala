@@ -89,16 +89,26 @@ object Dedup {
   // --- MinHash + LSH near-dup pairs ---------------------------------------
   // k=64 hashes (xxhash64 seeded by hash index), 16 bands × 4 rows,
   // candidates from band-bucket equality, verified with exact Jaccard.
-  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  /** Shingle relation, materialized once: Spark inlines WITH CTEs, so a
+    * self-joining pipeline would re-tokenize the corpus once per branch.
+    * Caching is the local stand-in for what a 100 TB run does anyway —
+    * write the signature/shingle table out and join against it. */
+  private def cachedShingles(spark: SparkSession, dir: String): Unit = {
     docs(spark, dir)
+    val sh = spark.sql(shingleSql)
+    sh.cache()
+    sh.createOrReplaceTempView("dedup_sh")
+  }
+
+  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    cachedShingles(spark, dir)
+    // One xxhash64 per shingle, then the 64 per-lane minima run inside the
+    // codegen'd MinHash64 kernel — not 64 interpreted lambda folds.
     spark.sql(
-      s"""WITH sh AS ($shingleSql),
-         |sig AS (
+      s"""WITH sig AS (
          |  SELECT doc_id, shingles,
-         |    transform(sequence(0, 63), s ->
-         |      aggregate(shingles, 9223372036854775807L,
-         |        (acc, x) -> least(acc, xxhash64(s, x)))) AS minhash
-         |  FROM sh WHERE size(shingles) > 0
+         |    minhash64(transform(shingles, x -> xxhash64(x))) AS minhash
+         |  FROM dedup_sh WHERE size(shingles) > 0
          |),
          |bands AS (
          |  SELECT doc_id, b AS band_idx,
@@ -115,8 +125,8 @@ object Dedup {
          |  CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
          |    / size(array_union(sa.shingles, sb.shingles)) AS jaccard
          |FROM cand c
-         |JOIN sh sa ON c.id_a = sa.doc_id
-         |JOIN sh sb ON c.id_b = sb.doc_id
+         |JOIN dedup_sh sa ON c.id_a = sa.doc_id
+         |JOIN dedup_sh sb ON c.id_b = sb.doc_id
          |WHERE CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
          |    / size(array_union(sa.shingles, sb.shingles)) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin)
@@ -145,6 +155,9 @@ object Dedup {
   // pipeline bit for bit.
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     docs(spark, dir)
+    // Portable md5 hash once per token; the 60-bit vote fold runs in the
+    // codegen'd SimHash60 kernel (identical arithmetic to the oracle's
+    // nested list_reduce, ~1000x fewer interpreted lambda calls).
     spark.sql(
       s"""WITH tok AS ($tokSql),
          |th AS (
@@ -152,11 +165,7 @@ object Dedup {
          |  FROM tok WHERE size(tokens) > 0
          |),
          |fp AS (
-         |  SELECT doc_id,
-         |    aggregate(sequence(0, 59), 0L, (acc, j) -> acc +
-         |      CASE WHEN aggregate(hs, 0L, (a, h) -> a +
-         |             CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
-         |           THEN shiftleft(1L, j) ELSE 0L END) AS simhash
+         |  SELECT doc_id, simhash60(hs) AS simhash
          |  FROM th
          |),
          |bands AS (
@@ -217,28 +226,32 @@ object Dedup {
   // translation including the candidate filter.
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4, maxDf: Int = 10): DataFrame = {
-    docs(spark, dir)
+    cachedShingles(spark, dir)
+    // The inverted index keys on xxhash64(shingle), not the shingle text:
+    // the doc-frequency shuffle and the candidate self-join then carry
+    // 8-byte keys instead of ~30-byte strings. (A 64-bit collision would
+    // merge two shingles' postings — ~2^-64 per pair, and candidates are
+    // still verified by exact Jaccard on the real shingle sets.)
     spark.sql(
-      s"""WITH sh AS ($shingleSql),
-         |inv AS (
-         |  SELECT shingle, doc_id
-         |  FROM sh LATERAL VIEW explode(shingles) t AS shingle
+      s"""WITH inv AS (
+         |  SELECT xxhash64(shingle) AS sid, doc_id
+         |  FROM dedup_sh LATERAL VIEW explode(shingles) t AS shingle
          |),
          |rare AS (
-         |  SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= $maxDf
+         |  SELECT sid FROM inv GROUP BY sid HAVING count(*) <= $maxDf
          |),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM inv a JOIN rare r ON a.shingle = r.shingle
-         |             JOIN inv b ON a.shingle = b.shingle
+         |  FROM inv a JOIN rare r ON a.sid = r.sid
+         |             JOIN inv b ON a.sid = b.sid
          |  WHERE a.doc_id < b.doc_id
          |)
          |SELECT c.id_a, c.id_b,
          |  CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
          |    / size(array_union(sa.shingles, sb.shingles)) AS jaccard
          |FROM cand c
-         |JOIN sh sa ON c.id_a = sa.doc_id
-         |JOIN sh sb ON c.id_b = sb.doc_id
+         |JOIN dedup_sh sa ON c.id_a = sa.doc_id
+         |JOIN dedup_sh sb ON c.id_b = sb.doc_id
          |WHERE CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
          |    / size(array_union(sa.shingles, sb.shingles)) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin)
@@ -286,35 +299,45 @@ object Dedup {
   def embeddingCosinePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {
     Engine.table(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
-    spark.sql(
-      s"""WITH e AS (
+    // The 16×64 hyperplane matrix is computed ONCE in a one-row relation
+    // and cross-joined in — not re-derived (16×64 md5 calls) per vector —
+    // and the signature relation is cached so the band self-join doesn't
+    // recompute every signature per branch (the 100 TB shape materializes
+    // the signature table before candidate generation).
+    val sig = spark.sql(
+      s"""WITH planes AS (
+         |  SELECT transform(sequence(0, 15), p ->
+         |    transform(sequence(0, 63), d -> ${planeSpark("p", "d")})) AS pm
+         |),
+         |e AS (
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings
-         |),
-         |sig AS (
-         |  SELECT vec_id, v,
-         |    aggregate(sequence(0, 15), 0, (acc, p) -> acc +
-         |      CASE WHEN aggregate(sequence(0, size(v) - 1), CAST(0 AS DOUBLE),
-         |             (s, d) -> s + v[d] * (${planeSpark("p", "d")})) >= 0
-         |           THEN CAST(shiftleft(1, p) AS INT) ELSE 0 END) AS lsh
-         |  FROM e
-         |),
-         |bands AS (
-         |  SELECT vec_id, v, b AS band_idx, shiftright(lsh, b * 4) & 15 AS band_val
-         |  FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS b
+         |)
+         |SELECT vec_id, v, hyperplane_sig(v, pm) AS lsh
+         |FROM e CROSS JOIN planes""".stripMargin)
+    sig.cache()
+    sig.createOrReplaceTempView("emb_sig")
+    // Candidate dedup shuffles ONLY (id_a, id_b) pairs — never the 64-dim
+    // vectors; vectors rejoin from the cached signature relation for the
+    // exact-cosine verification of the (much smaller) distinct pair set.
+    spark.sql(
+      s"""WITH bands AS (
+         |  SELECT vec_id, b AS band_idx, shiftright(lsh, b * 4) & 15 AS band_val
+         |  FROM emb_sig LATERAL VIEW explode(sequence(0, 3)) t AS b
          |),
          |cand AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    a.v AS va, b.v AS vb
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bands a JOIN bands b
          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |   AND a.vec_id < b.vec_id
          |)
          |SELECT id_a, id_b,
-         |  aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE),
+         |  aggregate(zip_with(sa.v, sb.v, (x, y) -> x * y), CAST(0 AS DOUBLE),
          |    (acc, p) -> acc + p) AS cosine
          |FROM cand
-         |WHERE aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE),
+         |JOIN emb_sig sa ON id_a = sa.vec_id
+         |JOIN emb_sig sb ON id_b = sb.vec_id
+         |WHERE aggregate(zip_with(sa.v, sb.v, (x, y) -> x * y), CAST(0 AS DOUBLE),
          |    (acc, p) -> acc + p) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin)
   }

@@ -266,16 +266,27 @@ object Functions {
       |  TRUE AS p95_in_band
       |FROM lineitem""".stripMargin
   ) { (spark, dir) =>
-    Engine.table(spark, dir, "lineitem")
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        (abs(approx_count_distinct(col("l_orderkey"), rsd = 0.01) - countDistinct(col("l_orderkey")))
-          <= countDistinct(col("l_orderkey")) * 0.02).as("hll_within_2pct"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
-          .between(expr("percentile(l_quantity, 0.48)"), expr("percentile(l_quantity, 0.52)"))
+    // Two single-row aggregations, cross-joined: mixing count(DISTINCT)
+    // with the object-buffer sketch aggregates forces the distinct-rewrite
+    // onto a sort-based single pass over every buffer (measured 50s at
+    // sf0.1 vs 3s + 1.3s split). Percentile bands use the array form so
+    // each column's exact quantiles share one value-count map.
+    val li = Engine.table(spark, dir, "lineitem")
+    val sketches = li.agg(
+      approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("hll"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("med"),
+      percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
+      expr("percentile(l_quantity, array(0.48D, 0.52D))").as("qband"),
+      expr("percentile(l_extendedprice, array(0.94D, 0.96D))").as("pband"))
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    exact.crossJoin(sketches)
+      .select(
+        col("exact_orders"),
+        (abs(col("hll") - col("exact_orders")) <= col("exact_orders") * 0.02)
+          .as("hll_within_2pct"),
+        col("med").between(element_at(col("qband"), 1), element_at(col("qband"), 2))
           .as("median_in_band"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
-          .between(expr("percentile(l_extendedprice, 0.94)"), expr("percentile(l_extendedprice, 0.96)"))
+        col("p95").between(element_at(col("pband"), 1), element_at(col("pband"), 2))
           .as("p95_in_band"))
   }
 
