@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the codegen sketch kernels: generated-code results must
+  * equal a straightforward Scala re-computation (the same arithmetic the
+  * DuckDB oracles replay), including edge shapes the queries filter out.
+  */
+class SketchExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("simhash60 equals the reference vote fold") {
+    val hashes = Seq(0x5L, 0x6L, 0x7L, -1L)
+    val got = Seq(hashes).toDF("hs")
+      .selectExpr("simhash60(hs) AS fp").as[Long].head()
+    val expected = {
+      var fp = 0L
+      for (j <- 0 until 60) {
+        val votes = hashes.map(h => if (((h >>> j) & 1L) == 1L) 1 else -1).sum
+        if (votes >= 0) fp |= (1L << j)
+      }
+      fp
+    }
+    assert(got == expected)
+  }
+
+  test("simhash60 of an empty array sets every bit (zero votes are >= 0)") {
+    val got = Seq(Seq.empty[Long]).toDF("hs")
+      .selectExpr("simhash60(hs) AS fp").as[Long].head()
+    assert(got == (1L << 60) - 1)
+  }
+
+  test("minhash64 equals the affine-lane minima; empty array is all MaxValue") {
+    val hashes = Seq(123456789L, -987654321L, 42L)
+    val got = Seq(hashes).toDF("hs")
+      .selectExpr("minhash64(transform(hs, x -> x)) AS mh")
+      .as[Seq[Long]].head()
+    assert(got.length == 64)
+    val expected = (0 until 64).map { k =>
+      val mul = (2L * k + 1L) * 0x9E3779B97F4A7C15L
+      val inc = k * 0xBF58476D1CE4E5B9L
+      hashes.map(h => h * mul + inc).min
+    }
+    assert(got == expected)
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .selectExpr("minhash64(hs) AS mh").as[Seq[Long]].head()
+    assert(empty.forall(_ == Long.MaxValue))
+  }
+
+  test("hyperplane_sig sets bit p iff dot(v, plane_p) >= 0, in index order") {
+    val v = Seq(1.0, -2.0, 0.5)
+    val planes = Seq(
+      Seq(1.0, 1.0, 1.0),   // dot = -0.5 -> bit 0 clear
+      Seq(1.0, 0.0, 0.0),   // dot = 1.0  -> bit 1 set
+      Seq(0.0, -1.0, 0.0))  // dot = 2.0  -> bit 2 set
+    val got = Seq((v, planes)).toDF("v", "pm")
+      .selectExpr("hyperplane_sig(v, pm) AS sig").as[Int].head()
+    assert(got == 6)
+  }
+
+  test("kernels agree between codegen'd projection and interpreted eval") {
+    // Forcing an interpreted path: wrap in a filter over a non-codegen
+    // context via RDD collect of the same expression on driver eval.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = new GenericArrayData(Array(11L, 22L, 33L))
+    val evalFp = graft.functions.SimHash60(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        arr, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+      .eval(null).asInstanceOf[Long]
+    val dfFp = Seq(Seq(11L, 22L, 33L)).toDF("hs")
+      .selectExpr("simhash60(hs) AS fp").as[Long].head()
+    assert(evalFp == dfFp)
+  }
+}
