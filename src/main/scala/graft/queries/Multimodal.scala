@@ -117,5 +117,60 @@ object Multimodal {
 
   val decode: QueryDef = QueryDef.sqlBacked("mm_decode", decodeOracle)(decodeFeatures(_, _))
 
-  val all: Seq[QueryDef] = Seq(meta, decode)
+  /** Resized media row produced by the batched resize stage. */
+  final case class ResizedMedia(
+      media_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int,
+      out_bytes: Int, sample_checksum: Long)
+
+  // --- resize path: batched downscale to fit 256×256 ----------------------
+  // STUB RESIZE: output dimensions and byte budget are the real integer
+  // arithmetic a resizer performs (aspect-preserving fit, area-scaled byte
+  // estimate); the pixel work is stood in by a strided byte checksum. The
+  // per-partition iterator shape is where a real scaler (libvips etc.)
+  // would plug in, initialized once per partition.
+  def resize(spark: SparkSession, dir: String, fit: Int = 256): DataFrame = {
+    import spark.implicits._
+    val media = mediaFrame(spark, dir)
+      .select(col("media_id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+    media.mapPartitions { rows =>
+      rows.map { case (id, payload, w, h) =>
+        val longSide = math.max(w, h)
+        val ow = math.max(1, w * fit / longSide)
+        val oh = math.max(1, h * fit / longSide)
+        val n = payload.length
+        val outBytes = if (w * h == 0) 0 else n * (ow * oh) / (w * h)
+        val stride = math.max(1, n / 64)
+        var checksum = 0L
+        var i = 0
+        while (i < n) { checksum += payload(i) & 0xff; i += stride }
+        ResizedMedia(id, w, h, ow, oh, outBytes, checksum)
+      }
+    }.toDF()
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB replay of the resize arithmetic (same ASCII byte ≡ code-point
+    * identity as the decode oracle; `//` is integer division). */
+  private val resizeOracle =
+    """SELECT doc_id AS media_id,
+      |  CAST(doc_id % 640 + 32 AS INT) AS in_w,
+      |  CAST(doc_id % 480 + 32 AS INT) AS in_h,
+      |  CAST(greatest(1, (doc_id % 640 + 32) * 256 // greatest(doc_id % 640 + 32, doc_id % 480 + 32)) AS INT) AS out_w,
+      |  CAST(greatest(1, (doc_id % 480 + 32) * 256 // greatest(doc_id % 640 + 32, doc_id % 480 + 32)) AS INT) AS out_h,
+      |  CAST(length(text) * (greatest(1, (doc_id % 640 + 32) * 256 // greatest(doc_id % 640 + 32, doc_id % 480 + 32))
+      |                     * greatest(1, (doc_id % 480 + 32) * 256 // greatest(doc_id % 640 + 32, doc_id % 480 + 32)))
+      |       // ((doc_id % 640 + 32) * (doc_id % 480 + 32)) AS INT) AS out_bytes,
+      |  CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(range(0, (length(text) - 1) // greatest(1, length(text) // 64) + 1),
+      |           i -> CAST(unicode(text[i * greatest(1, length(text) // 64) + 1]) AS BIGINT))),
+      |         (a, b) -> a + b) END AS sample_checksum
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  val resizeDef: QueryDef = QueryDef.sqlBacked("mm_resize", resizeOracle)(resize(_, _))
+
+  val all: Seq[QueryDef] = Seq(meta, decode, resizeDef)
 }

@@ -98,6 +98,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_resize fits output dims inside 256 preserving aspect") {
+    val rows = queries.Multimodal.resize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (iw, ih) = (r.getAs[Int]("in_w"), r.getAs[Int]("in_h"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(ow <= 256 && oh <= 256 && ow >= 1 && oh >= 1)
+      assert(math.max(ow, oh) == 256) // long side lands exactly on the fit
+      // aspect preserved within integer truncation (short side can be as
+      // small as 12px, so the truncation error is up to ~1/12 relative)
+      val inRatio = iw.toDouble / ih
+      assert(math.abs(ow.toDouble / oh - inRatio) <= inRatio * 0.1)
+    }
+  }
+
   test("language ID agrees with labels where markers exist (en docs)") {
     val rows = queries.TextAnalysis.langId.run(spark, sf).collect()
     assert(rows.nonEmpty)
