@@ -156,7 +156,7 @@ final class GraftSession(val spark: SparkSession) {
         .option("delimiter", delim)
         .option("inferSchema", "false")
         .csv(path)
-      val cols = raw.columns.map(col)
+      val cols = raw.columns.toIndexedSeq.map(col)
       raw.select(to_json(array(cols.map(_.cast("string")): _*)).as("data"))
         .createOrReplaceTempView(view)
       Regex.quoteReplacement(view)

@@ -30,6 +30,23 @@ object Streams {
       .select(col("win.start").as("hour_start"), col("event_type"), col("n"), col("total"))
   }
 
+  /** Streaming exact dedup — the streaming twin of `dedup_exact_hash`:
+    * keeps the first document per content fingerprint, with a watermark
+    * bounding how long fingerprints are held (without it, state grows with
+    * the full corpus — unbounded at 100 TB of ingest). The fingerprint is
+    * the shuffled key, never the document body. Batch-callable: batch
+    * frames take the plain dropDuplicates path (no watermark semantics).
+    */
+  def dedupByFingerprint(docs: DataFrame, streaming: Boolean): DataFrame = {
+    val fp = docs
+      .withColumn("fp", md5(col("text")))
+      .withColumn("ts", col("ts").cast(TimestampType))
+    if (streaming)
+      fp.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("fp")
+    else
+      fp.dropDuplicates("fp")
+  }
+
   final case class Evt(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Int,
       start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)

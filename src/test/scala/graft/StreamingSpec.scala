@@ -63,4 +63,36 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(stateful == sql)
   }
+
+  test("streaming fingerprint dedup keeps one doc per distinct text") {
+    import spark.implicits._
+    // documents has no event time; synthesize arrival order as timestamps,
+    // and append re-sends of the first 10 docs (the corpus has no exact
+    // duplicates at this SF) arriving 60s later under new ids.
+    val base = Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000)
+          + col("doc_id")).cast("timestamp").as("ts"))
+    val docs = base.unionByName(
+      base.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("ts", (col("ts").cast("long") + 60).cast("timestamp")))
+    val expectedFps = Streams.dedupByFingerprint(docs, streaming = false)
+      .select("fp").as[String].collect().sorted
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_dedup_src_").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = Streams.dedupByFingerprint(stream, streaming = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("fp").as[String].collect().sorted
+      assert(got.sameElements(expectedFps))
+      // and it actually deduplicates: corpus has duplicate texts
+      assert(got.length < docs.count())
+    } finally q.stop()
+  }
 }
