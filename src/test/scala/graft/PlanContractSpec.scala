@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan contracts: the properties that make these queries scale are plan
+  * shapes, not results — pushed filters, pruned scans, broadcast
+  * dimensions, partial aggregation. These specs pin them so a refactor
+  * that silently trades one away (e.g. an expression change that blocks
+  * parquet pushdown) fails fast. Assertions are substring checks on the
+  * formatted plan, kept loose enough to survive AQE formatting drift.
+  */
+class PlanContractSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q1: shipdate filter reaches the parquet scan; aggregation is partial+final") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "filter not pushed to scan")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("q5: every dimension joins as broadcast; the fact table is never shuffled for a join") {
+    val p = plan("q5_join")
+    // formatted mode prints each operator once as "(n) BroadcastHashJoin"
+    val broadcasts = """\(\d+\) BroadcastHashJoin""".r.findAllIn(p).size
+    assert(broadcasts == 5, s"expected 5 broadcast joins, plan had $broadcasts")
+    assert(!p.contains("SortMergeJoin"), "fact-side join fell back to sort-merge at test SF")
+  }
+
+  test("q6: all predicates pushed; scan reads only the needed columns") {
+    val p = plan("q6_filter")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_comment"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("op_limit: projection prunes the scan to the single selected column") {
+    val p = plan("op_limit")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("o_orderkey"))
+    assert(!read.contains("o_totalprice") && !read.contains("o_orderstatus"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("dedup_exact_hash: the shuffle key is the fingerprint, group-by is partial+final") {
+    val p = plan("dedup_exact_hash")
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "no map-side combine before the fingerprint shuffle")
+    // md5(text) is projected map-side into _groupingexpression; the
+    // exchange then partitions on that 32-char fingerprint, so the
+    // shuffle never carries document bodies.
+    assert(p.contains("md5(cast(text") && p.contains("hashpartitioning(_groupingexpression"),
+      "shuffle is not keyed on the pre-computed md5 fingerprint")
+  }
+}
