@@ -382,6 +382,68 @@ object Dedup {
   val embeddingCosine: QueryDef =
     QueryDef.sqlBacked("dedup_embedding_cosine", embeddingOracle)(embeddingCosinePairs(_, _))
 
+  // --- transitive dedup clusters (connected components) -------------------
+  // Near-dup PAIRS are not enough to deduplicate a corpus: if A~B and B~C,
+  // all three are one cluster even when A~C is below threshold. Min-label
+  // propagation over the pair graph: every doc's cluster id is the
+  // smallest doc_id reachable through near-dup edges (singletons keep
+  // their own id). Each round is one join+groupBy; rounds needed = graph
+  // diameter (near-dup clusters are shallow — at 100 TB swap in
+  // large-star/small-star for the same fixpoint in O(log n) rounds).
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions.{col, min => minCol}
+    val pairs = minhashPairs(spark, dir, threshold).select(col("id_a"), col("id_b"))
+    val edges = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
+    val docsDf = Engine.table(spark, dir, "documents")
+    var labels = docsDf.select(col("doc_id").as("doc"), col("doc_id").as("lab")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val prop = labels.join(edges, col("doc") === col("id_a"))
+        .select(col("id_b").as("doc"), col("lab"))
+      // localCheckpoint: materializes the round AND truncates lineage —
+      // without it each round's plan nests the previous one and the DAG
+      // (and recompute risk) grows with the iteration count
+      val next = labels.unionByName(prop)
+        .groupBy(col("doc")).agg(minCol(col("lab")).as("lab")).localCheckpoint()
+      // fixpoint test: min-labels only ever decrease, so an unchanged sum
+      // means an unchanged labeling
+      val before = labels.agg(org.apache.spark.sql.functions.sum("lab")).head.getLong(0)
+      val after = next.agg(org.apache.spark.sql.functions.sum("lab")).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = before == after
+      rounds += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: recursive min-label closure over the exact all-pairs Jaccard
+    * graph (valid for the same recall-1.0 reason as [[minhashOracle]]). */
+  private val clustersOracle =
+    s"""WITH RECURSIVE sh AS ($shingleDuck),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE ${jaccardDuck("a.shingles", "b.shingles")} >= 0.5
+       |),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |),
+       |reach AS (
+       |  SELECT doc_id AS doc, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.b AS doc, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+       |)
+       |SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+
+  val clusters: QueryDef =
+    QueryDef.sqlBacked("dedup_clusters", clustersOracle)(dedupClusters(_, _))
+
   /** DuckDB spellings shared with other query modules' oracles. */
   private[queries] def shingleDuckSql: String = shingleDuck
   private[queries] def jaccardDuckSql(a: String, b: String): String = jaccardDuck(a, b)
@@ -390,5 +452,5 @@ object Dedup {
   private[queries] def dotDuckSql(a: String, b: String): String = dotDuck(a, b)
 
   val all: Seq[QueryDef] =
-    Seq(exact, exactHash, minhash, simhash, ngramJaccard, embeddingCosine)
+    Seq(exact, exactHash, minhash, simhash, ngramJaccard, embeddingCosine, clusters)
 }

@@ -116,5 +116,32 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint)
+  // --- vocabulary building: corpus term + document frequencies ------------
+  // The tokenizer stage of a training pipeline: explode tokens, aggregate
+  // term frequency and document frequency, keep the top of the
+  // distribution. The shuffle carries (token, partial counts) after
+  // map-side combine — corpus bodies never move. df comes from
+  // count(DISTINCT doc_id) per token: bounded per group, no expand blowup.
+  val vocab: QueryDef = QueryDef.sqlBacked(
+    "ta_vocab",
+    """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+      |  FROM documents) t
+      |GROUP BY token
+      |ORDER BY tf DESC, token
+      |LIMIT 100""".stripMargin
+  ) { (spark, dir) =>
+    docs(spark, dir)
+    spark.sql(
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (
+        |  SELECT doc_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents) t
+        |GROUP BY token
+        |ORDER BY tf DESC, token
+        |LIMIT 100""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, vocab)
 }

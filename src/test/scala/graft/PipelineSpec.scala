@@ -98,6 +98,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_clusters: every near-dup pair lands in one cluster, labeled by its min member") {
+    val pairs = queries.Dedup.minhashPairs(spark, sf, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = queries.Dedup.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // label is the minimum member of its cluster
+    cluster.groupBy(_._2).foreach { case (lab, members) =>
+      assert(lab == members.keys.min)
+    }
+    // singletons keep their own id
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    cluster.filterNot { case (d, _) => inPairs(d) }
+      .foreach { case (d, lab) => assert(d == lab) }
+  }
+
   test("mm_resize fits output dims inside 256 preserving aspect") {
     val rows = queries.Multimodal.resize(spark, sf).collect()
     assert(rows.nonEmpty)
