@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Canonical plug-in point: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`) injects
+  * every custom expression into a session at build time — the way a user
+  * of this library adopts it on an existing cluster without calling
+  * [[GraftFunctions.register]] per session. The same registrations back
+  * both paths.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+      ("json_extract_mysql", "MySQL-semantics JSON path extraction (wildcard wrap, case-insensitive keys)",
+        exprs => JsonExtractMysql(exprs(0), exprs(1))),
+      ("json_unquote", "MySQL json_unquote: unwraps a JSON string scalar to TEXT",
+        exprs => JsonUnquote(exprs.head)),
+      ("rolling_hash64", "64-bit polynomial rolling hash of a string's UTF-8 bytes",
+        exprs => RollingHash64(exprs.head)),
+      ("simhash60", "60-bit SimHash over an array of token hashes",
+        exprs => SimHash60(exprs.head)),
+      ("minhash64", "64-lane MinHash minima over an array of element hashes",
+        exprs => MinHash64(exprs.head)),
+      ("hyperplane_sig", "random-hyperplane LSH signature of a vector against a plane matrix",
+        exprs => HyperplaneSig(exprs(0), exprs(1))))
+    fns.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+  }
+}
