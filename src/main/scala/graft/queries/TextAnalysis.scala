@@ -143,5 +143,47 @@ object TextAnalysis {
         |LIMIT 100""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, vocab)
+  // --- TF-IDF term extraction: top-3 weighted terms per document ----------
+  // idf is the *rational* form N/df (not log(N/df)): libm log() is not
+  // bit-identical across engines, while tf·N/df is one exact integer
+  // product and one correctly-rounded division on both. Ranking is
+  // unaffected (log is monotonic). Per-doc top-k goes through a
+  // row_number window — each partition contributes k rows, not its whole
+  // term list.
+  val tfidf: QueryDef = QueryDef.sqlBacked(
+    "ta_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, token, score, CAST(rnk AS INT) AS rnk FROM (
+      |  SELECT tf.doc_id, tf.token,
+      |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.token) AS rnk
+      |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n) t
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+  ) { (spark, dir) =>
+    docs(spark, dir)
+    spark.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, token, score, rnk FROM (
+        |  SELECT tf.doc_id, tf.token,
+        |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.token) AS rnk
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n) t
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf)
 }
