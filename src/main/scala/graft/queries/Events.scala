@@ -100,5 +100,75 @@ object Events {
         |ORDER BY user_id, session_id""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(windowAgg, windowRank, sessionize)
+  // --- as-of join: each purchase ← most recent prior view, same user ------
+  // Spark has no ASOF JOIN; the scalable composition is union-both-sides +
+  // one window pass: a single shuffle on user_id, O(events) state, no
+  // range self-join. "Prior" is inclusive of same-timestamp events with a
+  // smaller event_id (the window's total order pins the tie).
+  val asofJoin: QueryDef = QueryDef.sqlBacked(
+    "evt_asof_join",
+    """SELECT event_id, user_id, ts, prior_view_id, prior_view_ts FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS) OVER w AS prior_view_id,
+      |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER w AS prior_view_ts
+      |  FROM (SELECT event_id, user_id, ts, event_type FROM events
+      |        WHERE event_type IN ('purchase', 'view')) ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_id, user_id, ts, prior_view_id, prior_view_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last(CASE WHEN event_type = 'view' THEN event_id END, true) OVER w AS prior_view_id,
+        |    last(CASE WHEN event_type = 'view' THEN ts END, true) OVER w AS prior_view_ts
+        |  FROM (SELECT event_id, user_id, ts, event_type FROM events
+        |        WHERE event_type IN ('purchase', 'view')) ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  // --- range join: errors within ±5 min of a purchase, same user ----------
+  // The scalable composition of a band/range join: bucket event time into
+  // band-width bins and equi-join on (user, bucket) with one side probing
+  // {b−1, b, b+1}, then apply the exact band predicate as a residual. The
+  // shuffle is an equi-join key, never a cross product — candidates per
+  // key stay proportional to events per 5-minute window. The oracle states
+  // the naive inequality-join semantics directly.
+  val rangeJoin: QueryDef = QueryDef.sqlBacked(
+    "evt_range_join",
+    """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+      |  epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+      |FROM events p JOIN events e
+      |  ON p.user_id = e.user_id
+      | AND p.event_type = 'purchase' AND e.event_type = 'error'
+      | AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000
+      |ORDER BY purchase_id, error_id""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS pts,
+        |    unix_micros(CAST(ts AS TIMESTAMP)) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT event_id AS error_id, user_id, ts AS ets,
+        |    unix_micros(CAST(ts AS TIMESTAMP)) AS eus,
+        |    unix_micros(CAST(ts AS TIMESTAMP)) div 300000000 AS bkt
+        |  FROM events WHERE event_type = 'error')
+        |SELECT purchase_id, error_id, eus - pus AS gap_us
+        |FROM (
+        |  SELECT p.*, probe_bkt FROM p
+        |  LATERAL VIEW explode(array(pus div 300000000 - 1, pus div 300000000,
+        |                             pus div 300000000 + 1)) x AS probe_bkt) pp
+        |JOIN e ON pp.user_id = e.user_id AND pp.probe_bkt = e.bkt
+        |WHERE abs(eus - pus) <= 300000000
+        |ORDER BY purchase_id, error_id""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(windowAgg, windowRank, sessionize, asofJoin, rangeJoin)
 }
