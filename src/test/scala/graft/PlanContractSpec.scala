@@ -50,6 +50,12 @@ class PlanContractSpec extends AnyFunSuite {
       s"scan reads unneeded columns: $read")
   }
 
+  test("evt_range_join: the band join stays an equi-join, never a cross/nested-loop product") {
+    val p = plan("evt_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range join degenerated to a product join")
+  }
+
   test("dedup_exact_hash: the shuffle key is the fingerprint, group-by is partial+final") {
     val p = plan("dedup_exact_hash")
     assert(p.contains("partial_min") && p.contains("partial_count"),
