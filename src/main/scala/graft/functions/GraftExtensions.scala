@@ -29,7 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("minhash64", "64-lane MinHash minima over an array of element hashes",
         exprs => MinHash64(exprs.head)),
       ("hyperplane_sig", "random-hyperplane LSH signature of a vector against a plane matrix",
-        exprs => HyperplaneSig(exprs(0), exprs(1))))
+        exprs => HyperplaneSig(exprs(0), exprs(1))),
+      ("jaccard_sorted", "exact Jaccard of two sorted distinct string arrays (merge walk)",
+        exprs => JaccardSorted(exprs(0), exprs(1))),
+      ("dot_product", "dot product of two double arrays, index-order fold from 0.0",
+        exprs => DotProduct(exprs(0), exprs(1))))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -206,6 +206,10 @@ object GraftFunctions {
       "minhash64", exprs => MinHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSig(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
   }
 
   /** `->`: json-context extraction (wildcards wrap in an array). */

@@ -95,7 +95,11 @@ object Dedup {
     * write the signature/shingle table out and join against it. */
   private def cachedShingles(spark: SparkSession, dir: String): Unit = {
     docs(spark, dir)
-    val sh = spark.sql(shingleSql)
+    // Sorted shingle sets: Jaccard verification then merge-walks two
+    // sorted arrays in the codegen'd jaccard_sorted kernel (set semantics
+    // are order-insensitive, so every consumer — minhash lanes, inverted
+    // index, the oracles' set ops — is unaffected by the sort).
+    val sh = spark.sql(shingleSql).selectExpr("doc_id", "sort_array(shingles) AS shingles")
     sh.cache()
     sh.createOrReplaceTempView("dedup_sh")
   }
@@ -122,13 +126,11 @@ object Dedup {
          |   AND a.doc_id < b.doc_id
          |)
          |SELECT c.id_a, c.id_b,
-         |  CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |    / size(array_union(sa.shingles, sb.shingles)) AS jaccard
+         |  jaccard_sorted(sa.shingles, sb.shingles) AS jaccard
          |FROM cand c
          |JOIN dedup_sh sa ON c.id_a = sa.doc_id
          |JOIN dedup_sh sb ON c.id_b = sb.doc_id
-         |WHERE CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |    / size(array_union(sa.shingles, sb.shingles)) >= $threshold
+         |WHERE jaccard_sorted(sa.shingles, sb.shingles) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
@@ -247,13 +249,11 @@ object Dedup {
          |  WHERE a.doc_id < b.doc_id
          |)
          |SELECT c.id_a, c.id_b,
-         |  CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |    / size(array_union(sa.shingles, sb.shingles)) AS jaccard
+         |  jaccard_sorted(sa.shingles, sb.shingles) AS jaccard
          |FROM cand c
          |JOIN dedup_sh sa ON c.id_a = sa.doc_id
          |JOIN dedup_sh sb ON c.id_b = sb.doc_id
-         |WHERE CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |    / size(array_union(sa.shingles, sb.shingles)) >= $threshold
+         |WHERE jaccard_sorted(sa.shingles, sb.shingles) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
@@ -331,14 +331,11 @@ object Dedup {
          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |   AND a.vec_id < b.vec_id
          |)
-         |SELECT id_a, id_b,
-         |  aggregate(zip_with(sa.v, sb.v, (x, y) -> x * y), CAST(0 AS DOUBLE),
-         |    (acc, p) -> acc + p) AS cosine
+         |SELECT id_a, id_b, dot_product(sa.v, sb.v) AS cosine
          |FROM cand
          |JOIN emb_sig sa ON id_a = sa.vec_id
          |JOIN emb_sig sb ON id_b = sb.vec_id
-         |WHERE aggregate(zip_with(sa.v, sb.v, (x, y) -> x * y), CAST(0 AS DOUBLE),
-         |    (acc, p) -> acc + p) >= $threshold
+         |WHERE dot_product(sa.v, sb.v) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin)
   }
 

@@ -19,18 +19,18 @@ import org.apache.spark.sql.functions._
   *     nProbe closest cells. At 100 TB the centroid assignment becomes
   *     the partition key, so a probe touches nProbe/C of the data.
   *
-  * Dot products fold in array-index order via zip_with+aggregate —
-  * deterministic doubles, inside codegen, no UDF. Centroid components
-  * derive from the portable 60-bit md5 hash (see Dedup.portableHash60),
-  * so both DuckDB oracles replay the pipelines bit for bit.
+  * Dot products run in the codegen'd dot_product kernel, folding in
+  * array-index order from 0.0 — the identical IEEE sequence as the DuckDB
+  * oracles' list_reduce, and centroid components derive from the portable
+  * 60-bit md5 hash (see Dedup.portableHash60), so both oracles replay the
+  * pipelines bit for bit.
   */
 object Similarity {
 
   private def emb(spark: SparkSession, dir: String): Unit =
     Engine.table(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
 
-  private val dotSql =
-    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+  private val dotSql = "dot_product(qv, cv)"
 
   /** Deterministic pseudo-random centroids: centroid c, dim d ∈ [0, 1)
     * from the portable hash — reproducible across runs and engines with
@@ -112,8 +112,7 @@ object Similarity {
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT e.vec_id, cent.cid,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        aggregate(zip_with(e.v, cent.cv, (x, y) -> x * y),
-         |          CAST(0 AS DOUBLE), (acc, p) -> acc + p) DESC, cent.cid) AS rn
+         |        dot_product(e.v, cent.cv) DESC, cent.cid) AS rn
          |    FROM e CROSS JOIN cent) t
          |  WHERE rn = 1
          |),
@@ -130,18 +129,15 @@ object Similarity {
          |  SELECT query_id, qv, cid AS cell FROM (
          |    SELECT q.query_id, q.qv, cent.cid,
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |        aggregate(zip_with(q.qv, cent.cv, (x, y) -> x * y),
-         |          CAST(0 AS DOUBLE), (acc, p) -> acc + p) DESC, cent.cid) AS pr
+         |        dot_product(q.qv, cent.cv) DESC, cent.cid) AS pr
          |    FROM queries q CROSS JOIN cent) t
          |  WHERE pr <= $nProbe
          |)
          |SELECT query_id, cand_id, score, rnk FROM (
          |  SELECT p.query_id, c.cand_id,
-         |    aggregate(zip_with(p.qv, c.cv, (x, y) -> x * y),
-         |      CAST(0 AS DOUBLE), (acc, pp) -> acc + pp) AS score,
+         |    dot_product(p.qv, c.cv) AS score,
          |    row_number() OVER (PARTITION BY p.query_id ORDER BY
-         |      aggregate(zip_with(p.qv, c.cv, (x, y) -> x * y),
-         |        CAST(0 AS DOUBLE), (acc, pp) -> acc + pp) DESC, c.cand_id) AS rnk
+         |      dot_product(p.qv, c.cv) DESC, c.cand_id) AS rnk
          |  FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.cand_id) t
          |WHERE rnk <= $k
          |ORDER BY query_id, rnk""".stripMargin)

@@ -29,7 +29,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  size(minhash64(array(42L))) AS mh_lanes,
           |  hyperplane_sig(array(1.0D), array(array(1.0D), array(-1.0D))) AS hs,
           |  json_extract_mysql('{"A":1}', '$.a') AS jx,
-          |  json_unquote('"x"') AS ju""".stripMargin).head()
+          |  json_unquote('"x"') AS ju,
+          |  jaccard_sorted(array('a','b'), array('b','c')) AS js,
+          |  dot_product(array(2.0D), array(3.0D)) AS dp""".stripMargin).head()
       assert(r.getLong(0) != 0L)
       assert(r.getAs[Int]("mh_lanes") == 64)
       assert(r.getAs[Int]("hs") == 1) // +1 plane dot is >= 0, -1 plane is not

@@ -60,6 +60,25 @@ class SketchExpressionsSpec extends AnyFunSuite {
     assert(got == 6)
   }
 
+  test("jaccard_sorted merge-walks sorted sets; disjoint and identical edges") {
+    val rows = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),   // |∩|=2, |∪|=4
+      (Seq("a"), Seq("b")),                        // disjoint
+      (Seq("x", "y"), Seq("x", "y"))               // identical
+    ).toDF("a", "b").selectExpr("jaccard_sorted(a, b) AS j").as[Double].collect()
+    assert(rows(0) == 0.5 && rows(1) == 0.0 && rows(2) == 1.0)
+  }
+
+  test("dot_product folds in index order from 0.0 (matches the SQL aggregate spelling)") {
+    val df = Seq((Seq(1.5, -2.5, 3.25), Seq(2.0, 4.0, -1.0))).toDF("a", "b")
+    val kernel = df.selectExpr("dot_product(a, b) AS d").as[Double].head()
+    val sqlFold = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p) AS d")
+      .as[Double].head()
+    assert(java.lang.Double.doubleToRawLongBits(kernel) ==
+      java.lang.Double.doubleToRawLongBits(sqlFold))
+  }
+
   test("kernels agree between codegen'd projection and interpreted eval") {
     // Forcing an interpreted path: wrap in a filter over a non-codegen
     // context via RDD collect of the same expression on driver eval.
