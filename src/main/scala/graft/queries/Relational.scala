@@ -352,6 +352,30 @@ object Relational {
       .orderBy(col("data"))
   }
 
+  // --- JSON sink + source roundtrip ---------------------------------------
+  // The reference's only file format is CSV-in/JSON-column; Spark-native
+  // coverage extends to JSON-lines as both sink and source. The oracle is
+  // the equivalent direct query — hash equality proves roundtrip fidelity
+  // (schema pinned on read; inference is nondeterministic under column
+  // pruning and belongs nowhere near a correctness gate).
+  val roundtripJson: QueryDef = QueryDef.sqlBacked(
+    "op_roundtrip_json",
+    """SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_json_sink_").resolve("docs_json").toString
+    Engine.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", IntegerType))))
+      .json(out)
+      .orderBy(col("doc_id"))
+  }
+
   // --- Views: registered, inlined at plan time (resolve_tables.rs:35-58) --
   val view: QueryDef = QueryDef.sqlBacked(
     "op_view",
@@ -384,5 +408,5 @@ object Relational {
     single, values, scan, project, filter, limit, sort,
     joinInner, joinLeft, joinNonEqui, joinNullKeys, joinCross,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
-    unionAll, delete, insert, fileScan, view, distinct)
+    unionAll, delete, insert, fileScan, roundtripJson, view, distinct)
 }
