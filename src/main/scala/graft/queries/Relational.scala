@@ -395,6 +395,52 @@ object Relational {
         |ORDER BY v.nk""".stripMargin)
   }
 
+  // --- ROLLUP (Spark-native extension; absent from the reference parser) --
+  // Subtotal hierarchy over (returnflag, linestatus) with grouping()
+  // indicators pinned to INT on both engines (NULL-valued keys in
+  // subtotal rows are real NULLs in both).
+  val rollup: QueryDef = QueryDef.sqlBacked(
+    "op_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  // --- PIVOT (Spark-native extension) -------------------------------------
+  // Orders-per-status pivoted to one column per status value. The Spark
+  // side uses the DataFrame pivot API (values pinned — at scale an
+  // unpinned pivot triggers an extra distinct-values job); the oracle
+  // states the equivalent conditional aggregation.
+  val pivot: QueryDef = QueryDef.sqlBacked(
+    "op_pivot",
+    """SELECT o_orderpriority,
+      |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+      |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+      |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // --- Distinct (Spark-native extension; reference parser never emits it) -
   val distinct: QueryDef = QueryDef.sqlBacked(
     "op_distinct",
@@ -408,5 +454,6 @@ object Relational {
     single, values, scan, project, filter, limit, sort,
     joinInner, joinLeft, joinNonEqui, joinNullKeys, joinCross,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
-    unionAll, delete, insert, fileScan, roundtripJson, view, distinct)
+    unionAll, delete, insert, fileScan, roundtripJson, view, distinct,
+    rollup, pivot)
 }
