@@ -33,6 +33,12 @@ object Engine {
       .master(master)
       .appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
+      // The reference has MySQL-ish error semantics: failed casts, x/0,
+      // and numeric overflow all yield NULL (to_int.rs parse->Null,
+      // divide.rs div-0->Null). Spark 4 defaults to ANSI (errors); parity
+      // requires the legacy behavior, which also matches DuckDB's
+      // NULL-on-div-0 so the oracles agree.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

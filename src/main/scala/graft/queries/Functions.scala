@@ -65,6 +65,7 @@ object Functions {
       |  n_nationkey / 4 AS div_d,
       |  n_nationkey % 4 AS mod_i,
       |  n_nationkey / nullif(n_regionkey, n_regionkey) AS div_null,
+      |  n_nationkey / 0 AS div_zero,
       |  CAST(CAST(CAST(n_nationkey AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(10,2)) AS DECIMAL(11,2)) AS VARCHAR) AS dec_add,
       |  CAST(CAST(CAST(n_nationkey AS DECIMAL(10,2)) * CAST(1.5 AS DECIMAL(4,1)) AS DECIMAL(15,3)) AS VARCHAR) AS dec_mul,
       |  -n_nationkey AS neg
@@ -78,8 +79,9 @@ object Functions {
       (k / 4).as("div_d"),
       (k % 4).as("mod_i"),
       // x/NULL — and division by zero in both engines — yields NULL
-      // (reference: divide.rs div-by-zero → NULL)
+      // (reference: divide.rs div-by-zero → NULL; needs ansi=false)
       (k / nullif(col("n_regionkey"), col("n_regionkey"))).as("div_null"),
+      (k / lit(0)).as("div_zero"),
       // Decimal results stringified: both engines render a decimal with its
       // full scale ("3.000"), while the driver's pandas compare would strip
       // trailing zeros from one side only (see Tpch.discPrice note).

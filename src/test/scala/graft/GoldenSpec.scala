@@ -147,6 +147,19 @@ class GoldenSpec extends AnyFunSuite {
   }
 
   // tests/casts shapes (value-level; type names are Spark's)
+  test("cast failure semantics (to_int.rs: parse failure -> NULL, narrowing wraps)") {
+    // reference: "abc".parse::<i32>() fails -> Datum::Null; Spark non-ANSI agrees
+    q("""SELECT CAST("abc" AS INT)""", "|NULL|")
+    // reference: bigint -> int is a wrapping `as i32`; Spark non-ANSI also wraps bits
+    q("SELECT CAST(4294967298 AS INT)", "|2|")
+    // DOCUMENTED DIVERGENCE: reference parses text via i32 ("12.9" -> NULL);
+    // Spark accepts decimal text and truncates toward zero
+    q("""SELECT CAST("12.9" AS INT)""", "|12|")
+    // DOCUMENTED DIVERGENCE: reference NULLs an out-of-range decimal->int
+    // (rust_decimal to_i32 -> None); Spark non-ANSI wraps the narrowed bits
+    q("SELECT CAST(CAST(99999999999.5 AS DECIMAL(12,1)) AS INT)", "|1215752191|")
+  }
+
   test("casts") {
     q("""SELECT CAST("123" AS INT)""", "|123|")
     q("""SELECT CAST("12.5" AS DECIMAL(10,2))""", "|12.50|")
