@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself: a duplicate QueryDef name would
+  * silently drop a query from the `queries` map (the correctness gate
+  * would shrink without failing), and an oracle keyed to a missing query
+  * would never run.
+  */
+class SparkEntrySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("query names are unique — the map loses nothing") {
+    val names = SparkEntry.allDefs.map(_.name)
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
+    assert(SparkEntry.queries.size == SparkEntry.allDefs.size)
+  }
+
+  test("every oracle belongs to a registered query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: ${unknown.mkString(", ")}")
+  }
+
+  test("every query declares an oracle (no silent rows-only downgrades)") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.isEmpty,
+      s"queries without oracles: ${rowsOnly.mkString(", ")}")
+  }
+
+  test("flagship entry returns rows on the smoke SF") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
