@@ -1,0 +1,43 @@
+package graft
+
+import graft.sql.GraftSession
+
+/** Runnable tour of the reference-dialect surface — what a user of the
+  * reference would type, executed by this library over the parquet tables:
+  *
+  *   sbt "runMain graft.Demo [sfDir]"
+  *
+  * Covers the MySQL-ish statements the reference serves (SHOW / DDL /
+  * `DIRECTORY` scans / `->>` JSON ops / `LIMIT off,n` / magic vars) plus
+  * a TPC-H query through plain SQL. Results print in the reference's
+  * pipe format (one `|v1|v2|…|` line per row, NULL spelled out).
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Engine.build()
+    Engine.registerAll(spark, sfDir)
+    val gs = new GraftSession(spark)
+
+    def show(sql: String, limit: Int = 6): Unit = {
+      println(s"\ngraft> $sql")
+      val df = gs.sql(sql)
+      df.collect().take(limit).foreach { row =>
+        println(row.toSeq.map(v => if (v == null) "NULL" else v.toString)
+          .mkString("|", "|", "|"))
+      }
+    }
+
+    show("SELECT database(), @@max_allowed_packet")
+    show("SHOW TABLES", limit = 10)
+    show("SELECT r_name FROM region ORDER BY r_regionkey")
+    show("SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 2, 3")
+    show("""SELECT props ->> "$.k" FROM events ORDER BY event_id LIMIT 3""")
+    show(
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    show("EXPLAIN SELECT count(*) FROM lineitem WHERE l_quantity < 10", limit = 1)
+
+    spark.stop()
+  }
+}
