@@ -170,5 +170,42 @@ object Events {
         |ORDER BY purchase_id, error_id""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(windowAgg, windowRank, sessionize, asofJoin, rangeJoin)
+  // --- ordered funnel: signup → view → purchase ---------------------------
+  // Classic product-analytics operator: how many users progressed through
+  // the stage sequence IN ORDER (first signup, then the first view after
+  // it, then the first purchase after that). Each stage is one keyed
+  // aggregation joined to the previous stage's first-time — all shuffles
+  // are on user_id, the final rollup is a single row. Standard ANSI SQL,
+  // so the identical text runs as the DuckDB oracle.
+  private val funnelSql =
+    """WITH s1 AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id
+      |),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+      |  GROUP BY e.user_id
+      |),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id
+      |)
+      |SELECT
+      |  CAST(count(s1.t1) AS BIGINT) AS n_signup,
+      |  CAST(count(s2.t2) AS BIGINT) AS n_signup_then_view,
+      |  CAST(count(s3.t3) AS BIGINT) AS n_full_funnel
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
+  val funnel: QueryDef = QueryDef.sqlBacked("evt_funnel", funnelSql) { (spark, dir) =>
+    Engine.table(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(funnelSql)
+  }
+
+  val all: Seq[QueryDef] = Seq(windowAgg, windowRank, sessionize, asofJoin, rangeJoin, funnel)
 }

@@ -395,6 +395,33 @@ object Relational {
         |ORDER BY v.nk""".stripMargin)
   }
 
+  // --- INTERSECT / EXCEPT (Spark-native extensions; confirmed absent from
+  // the reference parser — completes the set-operator family with
+  // UNION ALL and DISTINCT). Set semantics (deduplicated) on both engines.
+  val intersect: QueryDef = QueryDef.sqlBacked(
+    "op_intersect",
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nk""".stripMargin
+  ) { (spark, dir) =>
+    val c = Engine.table(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+    val s = Engine.table(spark, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.intersect(s).orderBy(col("nk"))
+  }
+
+  val except: QueryDef = QueryDef.sqlBacked(
+    "op_except",
+    """SELECT c_nationkey AS nk FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nk""".stripMargin
+  ) { (spark, dir) =>
+    val c = Engine.table(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+    val s = Engine.table(spark, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.except(s).orderBy(col("nk"))
+  }
+
   // --- ROLLUP (Spark-native extension; absent from the reference parser) --
   // Subtotal hierarchy over (returnflag, linestatus) with grouping()
   // indicators pinned to INT on both engines (NULL-valued keys in
@@ -455,5 +482,5 @@ object Relational {
     joinInner, joinLeft, joinNonEqui, joinNullKeys, joinCross,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
     unionAll, delete, insert, fileScan, roundtripJson, view, distinct,
-    rollup, pivot)
+    rollup, pivot, intersect, except)
 }
