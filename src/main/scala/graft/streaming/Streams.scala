@@ -47,6 +47,32 @@ object Streams {
       fp.dropDuplicates("fp")
   }
 
+  /** Stream-stream interval join: each purchase matched to the views by
+    * the same user in the preceding 10 minutes. In streaming mode both
+    * sides carry watermarks and the time-bound join condition lets Spark
+    * expire join state (without the bound, both sides buffer forever).
+    * Batch-callable: the identical join runs on static frames for the
+    * stream ≡ batch proof.
+    */
+  def viewsBeforePurchase(views: DataFrame, purchases: DataFrame,
+      streaming: Boolean): DataFrame = {
+    val v = views.select(
+      col("event_id").as("view_id"), col("user_id").as("v_user"),
+      col("ts").cast(TimestampType).as("vts"))
+    val p = purchases.select(
+      col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+      col("ts").cast(TimestampType).as("pts"))
+    val (vv, pp) =
+      if (streaming) (v.withWatermark("vts", "1 hour"), p.withWatermark("pts", "1 hour"))
+      else (v, p)
+    vv.join(pp,
+      col("v_user") === col("p_user") &&
+        col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        col("pts"), col("vts"))
+  }
+
   final case class Evt(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Int,
       start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)

@@ -64,6 +64,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful == sql)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val events = Engine.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"))
+    def side(t: String) = events.filter(col("event_type") === t)
+    val expected = Streams.viewsBeforePurchase(side("view"), side("purchase"), streaming = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ssj_src_").toString
+    events.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def stream(t: String) = spark.readStream.schema(schema).parquet(srcDir)
+      .filter(col("event_type") === t)
+    val q = Streams.viewsBeforePurchase(stream("view"), stream("purchase"), streaming = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      // advance both watermarks far past the data so all matches emit
+      import spark.implicits._
+      val flush = Seq(
+        (8888888L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+        (9999999L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      flush.write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .filter(col("purchase_id") =!= 9999999L && col("view_id") =!= 8888888L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+
   test("streaming fingerprint dedup keeps one doc per distinct text") {
     import spark.implicits._
     // documents has no event time; synthesize arrival order as timestamps,
