@@ -156,6 +156,37 @@ object Relational {
       .orderBy(col("n_nationkey"), col("s_suppkey").asc_nulls_first)
   }
 
+  // --- RIGHT / FULL OUTER (Spark-native extensions; the reference only
+  // implements Inner and LeftOuter — hash_join.rs:17-182) ------------------
+  val joinRight: QueryDef = QueryDef.sqlBacked(
+    "op_join_right",
+    """SELECT s_suppkey, s_name, n_nationkey, n_name
+      |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_nationkey, s_suppkey NULLS FIRST""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "supplier")
+      .join(Engine.table(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"), "right_outer")
+      .select(col("s_suppkey"), col("s_name"), col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"), col("s_suppkey").asc_nulls_first)
+  }
+
+  val joinFull: QueryDef = QueryDef.sqlBacked(
+    "op_join_full",
+    """SELECT a.k AS lk, b.k AS rk
+      |FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 20) a
+      |FULL JOIN (SELECT c_custkey + 10 AS k FROM customer WHERE c_custkey <= 20) b
+      |  ON a.k = b.k
+      |ORDER BY lk NULLS FIRST, rk NULLS FIRST""".stripMargin
+  ) { (spark, dir) =>
+    val c = Engine.table(spark, dir, "customer").filter(col("c_custkey") <= 20)
+    val a = c.select(col("c_custkey").as("k")).alias("a")
+    val b = c.select((col("c_custkey") + 10).as("k")).alias("b")
+    a.join(b, col("a.k") === col("b.k"), "full_outer")
+      .select(col("a.k").as("lk"), col("b.k").as("rk"))
+      .orderBy(col("lk").asc_nulls_first, col("rk").asc_nulls_first)
+  }
+
   // --- Join with residual non-equi condition (hash_join.rs:36-39) ---------
   val joinNonEqui: QueryDef = QueryDef.sqlBacked(
     "op_join_nonequi",
@@ -479,7 +510,7 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     single, values, scan, project, filter, limit, sort,
-    joinInner, joinLeft, joinNonEqui, joinNullKeys, joinCross,
+    joinInner, joinLeft, joinRight, joinFull, joinNonEqui, joinNullKeys, joinCross,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
     unionAll, delete, insert, fileScan, roundtripJson, view, distinct,
     rollup, pivot, intersect, except)
