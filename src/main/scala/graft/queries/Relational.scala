@@ -187,6 +187,34 @@ object Relational {
       .orderBy(col("lk").asc_nulls_first, col("rk").asc_nulls_first)
   }
 
+  // --- LEFT SEMI / LEFT ANTI (the plan shapes behind the reference's
+  // DELETE rewrite — delete.rs:56-60 — surfaced as first-class joins) ------
+  val joinSemi: QueryDef = QueryDef.sqlBacked(
+    "op_join_semi",
+    """SELECT c_custkey FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "customer")
+      .join(Engine.table(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinAnti: QueryDef = QueryDef.sqlBacked(
+    "op_join_anti",
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "customer")
+      .join(Engine.table(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
   // --- Join with residual non-equi condition (hash_join.rs:36-39) ---------
   val joinNonEqui: QueryDef = QueryDef.sqlBacked(
     "op_join_nonequi",
@@ -510,7 +538,8 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     single, values, scan, project, filter, limit, sort,
-    joinInner, joinLeft, joinRight, joinFull, joinNonEqui, joinNullKeys, joinCross,
+    joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
+    joinNonEqui, joinNullKeys, joinCross,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
     unionAll, delete, insert, fileScan, roundtripJson, view, distinct,
     rollup, pivot, intersect, except)
