@@ -33,7 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("jaccard_sorted", "exact Jaccard of two sorted distinct string arrays (merge walk)",
         exprs => JaccardSorted(exprs(0), exprs(1))),
       ("dot_product", "dot product of two double arrays, index-order fold from 0.0",
-        exprs => DotProduct(exprs(0), exprs(1))))
+        exprs => DotProduct(exprs(0), exprs(1))),
+      ("argmax_dot", "index of the matrix row with the max dot product against a vector (ties -> lowest)",
+        exprs => ArgmaxDot(exprs(0), exprs(1))))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -210,6 +210,8 @@ object GraftFunctions {
       "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "argmax_dot", exprs => ArgmaxDot(exprs(0), exprs(1)), "built-in")
   }
 
   /** `->`: json-context extraction (wildcards wrap in an array). */

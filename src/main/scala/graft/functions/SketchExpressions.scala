@@ -99,6 +99,10 @@ case class JaccardSorted(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types.{DoubleType, StringType}
   override def dataType: DataType = DoubleType
+  // Nullable beyond the inputs: two empty sets have an undefined Jaccard
+  // (0/0) and yield NULL, matching the non-ANSI division semantics of the
+  // equivalent `size(array_intersect)/size(array_union)` SQL spelling.
+  override def nullable: Boolean = true
   override def prettyName: String = "jaccard_sorted"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -114,6 +118,7 @@ case class JaccardSorted(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (na, nb) = (a.numElements(), b.numElements())
+    if (na == 0 && nb == 0) return null
     var i = 0; var j = 0; var inter = 0
     while (i < na && j < nb) {
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
@@ -129,14 +134,18 @@ case class JaccardSorted(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
       s"""
-         |int $i = 0, $j = 0, $inter = 0;
-         |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $inter++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
+         |if ($a.numElements() == 0 && $b.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = 0, $j = 0, $inter = 0;
+         |  while ($i < $a.numElements() && $j < $b.numElements()) {
+         |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($c == 0) { $inter++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; } else { $j++; }
+         |  }
+         |  ${ev.value} = (double) $inter
+         |    / ($a.numElements() + $b.numElements() - $inter);
          |}
-         |${ev.value} = (double) $inter
-         |  / ($a.numElements() + $b.numElements() - $inter);
        """.stripMargin
     })
 
@@ -255,6 +264,87 @@ case class HyperplaneSig(left: Expression, right: Expression)
          |  if ($s >= 0) $sig |= (1 << $p);
          |}
          |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Index of the row of `planes` whose dot product with `v` is maximal
+  * (ties → lowest index), each dot folded in array-index order from 0.0 —
+  * the identical IEEE sequence as [[DotProduct]] and the DuckDB oracles'
+  * list_reduce, and the identical winner as
+  * `row_number() OVER (ORDER BY dot_product(v, p) DESC, idx) = 1`.
+  *
+  * This is the shuffle-free IVF centroid assignment: the centroid matrix
+  * is a plan-time constant, so assignment is a pure projection evaluated
+  * inside the scan's codegen span. The window-function spelling of the
+  * same argmax forces a corpus-wide exchange on the row id; at 100 TB
+  * that is the difference between a scan-speed assignment pass and a
+  * shuffle of the entire corpus. NULL on an empty plane matrix (no rows →
+  * no rank-1 row in the window spelling either).
+  */
+case class ArgmaxDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, IntegerType}
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "argmax_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"argmax_dot needs (array<double>, array<array<double>>), got $other")
+    }
+
+  override def nullSafeEval(v: Any, planes: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val pm = planes.asInstanceOf[ArrayData]
+    val nPlanes = pm.numElements()
+    if (nPlanes == 0) return null
+    val dims = vec.numElements()
+    var best = 0.0
+    var bestIdx = 0
+    var p = 0
+    while (p < nPlanes) {
+      val plane = pm.getArray(p)
+      var s = 0.0
+      var d = 0
+      while (d < dims) { s += vec.getDouble(d) * plane.getDouble(d); d += 1 }
+      if (p == 0 || s > best) { best = s; bestIdx = p }
+      p += 1
+    }
+    bestIdx
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, pm) => {
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val plane = ctx.freshName("plane")
+      s"""
+         |if ($pm.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $best = 0.0;
+         |  int $bestIdx = 0;
+         |  for (int $p = 0; $p < $pm.numElements(); $p++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $plane = $pm.getArray($p);
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $v.numElements(); $d++) {
+         |      $s += $v.getDouble($d) * $plane.getDouble($d);
+         |    }
+         |    if ($p == 0 || $s > $best) { $best = $s; $bestIdx = $p; }
+         |  }
+         |  ${ev.value} = $bestIdx;
+         |}
        """.stripMargin
     })
 

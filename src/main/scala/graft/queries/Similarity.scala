@@ -35,11 +35,36 @@ object Similarity {
   /** Deterministic pseudo-random centroids: centroid c, dim d ∈ [0, 1)
     * from the portable hash — reproducible across runs and engines with
     * no RNG. */
-  private val centroidSql =
+  private[graft] val centroidSql =
     s"""SELECT c AS cid,
        |  transform(sequence(0, 63), d ->
        |    ${Dedup.planeSparkSql("c", "d")}) AS cv
        |FROM (SELECT explode(sequence(0, 15)) AS c)""".stripMargin
+
+  /** The same 16×64 centroid matrix as [[centroidSql]], computed on the
+    * driver and rendered as a foldable SQL literal (`D`-suffixed doubles;
+    * `Double.toString` round-trips exactly). md5 is engine-independent, so
+    * these are bit-identical to both the SQL derivation and the DuckDB
+    * oracle's — [[SimilarityKernelSpec]] pins that equality. Being a
+    * plan-time constant is what lets cell assignment run as a projection
+    * instead of a join against a centroid relation. */
+  private[graft] lazy val centroidMatrixSql: String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hash60(s: String): Long = {
+      md5.reset()
+      val hex = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rows = (0 until 16).map { c =>
+      val comps = (0 until 64).map { d =>
+        val v = (hash60(s"${c}_${d}") % 1000L).toDouble / 1000.0
+        s"${v}D"
+      }
+      s"array(${comps.mkString(", ")})"
+    }
+    s"array(${rows.mkString(",\n  ")})"
+  }
 
   private val centroidDuck =
     s"""SELECT c AS cid,
@@ -96,9 +121,17 @@ object Similarity {
     QueryDef.sqlBacked("ann_bruteforce_topk", bruteForceOracle)(bruteForceTopK(_, _))
 
   // --- IVF-style probed search --------------------------------------------
-  // Corpus rows are assigned to their max-dot centroid (argmax via
-  // row_number — explicit, engine-identical tie-break on cid); each query
-  // probes the nProbe nearest cells and ranks only those candidates.
+  // Corpus rows are assigned to their max-dot centroid by the codegen'd
+  // argmax_dot kernel against the PLAN-TIME-CONSTANT centroid matrix — a
+  // pure projection inside the scan's codegen span, zero shuffles and no
+  // join to a centroid relation (the window-function argmax this replaces
+  // exchanged the whole corpus on vec_id). argmax_dot's first-max-wins
+  // tie-break is the engine-identical twin of the oracle's
+  // `row_number() OVER (ORDER BY dot DESC, cid) = 1`. Each query probes
+  // the nProbe nearest cells (window over nQueries×16 rows — negligible)
+  // and is broadcast to the corpus, so the only corpus-wide exchange left
+  // is the final per-query top-k over candidates in probed cells, carrying
+  // (query, candidate, score) triples only.
   def ivfTopK(spark: SparkSession, dir: String,
       nQueries: Int = 8, k: Int = 10, nProbe: Int = 4): DataFrame = {
     emb(spark, dir)
@@ -108,22 +141,13 @@ object Similarity {
          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings
          |),
-         |assign AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT e.vec_id, cent.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        dot_product(e.v, cent.cv) DESC, cent.cid) AS rn
-         |    FROM e CROSS JOIN cent) t
-         |  WHERE rn = 1
-         |),
          |corpus AS (
-         |  SELECT e.vec_id AS cand_id, e.v AS cv, a.cell
-         |  FROM e JOIN assign a ON e.vec_id = a.vec_id
+         |  SELECT vec_id AS cand_id, v AS cv,
+         |    argmax_dot(v, $centroidMatrixSql) AS cell
+         |  FROM e
          |),
          |queries AS (
-         |  SELECT vec_id AS query_id, v AS qv FROM (
-         |    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |    FROM embeddings WHERE vec_id < $nQueries) e
+         |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries
          |),
          |probes AS (
          |  SELECT query_id, qv, cid AS cell FROM (
@@ -134,7 +158,7 @@ object Similarity {
          |  WHERE pr <= $nProbe
          |)
          |SELECT query_id, cand_id, score, rnk FROM (
-         |  SELECT p.query_id, c.cand_id,
+         |  SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id,
          |    dot_product(p.qv, c.cv) AS score,
          |    row_number() OVER (PARTITION BY p.query_id ORDER BY
          |      dot_product(p.qv, c.cv) DESC, c.cand_id) AS rnk

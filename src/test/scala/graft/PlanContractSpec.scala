@@ -56,6 +56,21 @@ class PlanContractSpec extends AnyFunSuite {
       "range join degenerated to a product join")
   }
 
+  test("ann_ivf_topk: centroid assignment is a shuffle-free projection; probes broadcast") {
+    val p = plan("ann_ivf_topk")
+    // The cell comes from the codegen argmax_dot kernel against the
+    // plan-time-constant centroid matrix...
+    assert(p.contains("argmax_dot"), "assignment no longer uses the argmax kernel")
+    // ...so NO exchange is keyed on the corpus row id: the window-argmax
+    // spelling this replaced shuffled the entire corpus on vec_id.
+    assert(!p.contains("hashpartitioning(vec_id"),
+      "corpus-wide exchange on vec_id — assignment regressed to a shuffle")
+    // The probe set joins the corpus as a broadcast: the corpus is never
+    // shuffled for the join, only (query, candidate, score) triples move.
+    assert(p.contains("BroadcastHashJoin"), "probe join not broadcast")
+    assert(!p.contains("SortMergeJoin"), "probe join shuffled the corpus")
+  }
+
   test("dedup_exact_hash: the shuffle key is the fingerprint, group-by is partial+final") {
     val p = plan("dedup_exact_hash")
     assert(p.contains("partial_min") && p.contains("partial_count"),
