@@ -25,10 +25,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(2).nonEmpty)
   }
 
-  test("EXPLAIN returns a formatted plan relation") {
+  test("EXPLAIN is reference-format; EXPLAIN FORMATTED is Spark's physical plan") {
     val gs = new GraftSession(spark)
     Engine.registerAll(spark, sf)
-    val lines = gs.sql("EXPLAIN SELECT count(*) FROM lineitem")
+    // bare EXPLAIN: the reference's 4-column tree (ExplainGoldenSpec pins
+    // the exact format; here just the dispatch)
+    val tree = gs.sql("EXPLAIN SELECT count(*) FROM lineitem")
+      .collect().map(_.getString(0))
+    assert(tree.head == "GROUP")
+    assert(tree.exists(_.contains("TABLE(lineitem)")))
+    val lines = gs.sql("EXPLAIN FORMATTED SELECT count(*) FROM lineitem")
       .collect().map(_.getString(0))
     assert(lines.exists(_.contains("HashAggregate")))
     assert(lines.exists(_.contains("Scan parquet")))
