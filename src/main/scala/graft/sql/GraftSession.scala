@@ -21,18 +21,101 @@ import scala.util.matching.Regex
   *     - `->` / `->>` json operators (expression.rs:176-196)
   *     - backtick identifiers and double-quoted strings (Spark-native).
   */
-final class GraftSession(val spark: SparkSession) {
+object GraftSession {
+  /** Default durable-view location: `_graft_views` beside the session's
+    * warehouse, so sessions sharing a warehouse share their views — the
+    * Spark analog of the reference's storage-directory-scoped catalog. */
+  def defaultViewCatalog(spark: SparkSession): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path =
+      if (wh.contains(":")) java.nio.file.Paths.get(new java.net.URI(wh)).toString
+      else wh
+    path.stripSuffix("/") + "/_graft_views"
+  }
+}
+
+final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null) {
 
   GraftFunctions.register(spark)
   private val dirCounter = new AtomicInteger(0)
 
-  /** incresql → Spark column types (SURVEY.md §1.5). */
+  // --- persistent view catalog -------------------------------------------
+  // The reference stores views as SQL text in catalog tables, durable
+  // across connections, and re-inlines the text at resolve time
+  // (/root/reference/src/catalog/src/lib.rs:176+, p1_validation/
+  // resolve_tables.rs:35-58). Same model here: CREATE VIEW persists the
+  // raw dialect SQL as `<seq>_<name>.sql` under the view-catalog dir
+  // (default: `<warehouse>/_graft_views`), and a new GraftSession replays
+  // the files in creation order — so chained views resolve — re-running
+  // the dialect rewriter on each. A view whose base tables are absent in
+  // the new session is skipped with a warning (the reference defers that
+  // error to query time; our temp views resolve eagerly — divergence
+  // documented here, pinned in ViewCatalogSpec).
+
+  private val viewDir = java.nio.file.Paths.get(
+    Option(viewCatalogDir).getOrElse(GraftSession.defaultViewCatalog(spark)))
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // invoked at the END of the class body — rewriteQuery needs the regex
+  // vals below to be initialized before any stored view text is replayed
+  private def replayPersistedViews(): Unit = {
+    if (java.nio.file.Files.isDirectory(viewDir)) {
+      val files = {
+        val s = java.nio.file.Files.list(viewDir)
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala.toVector
+        finally s.close()
+      }
+      files.map(_.getFileName.toString).filter(_.matches("\\d+_.+\\.sql")).sorted
+        .foreach { fn =>
+          val seq = fn.takeWhile(_.isDigit).toLong
+          viewSeq.updateAndGet(m => math.max(m, seq))
+          val name = fn.dropWhile(_.isDigit).stripPrefix("_").stripSuffix(".sql")
+          val body = java.nio.file.Files.readString(viewDir.resolve(fn))
+          try spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS ${rewriteQuery(body)}")
+          catch { case e: Exception =>
+            System.err.println(s"[graft] persisted view $name not replayed: ${e.getMessage}")
+          }
+        }
+    }
+  }
+
+  private def stripTicks(name: String): String = name.replace("`", "")
+
+  private def persistView(name: String, body: String): Unit = {
+    java.nio.file.Files.createDirectories(viewDir)
+    removeViewFiles(name)
+    val seq = viewSeq.incrementAndGet()
+    java.nio.file.Files.writeString(viewDir.resolve(f"${seq}%06d_$name.sql"), body)
+  }
+
+  private def removeViewFiles(name: String): Unit =
+    if (java.nio.file.Files.isDirectory(viewDir)) {
+      val s = java.nio.file.Files.list(viewDir)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .filter(_.getFileName.toString.matches(s"\\d+_${java.util.regex.Pattern.quote(name)}\\.sql"))
+        .toVector.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+
+  private val decimalTypeRe = """(?i)^DECIMAL(?:\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?$""".r
+
+  /** incresql → Spark column types (SURVEY.md §1.5). DECIMAL is capped at
+    * the reference's limits — precision 28, scale 14
+    * (data/src/datatype.rs:22-23) — and bare `DECIMAL` defaults to
+    * DECIMAL(28,0) (parser/src/literals.rs:48), even though Spark itself
+    * would allow precision up to 38. */
   private def mapType(t: String): String = t.trim.toUpperCase match {
     case "TEXT" => "STRING"
     case "BYTEA" => "BINARY"
     case "JSON" => "STRING"
     case "JSONPATH" => "STRING"
-    case other => other // BOOLEAN/INTEGER/BIGINT/DECIMAL(p,s)/DATE/TIMESTAMP
+    case decimalTypeRe(p, s) =>
+      val prec = Option(p).map(_.toInt).getOrElse(28)
+      val scale = Option(s).map(_.toInt).getOrElse(0)
+      require(prec <= 28 && scale <= 14,
+        s"DECIMAL($prec,$scale) exceeds the supported maximum DECIMAL(28,14)")
+      s"DECIMAL($prec,$scale)"
+    case other => other // BOOLEAN/INTEGER/BIGINT/DATE/TIMESTAMP
   }
 
   private val showFunctionsRe = """(?is)^\s*show\s+functions\s*;?\s*$""".r
@@ -71,8 +154,12 @@ final class GraftSession(val spark: SparkSession) {
       spark.sql(s"CREATE TABLE $name ($mapped) USING PARQUET")
     case dropTableRe(name) => spark.sql(s"DROP TABLE $name")
     case createViewRe(name, body) =>
-      spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS ${rewriteQuery(body)}")
-    case dropViewRe(name) => spark.sql(s"DROP VIEW $name")
+      val df = spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS ${rewriteQuery(body)}")
+      persistView(stripTicks(name), body.trim.stripSuffix(";").trim)
+      df
+    case dropViewRe(name) =>
+      removeViewFiles(stripTicks(name))
+      spark.sql(s"DROP VIEW $name")
     case compactRe(name) =>
       // Parquet/Spark analog of RocksDB compaction (connection.rs:113-126):
       // refresh + recompute stats so subsequent plans see the table fresh.
@@ -80,14 +167,19 @@ final class GraftSession(val spark: SparkSession) {
       spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
     case deleteRe(table, whereOpt, limitOpt) =>
       delete(table, Option(whereOpt), Option(limitOpt).map(_.toInt))
-    case explainRe(body) =>
-      // Reference renders its logical plan as a values table
-      // (explain/mod.rs:38-80); we surface Spark's formatted plan —
-      // the honest equivalent for a Catalyst-planned engine.
+    case explainRe(body) if body.matches("(?is)^formatted\\s+.*") =>
+      // EXPLAIN FORMATTED: Spark's physical plan, for auditing pushdown /
+      // broadcast / codegen — the Catalyst-native view.
       import spark.implicits._
-      val plan = spark.sql(rewriteQuery(body)).queryExecution.explainString(
+      val q = body.replaceFirst("(?is)^formatted\\s+", "")
+      val plan = spark.sql(rewriteQuery(q)).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       plan.split("\n").toSeq.toDF("plan")
+    case explainRe(body) =>
+      // Reference-format EXPLAIN: the 4-column tree/col_idx/datatype/
+      // expression values table (explain/mod.rs:38-80), golden-tested in
+      // ExplainGoldenSpec against the reference's own expected output.
+      RefExplain.explain(spark, spark.sql(rewriteQuery(body)))
     case other => spark.sql(rewriteQuery(other))
   }
 
@@ -96,6 +188,17 @@ final class GraftSession(val spark: SparkSession) {
     * (delete.rs:12-62, limit.rs:27-45). Parquet-table rewrite analog:
     * keep everything except the matched rows (all of them, or the first
     * n in scan order for LIMIT). Rows where the predicate is NULL stay.
+    *
+    * CONTRACT — which rows "the first n" are: scan order, i.e. file and
+    * partition layout order (`monotonically_increasing_id` over the
+    * scan). This is storage-defined, exactly like the reference, whose
+    * LIMIT'd delete removes the first n rows in ITS storage-key iteration
+    * order (limit.rs:27-45 over RocksDB scan order): deterministic for a
+    * fixed physical layout, but a rewrite of the table (compaction,
+    * repartition) may change which rows a subsequent DELETE..LIMIT
+    * removes — on both engines. Callers needing a value-defined victim
+    * set should DELETE WHERE over a unique key instead.
+    * DeleteLimitSpec pins the fixed-layout behavior.
     */
   private def delete(table: String, where: Option[String], limit: Option[Int]): DataFrame = {
     val df = spark.table(table)
@@ -248,4 +351,7 @@ final class GraftSession(val spark: SparkSession) {
     while (j < s.length && s.charAt(j) != quote) j += 1
     ("'" + s.substring(i + 1, j).replace("'", "\\'") + "'", j + 1)
   }
+
+  // last statement of the constructor: every val above is initialized
+  replayPersistedViews()
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.sql.GraftSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Durable views: the reference stores view SQL text in its catalog and
+  * re-inlines it per connection (catalog/src/lib.rs:176+,
+  * resolve_tables.rs:35-58); here CREATE VIEW persists the dialect SQL
+  * under the view-catalog dir and a fresh GraftSession replays it.
+  * Divergence pinned below: replay resolves eagerly at session start, so
+  * a view over absent base tables is skipped with a warning instead of
+  * erroring at query time.
+  */
+class ViewCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshSession(dir: String): GraftSession = {
+    val s = spark.newSession()
+    Engine.registerAll(s, sf)
+    new GraftSession(s, dir)
+  }
+
+  test("CREATE VIEW survives into a new session; DROP VIEW is durable too") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
+    Engine.registerAll(spark, sf)
+    val gs1 = new GraftSession(spark, dir)
+    gs1.sql("create view v_persist as select r_regionkey, r_name from region where r_regionkey < 3")
+    assert(gs1.sql("select count(*) c from v_persist").collect()(0).getLong(0) == 3)
+
+    // brand-new session (empty temp-view namespace) + fresh GraftSession
+    val gs2 = freshSession(dir)
+    assert(gs2.sql("select count(*) c from v_persist").collect()(0).getLong(0) == 3)
+
+    gs2.sql("drop view v_persist")
+    val gs3 = freshSession(dir)
+    val err = intercept[Exception](gs3.sql("select * from v_persist").collect())
+    assert(err.getMessage.toLowerCase.contains("v_persist"))
+  }
+
+  test("chained views replay in creation order; dialect rewrites re-apply") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
+    Engine.registerAll(spark, sf)
+    val gs1 = new GraftSession(spark, dir)
+    gs1.sql("create view v_base as select n_nationkey, n_name from nation limit 0, 10")
+    gs1.sql("create view v_chain as select count(*) c from v_base")
+    val gs2 = freshSession(dir)
+    assert(gs2.sql("select * from v_chain").collect()(0).getLong(0) == 10)
+  }
+
+  test("CREATE OR REPLACE semantics: latest definition wins across sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
+    Engine.registerAll(spark, sf)
+    val gs1 = new GraftSession(spark, dir)
+    gs1.sql("create view v_replace as select 1 as x")
+    gs1.sql("create view v_replace as select 2 as x")
+    val gs2 = freshSession(dir)
+    assert(gs2.sql("select x from v_replace").collect()(0).getInt(0) == 2)
+    // exactly one catalog file remains for the name
+    val files = new java.io.File(dir).list().count(_.endsWith("_v_replace.sql"))
+    assert(files == 1)
+  }
+
+  test("a view over absent base tables is skipped with a warning, not fatal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
+    Engine.registerAll(spark, sf)
+    val gs1 = new GraftSession(spark, dir)
+    gs1.sql("create view v_orphan as select r_regionkey from region")
+    // a session with NO base tables registered: construction must succeed
+    val bare = new GraftSession(spark.newSession(), dir)
+    assert(bare.sql("select 1 as ok").collect()(0).getInt(0) == 1)
+  }
+}
