@@ -388,6 +388,33 @@ object Relational {
       .orderBy(col("r_regionkey"))
   }
 
+  // --- Freq-compacting multiset write (storage/src/table.rs:309-347) ------
+  // The write path merges __freq per identical tuple instead of
+  // physically duplicating rows: two inserts of region then a NegateFreq
+  // delete (freq −1) of regions 0-1 leaves a compacted snapshot whose
+  // expansion is the surviving multiset. The oracle replays the same
+  // algebra as bag operations: (region ⊎ region) ∖ region[key<2].
+  val multisetFreq: QueryDef = QueryDef.sqlBacked(
+    "op_multiset_freq",
+    """SELECT r_regionkey, r_name, count(*) AS copies FROM (
+      |  (SELECT * FROM region UNION ALL SELECT * FROM region)
+      |  EXCEPT ALL
+      |  (SELECT * FROM region WHERE r_regionkey < 2)
+      |) t GROUP BY r_regionkey, r_name ORDER BY r_regionkey""".stripMargin
+  ) { (spark, dir) =>
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_multiset_").resolve("region_ms").toString
+    val r = Engine.table(spark, dir, "region")
+    graft.sources.MultisetStore.append(spark, path, r)           // INSERT ×1
+    graft.sources.MultisetStore.append(spark, path, r)           // INSERT ×1 → freq 2
+    graft.sources.MultisetStore.append(spark, path,              // DELETE one copy
+      r.filter(col("r_regionkey") < 2), freq = -1L)
+    graft.sources.MultisetStore.read(spark, path)
+      .groupBy(col("r_regionkey"), col("r_name"))
+      .agg(count(lit(1)).as("copies"))
+      .orderBy(col("r_regionkey"))
+  }
+
   // --- FileScan: recursive CSV directory → one JSON-array column ----------
   // (file_scan.rs:15-52 + FIXTURES.md §2 — the embedded quoted comma case)
   val fileScan: QueryDef = QueryDef.sqlBacked(
@@ -541,6 +568,6 @@ object Relational {
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinNonEqui, joinNullKeys, joinCross,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
-    unionAll, delete, insert, fileScan, roundtripJson, view, distinct,
+    unionAll, delete, insert, multisetFreq, fileScan, roundtripJson, view, distinct,
     rollup, pivot, intersect, except)
 }
