@@ -381,38 +381,104 @@ object Dedup {
 
   // --- transitive dedup clusters (connected components) -------------------
   // Near-dup PAIRS are not enough to deduplicate a corpus: if A~B and B~C,
-  // all three are one cluster even when A~C is below threshold. Min-label
-  // propagation over the pair graph: every doc's cluster id is the
-  // smallest doc_id reachable through near-dup edges (singletons keep
-  // their own id). Each round is one join+groupBy; rounds needed = graph
-  // diameter (near-dup clusters are shallow — at 100 TB swap in
-  // large-star/small-star for the same fixpoint in O(log n) rounds).
-  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.functions.{col, min => minCol}
-    val pairs = minhashPairs(spark, dir, threshold).select(col("id_a"), col("id_b"))
-    val edges = pairs.unionByName(
-      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
-    val docsDf = Engine.table(spark, dir, "documents")
-    var labels = docsDf.select(col("doc_id").as("doc"), col("doc_id").as("lab")).cache()
-    var converged = false
+  // all three are one cluster even when A~C is below threshold. Cluster id
+  // = the smallest doc_id reachable through near-dup edges (singletons
+  // keep their own id), computed by large-star/small-star — O(log n)
+  // rounds instead of the O(diameter) of plain label propagation.
+
+  /** Large-star/small-star connected components (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond" — public algorithm).
+    *
+    * Each round runs both phases over the edge set:
+    *   - large-star: per node u over its full neighborhood N(u), connect
+    *     every LARGER neighbor to m = min(N(u) ∪ {u});
+    *   - small-star: per node u over its SMALLER neighbors, connect u and
+    *     all of them to the minimum.
+    * At the fixpoint every edge points a node directly at its component's
+    * minimum (star form), so labels fall out of the final edge set with
+    * no further iteration. Doubling behavior: a chain of diameter d
+    * converges in ~log₂ d rounds (pinned by ClusterConvergenceSpec).
+    *
+    * Fixpoint test costs ONE action per round: edge rewrites only ever
+    * move connections toward smaller ids, so the (count, Σu, Σv) triple
+    * is a strictly decreasing potential until the fixpoint — comparing
+    * this round's triple against the REMEMBERED previous one detects
+    * stability without re-scanning the old edge set.
+    *
+    * Throws IllegalStateException if maxRounds is hit before the
+    * fixpoint — a silent non-fixpoint labeling must never escape to
+    * library callers.
+    *
+    * @return (doc_id → cluster_id labels for every node, rounds run)
+    */
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions.{col, min => minCol, least, lit,
+      count => cntCol, sum => sumCol, coalesce}
+
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy(col("u")).agg(minCol(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      s.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = sym(e).filter(col("v") < col("u")) // orient larger → smaller
+      val m = dir.groupBy(col("u")).agg(minCol(col("v")).as("m"))
+      dir.join(m, "u").select(col("v").as("n"), col("m"))
+        .unionByName(m.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+    }
+
+    def stats(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(cntCol(lit(1)), sumCol(col("u")), sumCol(col("v"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+    var edges = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prev = stats(edges)
     var rounds = 0
-    while (!converged && rounds < 20) {
-      val prop = labels.join(edges, col("doc") === col("id_a"))
-        .select(col("id_b").as("doc"), col("lab"))
+    var converged = prev._1 == 0L // no edges at all: everything is a singleton
+    while (!converged && rounds < maxRounds) {
       // localCheckpoint: materializes the round AND truncates lineage —
       // without it each round's plan nests the previous one and the DAG
       // (and recompute risk) grows with the iteration count
-      val next = labels.unionByName(prop)
-        .groupBy(col("doc")).agg(minCol(col("lab")).as("lab")).localCheckpoint()
-      // fixpoint test: min-labels only ever decrease, so an unchanged sum
-      // means an unchanged labeling
-      val before = labels.agg(org.apache.spark.sql.functions.sum("lab")).head.getLong(0)
-      val after = next.agg(org.apache.spark.sql.functions.sum("lab")).head.getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = before == after
+      val next = smallStar(largeStar(edges)).distinct().localCheckpoint()
+      val cur = stats(next)
+      edges = next
+      converged = cur == prev
+      prev = cur
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not reach a fixpoint in $maxRounds rounds")
+    // star form: non-roots appear as u with their root as v; roots and
+    // singletons label themselves
+    val nonRoots = edges.groupBy(col("u")).agg(minCol(col("v")).as("lab"))
+      .select(col("u").as("doc"), col("lab"))
+    val labeled = nodes.select(col("doc"))
+      .join(nonRoots, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("lab"), col("doc")).as("lab"))
+    (labeled, rounds)
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pairs = minhashPairs(spark, dir, threshold).select(col("id_a"), col("id_b"))
+    val docsDf = Engine.table(spark, dir, "documents")
+    val (labels, _) =
+      connectedComponents(docsDf.select(col("doc_id").as("doc")), pairs)
     labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
