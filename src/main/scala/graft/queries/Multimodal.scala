@@ -140,7 +140,12 @@ object Multimodal {
         val ow = math.max(1, w * fit / longSide)
         val oh = math.max(1, h * fit / longSide)
         val n = payload.length
-        val outBytes = if (w * h == 0) 0 else n * (ow * oh) / (w * h)
+        // Long arithmetic: n * (ow*oh) overflows Int from n ≥ 32768
+        // (ow*oh reaches 65536); the result is ≤ n (downscale) so the
+        // final narrowing is always safe. Oracle computes in BIGINT too.
+        val outBytes =
+          if (w == 0 || h == 0) 0
+          else (n.toLong * (ow.toLong * oh.toLong) / (w.toLong * h.toLong)).toInt
         val stride = math.max(1, n / 64)
         var checksum = 0L
         var i = 0

@@ -47,6 +47,15 @@ object Tpch {
   private def discPriceC4(price: Column, disc: Column): Column =
     cents(price) * (lit(100L) - cents(disc))
 
+  /** The scale-6 charge term q1 sums (price×(1−disc)×(1+tax) as a scaled
+    * long) — exposed so Q1HeadroomSpec can assert the per-group sums stay
+    * below 2^53 at the largest available SF: beyond that the final
+    * long→DOUBLE conversion is no longer guaranteed bit-identical to the
+    * oracle's DECIMAL→DOUBLE cast, and q1 must move to a narrower scale. */
+  private[graft] def chargeScaled6: Column =
+    discPriceC4(col("l_extendedprice"), col("l_discount")) *
+      (lit(100L) + cents(col("l_tax")))
+
   private def ntz(s: String): Column = lit(s).cast(TimestampNTZType)
 
   // --- Q1: scan → filter → hash agg → sort --------------------------------
