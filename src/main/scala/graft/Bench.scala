@@ -20,26 +20,40 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    def timeOnce(q: QueryDef): Double = {
+    def timeOnce(s: SparkSession)(q: QueryDef): Double = {
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try q.run(s, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }
       (System.nanoTime() - t0) / 1e9
     }
-    // best-of-2: second run reuses warmed file listings/codegen
+    // best-of-3: later runs reuse warmed file listings/codegen, and the
+    // min damps scheduler noise on a shared machine
     val results = queries.Tpch.benchmark.map { q =>
-      q.name -> math.min(timeOnce(q), timeOnce(q))
+      q.name -> Seq.fill(3)(timeOnce(spark)(q)).min
     }
     // LLM-pipeline throughput evidence (single pass, not part of the
     // headline metric): dedup, clustering, ANN, curation at the same SF.
     val pipeline = Seq(
       queries.Dedup.minhash, queries.Dedup.clusters,
       queries.Similarity.bruteForce, queries.TextAnalysis.tfidf,
-      queries.Curate.curate).map(q => q.name -> timeOnce(q))
+      queries.Curate.curate).map(q => q.name -> timeOnce(spark)(q))
+
+    // Core-count scaling evidence: the 100×-scale claims rest on plan
+    // shape; rerunning the headline set on a quarter of the cores (fresh
+    // context, shuffle partitions matched) catches any future
+    // parallelism-hostile plan — a healthy plan degrades roughly with
+    // core count, a driver-bound or skewed one doesn't.
+    spark.stop()
+    val fewCpus = math.max(4, cpus.toInt / 4)
+    val sparkFew = Engine.build(master = s"local[$fewCpus]", shufflePartitions = fewCpus)
+    val scaled = queries.Tpch.benchmark.map { q =>
+      q.name -> math.min(timeOnce(sparkFew)(q), timeOnce(sparkFew)(q))
+    }
+
     def toJson(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"pipeline":${toJson(pipeline)},"sf":"$sfDir"}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"pipeline":${toJson(pipeline)},"scaling":{"cpus":$fewCpus,"queries":${toJson(scaled)}},"sf":"$sfDir"}""")
+    sparkFew.stop()
   }
 }
