@@ -22,6 +22,14 @@ import scala.util.matching.Regex
   *     - backtick identifiers and double-quoted strings (Spark-native).
   */
 object GraftSession {
+  // encoder-visible row shapes for the system catalog views (must live
+  // outside the class: inner case classes can't be encoded)
+  private[sql] case class SysDbRow(name: String)
+  private[sql] case class SysTableRow(
+      database_name: String, name: String, `type`: String,
+      sql: Option[String], sql_context: Option[String],
+      table_id: Option[Long], columns: Option[String], system: Boolean)
+
   /** Default durable-view location: `_graft_views` beside the session's
     * warehouse, so sessions sharing a warehouse share their views — the
     * Spark analog of the reference's storage-directory-scoped catalog. */
@@ -234,6 +242,69 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     out.result().filter(_.trim.nonEmpty)
   }
 
+  // --- system catalog tables ---------------------------------------------
+  // The reference bootstraps queryable catalog tables (catalog/src/
+  // bootstrap.rs:22-66): incresql.databases (name TEXT) and
+  // incresql.tables (database_name, name, type, sql, sql_context,
+  // table_id, columns, system) — its own tests SELECT from them
+  // (tests/building_blocks/tables.rs, tests/create/table.rs). Spark temp
+  // views can't be database-qualified, so references to them are
+  // rewritten to session views re-materialized from the live Spark
+  // catalog at query time; the table keeps its reference default alias
+  // (`databases`) unless the query supplies its own, so qualified columns
+  // like `databases.name` resolve as they do there.
+
+  import GraftSession.{SysDbRow, SysTableRow}
+
+  private def refreshSystemView(which: String): Unit = {
+    import spark.implicits._
+    which match {
+      case "databases" =>
+        // bootstrap databases exist even before any user DDL
+        val names = (spark.catalog.listDatabases().collect().map(_.name).toSeq ++
+          Seq("incresql", "information_schema")).distinct.sorted
+        // case-class encoder, not toDF("name"): the rename would wrap the
+        // local relation in a Project and break TABLE rendering in EXPLAIN
+        names.map(SysDbRow).toDF().createOrReplaceTempView("incresql_databases")
+      case "tables" =>
+        val user = spark.catalog.listDatabases().collect().flatMap { db =>
+          spark.catalog.listTables(db.name).collect()
+        }
+          .map { t =>
+            val db = Option(t.database).getOrElse("default")
+            val typ = if (t.tableType == "VIEW" || t.isTemporary) "view" else "table"
+            SysTableRow(db, t.name, typ, None, None, None, None, system = false)
+          }
+          .filterNot(r => r.name.startsWith("incresql_") || r.name.startsWith("graft_dir_"))
+          .distinct
+        val sys = Seq( // ids fixed by the reference bootstrap
+          SysTableRow("incresql", "prefix_tables", "table", None, None, Some(0L), None, system = true),
+          SysTableRow("incresql", "databases", "table", None, None, Some(2L), None, system = true),
+          SysTableRow("incresql", "tables", "table", None, None, Some(4L), None, system = true))
+        (user ++ sys).sortBy(r => (r.database_name, r.name)) // pk order
+          .toSeq.toDF().createOrReplaceTempView("incresql_tables")
+    }
+  }
+
+  private val sysTableRe: Regex =
+    """(?i)\bincresql\.(databases|tables)\b(\s+(?:as\s+)?([A-Za-z_]\w*))?""".r
+  // words that can follow a table reference without being its alias
+  private val notAliases = Set(
+    "where", "group", "order", "limit", "having", "union", "intersect",
+    "except", "join", "inner", "left", "right", "full", "cross", "on", "using")
+
+  private def rewriteSystemTables(q: String): String =
+    sysTableRe.replaceAllIn(q, m => {
+      val t = m.group(1).toLowerCase
+      refreshSystemView(t)
+      val rest = Option(m.group(2)).getOrElse("")
+      val alias = Option(m.group(3))
+      Regex.quoteReplacement(alias match {
+        case Some(a) if !notAliases.contains(a.toLowerCase) => s"incresql_$t$rest"
+        case _ => s"incresql_$t AS $t$rest"
+      })
+    })
+
   // --- query dialect rewriting -------------------------------------------
 
   private val directoryRe: Regex =
@@ -243,6 +314,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
 
   private[sql] def rewriteQuery(q: String): String = {
     var out = q
+    // incresql.databases / incresql.tables system catalog tables
+    out = rewriteSystemTables(out)
     // MySQL @@ magic variables → constants
     // (p1_validation/sub_in_special_vars.rs:7-32)
     out = out.replaceAll("(?i)@@max_allowed_packet", "16777215")

@@ -64,8 +64,24 @@ object RefExplain {
     case SubqueryAlias(id, child) if id.name.startsWith("__auto") =>
       render(child, out, pad, nameSuffix)
     case SubqueryAlias(id, child) =>
-      render(child, out, pad, s"(${id.name})$nameSuffix")
+      // nested aliases: the OUTERMOST name wins, matching the reference
+      // where re-aliasing replaces the TableAlias rather than stacking
+      val suffix = if (nameSuffix.nonEmpty) nameSuffix else s"(${id.name})"
+      render(child, out, pad, suffix)
     case v: View => render(v.child, out, pad, nameSuffix)
+
+    // a NAMED local relation is a resolved catalog object (system tables,
+    // DataFrame-registered views) — the reference renders those as TABLE
+    // with a column list; only anonymous VALUES render as VALUES
+    case l: LocalRelation if nameSuffix.nonEmpty =>
+      node(out, pad, s"TABLE$nameSuffix") {
+        out += Line(s"${pad}columns:", "", "", "")
+        pad.push("  ")
+        l.output.zipWithIndex.foreach { case (a, i) =>
+          out += Line(s"$pad${a.name}", i.toString, typeName(a.dataType), "")
+        }
+        pad.pop()
+      }
 
     case Project(list, child) =>
       node(out, pad, s"PROJECT$nameSuffix") {
