@@ -75,5 +75,47 @@ object Curate {
 
   val curate: QueryDef = QueryDef.sqlBacked("pipeline_curate", curateOracle)(curatedCorpus(_, _))
 
-  val all: Seq[QueryDef] = Seq(curate)
+  // --- deterministic stratified sampling ----------------------------------
+  // Training-data downsampling the way a 100 TB job has to do it: a
+  // per-row hash-Bernoulli decision, NOT rand() (not reproducible, breaks
+  // retries/speculation) and NOT reservoir/exact-count (needs a global
+  // pass). Stratum = document length class; each stratum keeps its own
+  // per-mille rate via `portable_hash(doc_id) % 1000 < rate`. Shuffle-free
+  // scan+filter — the plan scales at I/O speed, the sample is stable
+  // across runs/engines, and the rate per stratum is exact in expectation
+  // with variance O(1/√n). The DuckDB oracle replays the identical hash
+  // arithmetic, so the sampled id set matches row for row.
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      s"""SELECT doc_id, bucket FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) < 200 THEN 'short'
+         |         WHEN length(text) < 1000 THEN 'medium'
+         |         ELSE 'long' END AS bucket,
+         |    ${Dedup.hash60SparkSql("CAST(doc_id AS STRING)")} % 1000 AS h
+         |  FROM documents) t
+         |WHERE (bucket = 'short' AND h < 100)
+         |   OR (bucket = 'medium' AND h < 500)
+         |   OR bucket = 'long'
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  private val sampleOracle =
+    s"""SELECT doc_id, bucket FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) < 200 THEN 'short'
+       |         WHEN length(text) < 1000 THEN 'medium'
+       |         ELSE 'long' END AS bucket,
+       |    ${Dedup.hash60DuckSql("CAST(doc_id AS VARCHAR)")} % 1000 AS h
+       |  FROM documents) t
+       |WHERE (bucket = 'short' AND h < 100)
+       |   OR (bucket = 'medium' AND h < 500)
+       |   OR bucket = 'long'
+       |ORDER BY doc_id""".stripMargin
+
+  val sample: QueryDef =
+    QueryDef.sqlBacked("pipeline_sample", sampleOracle)(stratifiedSample(_, _))
+
+  val all: Seq[QueryDef] = Seq(curate, sample)
 }

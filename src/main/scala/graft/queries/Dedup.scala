@@ -509,6 +509,8 @@ object Dedup {
 
   /** DuckDB spellings shared with other query modules' oracles. */
   private[queries] def shingleDuckSql: String = shingleDuck
+  private[queries] def hash60SparkSql(x: String): String = portableHash60Spark(x)
+  private[queries] def hash60DuckSql(x: String): String = portableHash60Duck(x)
   private[queries] def jaccardDuckSql(a: String, b: String): String = jaccardDuck(a, b)
   private[queries] def planeDuckSql(p: String, d: String): String = planeDuck(p, d)
   private[queries] def planeSparkSql(p: String, d: String): String = planeSpark(p, d)

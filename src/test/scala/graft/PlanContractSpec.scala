@@ -71,6 +71,17 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "probe join shuffled the corpus")
   }
 
+  test("pipeline_sample: hash-Bernoulli sampling is a shuffle-free scan+filter") {
+    val p = plan("pipeline_sample")
+    // the only exchange permitted is the final presentation sort's range
+    // partitioning — sampling itself must never hash-shuffle the corpus
+    assert(!p.contains("hashpartitioning"),
+      "sampling introduced a hash shuffle — no longer a scan-speed filter")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"),
+      s"scan reads more than the sampled columns: $read")
+  }
+
   test("dedup_exact_hash: the shuffle key is the fingerprint, group-by is partial+final") {
     val p = plan("dedup_exact_hash")
     assert(p.contains("partial_min") && p.contains("partial_count"),
