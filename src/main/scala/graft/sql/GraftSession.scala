@@ -47,6 +47,11 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
   GraftFunctions.register(spark)
   private val dirCounter = new AtomicInteger(0)
 
+  // bootstrap databases, as the reference creates on first boot
+  // (catalog/src/bootstrap.rs:22-24) — makes `USE incresql` etc. valid
+  Seq("incresql", "information_schema").foreach(db =>
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
+
   // --- persistent view catalog -------------------------------------------
   // The reference stores views as SQL text in catalog tables, durable
   // across connections, and re-inlines the text at resolve time
@@ -162,12 +167,18 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       spark.sql(s"CREATE TABLE $name ($mapped) USING PARQUET")
     case dropTableRe(name) => spark.sql(s"DROP TABLE $name")
     case createViewRe(name, body) =>
-      val df = spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS ${rewriteQuery(body)}")
-      persistView(stripTicks(name), body.trim.stripSuffix(";").trim)
+      // reference views may be database-qualified (`create view
+      // default.test_view as ...`, tests/views/mod.rs); temp views are
+      // session-global here, so the qualifier is dropped — divergence:
+      // one flat view namespace instead of per-database scoping.
+      val bare = stripTicks(name).split('.').last
+      val df = spark.sql(s"CREATE OR REPLACE TEMP VIEW $bare AS ${rewriteQuery(body)}")
+      persistView(bare, body.trim.stripSuffix(";").trim)
       df
     case dropViewRe(name) =>
-      removeViewFiles(stripTicks(name))
-      spark.sql(s"DROP VIEW $name")
+      val bare = stripTicks(name).split('.').last
+      removeViewFiles(bare)
+      spark.sql(s"DROP VIEW $bare")
     case compactRe(name) =>
       // Parquet/Spark analog of RocksDB compaction (connection.rs:113-126):
       // refresh + recompute stats so subsequent plans see the table fresh.

@@ -61,6 +61,35 @@ class ViewCatalogSpec extends AnyFunSuite {
     assert(files == 1)
   }
 
+  test("qualified view name over a system table joins with a user table (views/mod.rs)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
+    val gs = new GraftSession(spark, dir)
+    gs.sql("drop table if exists vc_test")
+    val loc = new java.io.File("spark-warehouse/vc_test")
+    if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
+    gs.sql("create table vc_test (c TEXT)")
+    spark.sql("INSERT INTO vc_test VALUES ('vc_test')")
+    // db-qualified view name (reference scopes views per database; here
+    // the qualifier drops into one flat namespace — documented divergence)
+    gs.sql("""create view default.vc_test_view as
+             |select name as table_name from incresql.tables
+             |where database_name = 'default'""".stripMargin)
+    val rows = gs.sql(
+      "SELECT * FROM vc_test JOIN vc_test_view ON c = table_name")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("vc_test", "vc_test")))
+    gs.sql("drop view default.vc_test_view")
+    gs.sql("drop table vc_test")
+  }
+
+  test("bootstrap databases exist: USE incresql round-trips") {
+    val gs = new GraftSession(spark,
+      java.nio.file.Files.createTempDirectory("graft_views_").toString)
+    gs.sql("use incresql")
+    assert(gs.sql("select database()").collect()(0).getString(0) == "incresql")
+    gs.sql("use default")
+  }
+
   test("a view over absent base tables is skipped with a warning, not fatal") {
     val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
     Engine.registerAll(spark, sf)
