@@ -35,8 +35,10 @@ object Bench {
     // headline metric): dedup, clustering, ANN, curation at the same SF.
     val pipeline = Seq(
       queries.Dedup.minhash, queries.Dedup.clusters,
-      queries.Similarity.bruteForce, queries.TextAnalysis.tfidf,
-      queries.Curate.curate).map(q => q.name -> timeOnce(spark)(q))
+      queries.Similarity.bruteForce, queries.Similarity.ivf,
+      queries.TextAnalysis.tfidf,
+      queries.Curate.curate, queries.Curate.sample)
+      .map(q => q.name -> timeOnce(spark)(q))
 
     // Core-count scaling evidence: the 100×-scale claims rest on plan
     // shape; rerunning the headline set on a quarter of the cores (fresh
