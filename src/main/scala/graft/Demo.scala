@@ -30,13 +30,19 @@ object Demo {
 
     show("SELECT database(), @@max_allowed_packet")
     show("SHOW TABLES", limit = 10)
+    show("SELECT name FROM incresql.databases")
     show("SELECT r_name FROM region ORDER BY r_regionkey")
     show("SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 2, 3")
     show("""SELECT props ->> "$.k" FROM events ORDER BY event_id LIMIT 3""")
     show(
       """SELECT l_returnflag, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
-    show("EXPLAIN SELECT count(*) FROM lineitem WHERE l_quantity < 10", limit = 1)
+    show("CREATE VIEW demo_asia AS SELECT * FROM region WHERE r_name = 'ASIA'")
+    show("SELECT r_regionkey, r_name FROM demo_asia")
+    show("DROP VIEW demo_asia")
+    // reference-format EXPLAIN (4-column logical tree); Spark's physical
+    // plan remains under EXPLAIN FORMATTED
+    show("EXPLAIN SELECT count(*) FROM lineitem WHERE l_quantity < 10", limit = 12)
 
     spark.stop()
   }
