@@ -231,6 +231,11 @@ object RefExplain {
         case Count(Seq(Literal(1, _))) | Count(Seq()) => "count()"
         case f => call(f.prettyName, f.children.map(renderExpr(_, childOutput)))
       }
+    // infix operators render as their symbol, backtick-quoted when not a
+    // plain identifier — the reference's FunctionCall display for `+`,
+    // `<`, etc. (ast/src/expr.rs:209,217-221)
+    case b: BinaryOperator =>
+      call(b.symbol, Seq(renderExpr(b.left, childOutput), renderExpr(b.right, childOutput)))
     case other => call(other.prettyName, other.children.map(renderExpr(_, childOutput)))
   }
 
