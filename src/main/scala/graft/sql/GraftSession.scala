@@ -83,10 +83,24 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
           val seq = fn.takeWhile(_.isDigit).toLong
           viewSeq.updateAndGet(m => math.max(m, seq))
           val name = fn.dropWhile(_.isDigit).stripPrefix("_").stripSuffix(".sql")
-          val body = java.nio.file.Files.readString(viewDir.resolve(fn))
-          try spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS ${rewriteQuery(body)}")
-          catch { case e: Exception =>
+          val text = java.nio.file.Files.readString(viewDir.resolve(fn))
+          // restore the stored sql_context for resolution, then put the
+          // session database back (headerless files predate the header)
+          val (ctx, body) =
+            if (text.startsWith(ctxHeader)) {
+              val nl = text.indexOf('\n')
+              (Some(text.substring(ctxHeader.length, nl).trim), text.substring(nl + 1))
+            } else (None, text)
+          val prevDb = spark.catalog.currentDatabase
+          try {
+            ctx.filter(_ != prevDb).foreach(db => spark.sql(s"USE $db"))
+            syncContextViews()
+            spark.sql(
+              s"CREATE OR REPLACE TEMP VIEW $name AS ${rewriteQuery(contextQualify(body))}")
+          } catch { case e: Exception =>
             System.err.println(s"[graft] persisted view $name not replayed: ${e.getMessage}")
+          } finally {
+            if (spark.catalog.currentDatabase != prevDb) spark.sql(s"USE $prevDb")
           }
         }
     }
@@ -94,11 +108,18 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
 
   private def stripTicks(name: String): String = name.replace("`", "")
 
+  // the reference's tables catalog stores sql_context — the database the
+  // view was created under, restored when its text is re-resolved
+  // (catalog/src/lib.rs tables_table schema; resolve_tables.rs). Stored
+  // here as a header comment line above the raw dialect SQL.
+  private val ctxHeader = "-- sql_context: "
+
   private def persistView(name: String, body: String): Unit = {
     java.nio.file.Files.createDirectories(viewDir)
     removeViewFiles(name)
     val seq = viewSeq.incrementAndGet()
-    java.nio.file.Files.writeString(viewDir.resolve(f"${seq}%06d_$name.sql"), body)
+    java.nio.file.Files.writeString(viewDir.resolve(f"${seq}%06d_$name.sql"),
+      s"$ctxHeader${spark.catalog.currentDatabase}\n$body")
   }
 
   private def removeViewFiles(name: String): Unit =
@@ -146,7 +167,53 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+([\w.`]+)(?:\s+where\s+(.+?))?(?:\s+limit\s+(\d+))?\s*;?\s*$""".r
 
-  def sql(text: String): DataFrame = text match {
+  /** While the session database is `incresql`, the reference resolves
+    * bare `tables` / `databases` to its system tables
+    * (tests/views/mod.rs creates a view over unqualified `tables` under
+    * `use incresql`). Mirrored by registering/refreshing bare temp views
+    * inside that context and dropping them on leaving it. (A user temp
+    * view with those names would be shadowed only while in incresql —
+    * where the reference gives the names system meaning anyway.) */
+  private var contextViewsActive = false
+
+  private def syncContextViews(): Unit =
+    if (spark.catalog.currentDatabase == "incresql") {
+      refreshSystemView("databases")
+      refreshSystemView("tables")
+      spark.table("incresql_databases").createOrReplaceTempView("databases")
+      spark.table("incresql_tables").createOrReplaceTempView("tables")
+      contextViewsActive = true
+    } else {
+      if (contextViewsActive) {
+        spark.catalog.dropTempView("databases")
+        spark.catalog.dropTempView("tables")
+        contextViewsActive = false
+      }
+      // stored views may lazily reference the materialized system views
+      // from any database context — keep them fresh per statement
+      if (systemViewsMaterialized) {
+        refreshSystemView("databases")
+        refreshSystemView("tables")
+      }
+    }
+
+  /** View bodies resolve LAZILY in Spark (temp views store the parsed
+    * plan), so a bare `tables`/`databases` written under `use incresql`
+    * must be qualified at CREATE VIEW time — the Spark realization of
+    * the reference's resolve-with-sql_context pass
+    * (resolve_tables.rs:35-58). The persisted text keeps the ORIGINAL
+    * spelling plus the context header, so replay re-applies this. */
+  private def contextQualify(body: String): String =
+    if (spark.catalog.currentDatabase == "incresql")
+      body.replaceAll("(?i)\\b(from|join)\\s+(tables|databases)\\b", "$1 incresql.$2")
+    else body
+
+  def sql(text: String): DataFrame = {
+    syncContextViews()
+    dispatch(text)
+  }
+
+  private def dispatch(text: String): DataFrame = text match {
     case showFunctionsRe() =>
       import spark.implicits._
       val names = spark.sessionState.functionRegistry.listFunction()
@@ -172,7 +239,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       // session-global here, so the qualifier is dropped — divergence:
       // one flat view namespace instead of per-database scoping.
       val bare = stripTicks(name).split('.').last
-      val df = spark.sql(s"CREATE OR REPLACE TEMP VIEW $bare AS ${rewriteQuery(body)}")
+      val df = spark.sql(
+        s"CREATE OR REPLACE TEMP VIEW $bare AS ${rewriteQuery(contextQualify(body))}")
       persistView(bare, body.trim.stripSuffix(";").trim)
       df
     case dropViewRe(name) =>
@@ -267,8 +335,11 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
 
   import GraftSession.{SysDbRow, SysTableRow}
 
+  private var systemViewsMaterialized = false
+
   private def refreshSystemView(which: String): Unit = {
     import spark.implicits._
+    systemViewsMaterialized = true
     which match {
       case "databases" =>
         // bootstrap databases exist even before any user DDL

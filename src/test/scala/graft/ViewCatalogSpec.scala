@@ -82,6 +82,33 @@ class ViewCatalogSpec extends AnyFunSuite {
     gs.sql("drop table vc_test")
   }
 
+  test("views/mod.rs verbatim: context-scoped view over bare `tables` under USE incresql") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
+    val gs = new GraftSession(spark, dir)
+    gs.sql("drop table if exists test")
+    val loc = new java.io.File("spark-warehouse/test")
+    if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
+    // the reference test sequence, statement for statement
+    gs.sql("CREATE TABLE test (c TEXT)")
+    gs.sql("""INSERT INTO test VALUES ("tables")""")
+    gs.sql("use incresql")
+    gs.sql("create view default.test_view as select name as table_name from tables")
+    gs.sql("use default")
+    val rows = gs.sql("SELECT * FROM test JOIN test_view ON c=table_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("tables", "tables")))
+    // sql_context round-trips: a fresh session replays the view with its
+    // stored incresql context, so bare `tables` resolves again
+    val s2 = spark.newSession()
+    val gs2 = new GraftSession(s2, dir)
+    val rows2 = gs2.sql("SELECT table_name FROM test_view WHERE table_name = 'tables'")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows2 == Seq("tables"))
+    assert(s2.catalog.currentDatabase == "default", "replay must restore the session db")
+    gs.sql("drop view test_view")
+    gs.sql("drop table test")
+  }
+
   test("bootstrap databases exist: USE incresql round-trips") {
     val gs = new GraftSession(spark,
       java.nio.file.Files.createTempDirectory("graft_views_").toString)
