@@ -53,17 +53,18 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
 
   // --- persistent view catalog -------------------------------------------
-  // The reference stores views as SQL text in catalog tables, durable
-  // across connections, and re-inlines the text at resolve time
-  // (/root/reference/src/catalog/src/lib.rs:176+, p1_validation/
-  // resolve_tables.rs:35-58). Same model here: CREATE VIEW persists the
-  // raw dialect SQL as `<seq>_<name>.sql` under the view-catalog dir
-  // (default: `<warehouse>/_graft_views`), and a new GraftSession replays
-  // the files in creation order — so chained views resolve — re-running
-  // the dialect rewriter on each. A view whose base tables are absent in
-  // the new session is skipped with a warning (the reference defers that
-  // error to query time; our temp views resolve eagerly — divergence
-  // documented here, pinned in ViewCatalogSpec).
+  // The reference stores views as SQL text (+ sql_context) in catalog
+  // tables, durable across connections, and re-inlines the text at
+  // resolve time (/root/reference/src/catalog/src/lib.rs:176+,
+  // p1_validation/resolve_tables.rs:35-58). Same model here: CREATE VIEW
+  // persists the raw dialect SQL as `<seq>_<name>.sql` (first line: the
+  // sql_context header) under the view-catalog dir (default:
+  // `<warehouse>/_graft_views`); a new GraftSession replays the files in
+  // creation order — so chained views resolve — re-running the dialect
+  // rewriter under each view's stored database context. A view whose
+  // base tables are absent in the new session is skipped with a warning
+  // (the reference would defer that error to query time; pinned in
+  // ViewCatalogSpec).
 
   private val viewDir = java.nio.file.Paths.get(
     Option(viewCatalogDir).getOrElse(GraftSession.defaultViewCatalog(spark)))
