@@ -1,0 +1,53 @@
+package graft.ivm
+
+import graft.sources.MultisetStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retractable MIN/MAX materialized view — the aggregate family the
+  * reference left out: its AggregateFunction trait marks only
+  * count/sum/avg retractable (functions/src/aggregate/maths/sum.rs:42,
+  * avg.rs:55, misc/count.rs:34) because extrema cannot be maintained
+  * from a scalar partial state under retraction — deleting the current
+  * minimum says nothing about the next one.
+  *
+  * The multiset storage model the reference DID build (freq-merged
+  * tuples, storage/src/table.rs:309-347) is exactly the state that makes
+  * retractable extrema possible, so this view keeps its state AS a
+  * [[MultisetStore]]: the (key, value) multiset with merged frequencies.
+  * min/max are read-time aggregations over values with freq > 0 — a
+  * retraction of the current minimum simply uncovers the next.
+  *
+  * Scale: state is bounded by DISTINCT (key, value) pairs, not row
+  * count; a delta merge is one hash aggregation keyed on (key, value)
+  * (MultisetStore's contract), and the read is a keyed min/max over the
+  * compacted snapshot. Bucketing the snapshot by key makes both
+  * exchange-free on a real cluster.
+  */
+final class IncrementalExtremaView(
+    spark: SparkSession,
+    keyCols: Seq[String],
+    valCol: String,
+    statePath: String) {
+
+  val freqCol: String = MultisetStore.freqCol
+  private val stateCols = keyCols :+ valCol
+
+  /** Build v0 state from a base table (implicit freq = 1 per row). */
+  def initialize(base: DataFrame): Unit = applyDelta(
+    if (base.columns.contains(freqCol)) base
+    else base.withColumn(freqCol, lit(1L)))
+
+  /** Merge a freq-annotated change set (+n insert, −n retract). */
+  def applyDelta(delta: DataFrame): Unit =
+    MultisetStore.append(spark, statePath,
+      delta.select((stateCols :+ freqCol).map(col): _*))
+
+  /** Current min/max per key. Keys whose multiset retracted to empty
+    * vanish, like the reference's zero-freq groups. */
+  def current(): DataFrame =
+    MultisetStore.snapshot(spark, statePath)
+      .filter(col(freqCol) > 0L)
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col(valCol)).as(s"min_$valCol"), max(col(valCol)).as(s"max_$valCol"))
+}

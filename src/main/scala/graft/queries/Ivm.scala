@@ -60,5 +60,52 @@ object Ivm {
       .orderBy(col("o_orderstatus"))
   }
 
-  val all: Seq[QueryDef] = Seq(refresh)
+  /** Retractable MIN/MAX view over the same deterministic change
+    * scenario as [[refresh]] — the aggregate family the reference could
+    * not retract (scalar partials can't uncover the next minimum); here
+    * the state is the (key, value) freq-multiset, so retraction of an
+    * extreme value exposes the next one. The oracle recomputes the
+    * surviving multiset from scratch and takes min/max over freq > 0. */
+  val extrema: QueryDef = QueryDef.sqlBacked(
+    "ivm_extrema",
+    """WITH changes AS (
+      |  SELECT o_orderstatus, o_totalprice, 1 AS freq FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice, -1 AS freq FROM orders
+      |  WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice * 2, 1 AS freq FROM orders
+      |  WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 0
+      |),
+      |ms AS (
+      |  SELECT o_orderstatus, o_totalprice, sum(freq) AS f
+      |  FROM changes GROUP BY o_orderstatus, o_totalprice
+      |)
+      |SELECT o_orderstatus,
+      |  min(CASE WHEN f > 0 THEN o_totalprice END) AS min_o_totalprice,
+      |  max(CASE WHEN f > 0 THEN o_totalprice END) AS max_o_totalprice
+      |FROM ms GROUP BY o_orderstatus
+      |HAVING sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) > 0
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (spark, dir) =>
+    val orders = Engine.table(spark, dir, "orders")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_ivm_ext_").resolve("state").toString
+    val view = new graft.ivm.IncrementalExtremaView(
+      spark, Seq("o_orderstatus"), "o_totalprice", statePath)
+    view.initialize(orders.select(col("o_orderstatus"), col("o_totalprice")))
+
+    view.applyDelta(orders
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 0)
+      .select(col("o_orderstatus"), col("o_totalprice"), lit(-1L).as(view.freqCol)))
+
+    view.applyDelta(orders
+      .filter(col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0)
+      .select(col("o_orderstatus"), (col("o_totalprice") * 2).as("o_totalprice"),
+        lit(1L).as(view.freqCol)))
+
+    view.current().orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[QueryDef] = Seq(refresh, extrema)
 }
