@@ -50,4 +50,15 @@ final class IncrementalExtremaView(
       .filter(col(freqCol) > 0L)
       .groupBy(keyCols.map(col): _*)
       .agg(min(col(valCol)).as(s"min_$valCol"), max(col(valCol)).as(s"max_$valCol"))
+
+  /** Streaming maintenance: drain a freq-annotated delta stream into the
+    * multiset state, one merge per micro-batch — same contract as
+    * [[IncrementalAggView.maintainFrom]]. */
+  def maintainFrom(deltaStream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    deltaStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) applyDelta(batch)
+      }
+      .start()
 }

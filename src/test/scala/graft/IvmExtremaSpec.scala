@@ -40,6 +40,25 @@ class IvmExtremaSpec extends AnyFunSuite {
     assert(cur(v) == Map("a" -> (7.0, 7.0)))
   }
 
+  test("streaming maintenance reaches the same extrema as batch applyDelta") {
+    import org.apache.spark.sql.types._
+    val v = view()
+    v.initialize(Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("k", "v"))
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft_ext_stream_").toString
+    Seq(("a", 1.0, -1L), ("b", 9.0, 1L)).toDF("k", "v", v.freqCol)
+      .write.parquet(s"$deltaDir/d1")
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType),
+      StructField(v.freqCol, LongType)))
+    val q = v.maintainFrom(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(deltaDir))
+    try {
+      q.processAllAvailable()
+      assert(cur(v) == Map("a" -> (5.0, 5.0), "b" -> (2.0, 9.0)))
+    } finally q.stop()
+  }
+
   test("a key retracted to empty vanishes; early retraction nets out") {
     val v = view()
     v.initialize(Seq(("a", 3.0), ("b", 4.0)).toDF("k", "v"))
