@@ -81,8 +81,10 @@ class GraftSessionSpec extends AnyFunSuite {
   }
 
   test("SHOW DATABASES / SHOW TABLES shapes") {
+    // reference golden (tests/show/databases.rs): the bootstrap rows
+    // default / incresql / information_schema are always present
     val dbs = gs.sql("show databases").collect().map(_.getString(0))
-    assert(dbs.contains("default"))
+    assert(Set("default", "incresql", "information_schema").subsetOf(dbs.toSet))
     assert(gs.sql("show tables").columns.sameElements(Array("table")))
   }
 }
