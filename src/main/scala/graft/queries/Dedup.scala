@@ -399,11 +399,15 @@ object Dedup {
     * no further iteration. Doubling behavior: a chain of diameter d
     * converges in ~log₂ d rounds (pinned by ClusterConvergenceSpec).
     *
-    * Fixpoint test costs ONE action per round: edge rewrites only ever
-    * move connections toward smaller ids, so the (count, Σu, Σv) triple
-    * is a strictly decreasing potential until the fixpoint — comparing
-    * this round's triple against the REMEMBERED previous one detects
-    * stability without re-scanning the old edge set.
+    * Fixpoint test costs ONE action per round: the (count, Σu, Σv)
+    * triple of the new edge set is compared against the REMEMBERED
+    * previous one, detecting stability without re-scanning the old edge
+    * set. The triple is a fingerprint, not a proof — small-star can both
+    * add and remove edges in a round, so two DIFFERENT edge sets could
+    * collide on all three numbers. A triple match therefore only
+    * NOMINATES the fixpoint; it is confirmed by one extra exceptAll
+    * emptiness action (equal distinct-counts + empty difference ⇒ equal
+    * sets), paid once, at the suspected fixpoint only — never per round.
     *
     * Throws IllegalStateException if maxRounds is hit before the
     * fixpoint — a silent non-fixpoint labeling must never escape to
@@ -455,8 +459,11 @@ object Dedup {
       // (and recompute risk) grows with the iteration count
       val next = smallStar(largeStar(edges)).distinct().localCheckpoint()
       val cur = stats(next)
+      // both sides are distinct()'d, so equal counts + empty difference
+      // proves set equality — the confirmation that a fingerprint
+      // collision between different edge sets cannot fake
+      converged = cur == prev && next.exceptAll(edges).isEmpty
       edges = next
-      converged = cur == prev
       prev = cur
       rounds += 1
     }

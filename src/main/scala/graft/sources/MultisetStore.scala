@@ -46,21 +46,66 @@ object MultisetStore {
 
   /** Merge `df` into the multiset at `path`, each row weighted `freq`
     * (+1 = insert, −1 = single-copy delete — NegateFreq). Compacts per
-    * full tuple: the snapshot never holds two rows with equal columns. */
+    * full tuple: the snapshot never holds two rows with equal columns.
+    *
+    * Concurrency: optimistic read-modify-write. The base version is read
+    * ONCE, the merged snapshot is written to a hidden staging directory,
+    * then atomically renamed to `v<base+1>` — the version directory
+    * therefore only ever appears fully formed, so a concurrent reader
+    * never observes a partial snapshot. If another writer claimed that
+    * version first the rename fails, the staging output is discarded,
+    * and the whole merge retries against the NEW base — no delta is ever
+    * silently lost (the reference gets the same guarantee from its
+    * single-writer storage engine, table.rs:309-347). The atomic-rename
+    * step assumes a filesystem with atomic directory rename (local FS,
+    * HDFS); on an object store without it, run single-writer per path —
+    * the same discipline every file-commit protocol needs there.
+    */
   def append(spark: SparkSession, path: String, df: DataFrame, freq: Long = 1L): Unit = {
     val dataCols = df.columns.filter(_ != freqCol).toIndexedSeq
     val delta =
       if (df.columns.contains(freqCol)) df.select(dataCols.map(col) :+ col(freqCol): _*)
       else df.select(dataCols.map(col): _*).withColumn(freqCol, lit(freq))
-    val merged = versionOf(spark, path) match {
-      case None => delta
-      case Some(v) => spark.read.parquet(versionDir(path, v)).unionByName(delta)
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 20, s"multiset append at $path lost the version race 20 times")
+      val base = versionOf(spark, path) // read exactly once per attempt
+      val merged = base match {
+        case None => delta
+        case Some(v) => spark.read.parquet(versionDir(path, v)).unionByName(delta)
+      }
+      val next = base.map(_ + 1).getOrElse(0)
+      val staging = java.nio.file.Paths.get(
+        path, s"_staging_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
+      merged.groupBy(dataCols.map(col): _*)
+        .agg(sum(col(freqCol)).as(freqCol))
+        .filter(col(freqCol) =!= 0L) // fully-retracted tuples compact away
+        .write.mode("overwrite").parquet(staging.toString)
+      val target = java.nio.file.Paths.get(versionDir(path, next))
+      try {
+        java.nio.file.Files.move(staging, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.FileSystemException =>
+          // lost the race: another writer owns v<next>; re-merge on top
+          if (java.nio.file.Files.exists(target)) deleteRecursively(staging)
+          else throw new IllegalStateException(
+            s"atomic rename to $target failed but the version is unclaimed")
+      }
     }
-    val next = versionOf(spark, path).map(_ + 1).getOrElse(0)
-    merged.groupBy(dataCols.map(col): _*)
-      .agg(sum(col(freqCol)).as(freqCol))
-      .filter(col(freqCol) =!= 0L) // fully-retracted tuples compact away
-      .write.mode("overwrite").parquet(versionDir(path, next))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toVector.reverse.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
   }
 
   /** The multiset expanded back to rows: `__freq` copies per tuple. */

@@ -172,13 +172,24 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     * bare `tables` / `databases` to its system tables
     * (tests/views/mod.rs creates a view over unqualified `tables` under
     * `use incresql`). Mirrored by registering/refreshing bare temp views
-    * inside that context and dropping them on leaving it. (A user temp
-    * view with those names would be shadowed only while in incresql —
-    * where the reference gives the names system meaning anyway.) */
+    * inside that context and dropping them on leaving it. A user temp
+    * view with those names is genuinely shadowed, not destroyed: its raw
+    * view relation is stashed on entering the context and re-registered
+    * on leaving it (ShadowedViewSpec pins the round-trip). */
   private var contextViewsActive = false
+  private val contextViewNames = Seq("databases", "tables")
+  private var shadowedUserViews =
+    Map.empty[String, org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation]
 
   private def syncContextViews(): Unit =
     if (spark.catalog.currentDatabase == "incresql") {
+      if (!contextViewsActive) {
+        // entering the context: stash any pre-existing user temp view
+        // with a system name so leaving can restore it verbatim
+        val cat = spark.sessionState.catalog
+        shadowedUserViews = contextViewNames
+          .flatMap(n => cat.getRawTempView(n).map(n -> _)).toMap
+      }
       refreshSystemView("databases")
       refreshSystemView("tables")
       spark.table("incresql_databases").createOrReplaceTempView("databases")
@@ -186,8 +197,14 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       contextViewsActive = true
     } else {
       if (contextViewsActive) {
-        spark.catalog.dropTempView("databases")
-        spark.catalog.dropTempView("tables")
+        val cat = spark.sessionState.catalog
+        contextViewNames.foreach { n =>
+          shadowedUserViews.get(n) match {
+            case Some(saved) => cat.createTempView(n, saved, overrideIfExists = true)
+            case None => spark.catalog.dropTempView(n)
+          }
+        }
+        shadowedUserViews = Map.empty
         contextViewsActive = false
       }
       // stored views may lazily reference the materialized system views
@@ -206,12 +223,50 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     * spelling plus the context header, so replay re-applies this. */
   private def contextQualify(body: String): String =
     if (spark.catalog.currentDatabase == "incresql")
-      body.replaceAll("(?i)\\b(from|join)\\s+(tables|databases)\\b", "$1 incresql.$2")
+      mapOutsideQuotes(body)(
+        _.replaceAll("(?i)\\b(from|join)\\s+(tables|databases)\\b", "$1 incresql.$2"))
     else body
+
+  /** Apply `f` to the stretches of `q` OUTSIDE quoted string literals,
+    * leaving literal content byte-identical — so the regex rewrites below
+    * can never fire on text like `SELECT 'incresql.tables'`. Same quote
+    * discipline as findOpOutsideQuotes: '…' and "…" open literals,
+    * backslash escapes inside them. A pattern can't span a literal (none
+    * of the rewritten constructs may contain one), so per-segment
+    * application is exact. */
+  private def mapOutsideQuotes(q: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var segStart = 0
+    var i = 0
+    var quote: Char = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (quote != 0) {
+        if (c == quote) { out.append(q.substring(segStart, i + 1)); segStart = i + 1; quote = 0 }
+        else if (c == '\\') i += 1
+      } else if (c == '\'' || c == '"') {
+        out.append(f(q.substring(segStart, i)))
+        segStart = i
+        quote = c
+      }
+      i += 1
+    }
+    out.append(
+      if (quote != 0) q.substring(segStart) // unterminated literal: verbatim
+      else f(q.substring(segStart)))
+    out.toString
+  }
 
   def sql(text: String): DataFrame = {
     syncContextViews()
-    dispatch(text)
+    val dbBefore = spark.catalog.currentDatabase
+    val out = dispatch(text)
+    // a USE statement changes the resolution context mid-statement: sync
+    // again immediately so the bare context views never linger outside
+    // incresql (where a user could unknowingly overwrite them) and are
+    // restored/dropped the moment the context is left
+    if (spark.catalog.currentDatabase != dbBefore) syncContextViews()
+    out
   }
 
   private def dispatch(text: String): DataFrame = text match {
@@ -353,12 +408,18 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
         val user = spark.catalog.listDatabases().collect().flatMap { db =>
           spark.catalog.listTables(db.name).collect()
         }
+          .filterNot(t => t.name.startsWith("incresql_") || t.name.startsWith("graft_dir_"))
+          // the bare `databases`/`tables` context temp views are resolver
+          // plumbing, not catalog content — while active they must not
+          // surface as spurious ('default', ..., 'view') rows the
+          // reference catalog never contains
+          .filterNot(t => contextViewsActive && t.isTemporary &&
+            contextViewNames.contains(t.name))
           .map { t =>
             val db = Option(t.database).getOrElse("default")
             val typ = if (t.tableType == "VIEW" || t.isTemporary) "view" else "table"
             SysTableRow(db, t.name, typ, None, None, None, None, system = false)
           }
-          .filterNot(r => r.name.startsWith("incresql_") || r.name.startsWith("graft_dir_"))
           .distinct
         val sys = Seq( // ids fixed by the reference bootstrap
           SysTableRow("incresql", "prefix_tables", "table", None, None, Some(0L), None, system = true),
@@ -371,10 +432,15 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
 
   private val sysTableRe: Regex =
     """(?i)\bincresql\.(databases|tables)\b(\s+(?:as\s+)?([A-Za-z_]\w*))?""".r
-  // words that can follow a table reference without being its alias
+  // words that can follow a table reference without being its alias —
+  // includes every join/sample/clause keyword Spark accepts there
+  // (`FROM incresql.tables NATURAL JOIN x` must not treat `natural` as
+  // the alias and drop the default `tables` alias)
   private val notAliases = Set(
     "where", "group", "order", "limit", "having", "union", "intersect",
-    "except", "join", "inner", "left", "right", "full", "cross", "on", "using")
+    "except", "join", "inner", "left", "right", "full", "cross", "on", "using",
+    "natural", "lateral", "tablesample", "sort", "cluster", "distribute",
+    "window", "anti", "semi", "pivot", "unpivot", "offset", "values")
 
   private def rewriteSystemTables(q: String): String =
     sysTableRe.replaceAllIn(q, m => {
@@ -384,6 +450,11 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       val alias = Option(m.group(3))
       Regex.quoteReplacement(alias match {
         case Some(a) if !notAliases.contains(a.toLowerCase) => s"incresql_$t$rest"
+        // TABLESAMPLE is the one relation suffix Spark's grammar places
+        // BEFORE the alias, so `AS t` can't be inserted here without
+        // parsing past the sample clause — emit unaliased (qualified
+        // default-alias columns don't combine with TABLESAMPLE).
+        case Some(a) if a.toLowerCase == "tablesample" => s"incresql_$t$rest"
         case _ => s"incresql_$t AS $t$rest"
       })
     })
@@ -397,15 +468,21 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
 
   private[sql] def rewriteQuery(q: String): String = {
     var out = q
-    // incresql.databases / incresql.tables system catalog tables
-    out = rewriteSystemTables(out)
-    // MySQL @@ magic variables → constants
-    // (p1_validation/sub_in_special_vars.rs:7-32)
-    out = out.replaceAll("(?i)@@max_allowed_packet", "16777215")
-    out = out.replaceAll("(?i)@@socket", "''")
-    // database() → Spark's current_database()
-    out = out.replaceAll("(?i)\\bdatabase\\s*\\(\\s*\\)", "current_database()")
+    // Text-level rewrites run only OUTSIDE string literals, so
+    // `SELECT 'incresql.tables'` / `'database()'` stay untouched.
+    out = mapOutsideQuotes(out) { seg =>
+      // incresql.databases / incresql.tables system catalog tables
+      var s = rewriteSystemTables(seg)
+      // MySQL @@ magic variables → constants
+      // (p1_validation/sub_in_special_vars.rs:7-32)
+      s = s.replaceAll("(?i)@@max_allowed_packet", "16777215")
+      s = s.replaceAll("(?i)@@socket", "''")
+      // database() → Spark's current_database()
+      s = s.replaceAll("(?i)\\bdatabase\\s*\\(\\s*\\)", "current_database()")
+      s
+    }
     // FROM DIRECTORY "path" WITH(delimiter=",") → registered temp view
+    // (runs on the raw text: the path IS a double-quoted literal)
     out = directoryRe.replaceAllIn(out, m => {
       val path = m.group(1)
       val delim = Option(m.group(2)).getOrElse(",")
@@ -421,7 +498,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       Regex.quoteReplacement(view)
     })
     // LIMIT off,n → LIMIT n OFFSET off
-    out = limitOffsetRe.replaceAllIn(out, m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    out = mapOutsideQuotes(out)(limitOffsetRe.replaceAllIn(_,
+      m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"))
     // -> / ->> json operators
     out = rewriteJsonOps(out)
     out

@@ -42,6 +42,34 @@ class ClusterConvergenceSpec extends AnyFunSuite {
     assert(lab == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("labels match a local union-find on adversarial pseudo-random graphs") {
+    // the fixpoint is nominated by a (count, Σu, Σv) fingerprint and must
+    // be CONFIRMED by set equality — a premature exit on a fingerprint
+    // collision would show up here as a labeling that disagrees with the
+    // ground-truth union-find
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    // deterministic LCG so the spec is reproducible
+    var seed = 0x5DEECE66DL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (trial <- 1 to 5) {
+      val n = 40 + trial * 17
+      val edges = Seq.fill(n / 2)((nextInt(n).toLong, nextInt(n).toLong))
+      val (lab, _) = labelsOf(n, edges)
+      assert(lab == unionFind(n, edges), s"trial $trial (n=$n) diverged from union-find")
+    }
+  }
+
   test("hitting the round cap without a fixpoint throws loudly") {
     val chain = (0L until 63L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException](labelsOf(64, chain, maxRounds = 1))

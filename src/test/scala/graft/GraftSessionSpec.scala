@@ -51,6 +51,33 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r.getString(1) == "9")
   }
 
+  test("dialect rewrites never fire inside string literals") {
+    // each of these literals matches a rewrite pattern; all must pass
+    // through byte-identical
+    val r = gs.sql("""select 'incresql.tables' as a, 'database()' as b,
+                     |'@@max_allowed_packet' as c, 'limit 1, 2' as d,
+                     |database() as e""".stripMargin).collect()(0)
+    assert(r.getString(0) == "incresql.tables")
+    assert(r.getString(1) == "database()")
+    assert(r.getString(2) == "@@max_allowed_packet")
+    assert(r.getString(3) == "limit 1, 2")
+    assert(r.getString(4) == spark.catalog.currentDatabase) // real one still rewrites
+  }
+
+  test("join/sample keywords after a system table are not eaten as its alias") {
+    // NATURAL JOIN: without the stopword, `natural` becomes the alias and
+    // the join degrades to an unconditioned cartesian product
+    val nat = gs.sql("""select name from incresql.databases
+                       |natural join (select 'default' as name) x""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(nat == Seq("default"))
+    // TABLESAMPLE parses as the sample clause, not as the table's alias
+    val ts = gs.sql(
+      "select name from incresql.databases tablesample (100 percent)")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("default", "incresql", "information_schema").subsetOf(ts))
+  }
+
   test("SHOW FUNCTIONS lists registered functions including custom ones") {
     val fns = gs.sql("show functions").collect().map(_.getString(0))
     assert(fns.contains("json_extract_mysql") && fns.contains("rolling_hash64"))

@@ -42,6 +42,27 @@ class MultisetStoreSpec extends AnyFunSuite {
     assert(snap == Set((2, "b")), "freq-0 tuple must not persist")
   }
 
+  test("concurrent appends both land — the version race retries, never drops a delta") {
+    val p = tmp()
+    MultisetStore.append(spark, p, Seq((0, "base")).toDF("k", "v"))
+    // two writers race from the same observed base; optimistic rename +
+    // re-merge must serialize them with neither delta lost
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 4).map { i =>
+      Future(MultisetStore.append(spark, p, Seq((i, s"w$i")).toDF("k", "v")))
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val snap = MultisetStore.snapshot(spark, p)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(snap == Map((0, "base") -> 1L, (1, "w1") -> 1L, (2, "w2") -> 1L,
+      (3, "w3") -> 1L, (4, "w4") -> 1L))
+    // every version directory is fully formed; no staging debris survives
+    val entries = new java.io.File(p).list().toSeq
+    assert(entries.forall(_.matches("v\\d+")), s"unexpected entries: $entries")
+  }
+
   test("retraction before insert nets out (negative freq retained in state)") {
     val p = tmp()
     MultisetStore.append(spark, p, Seq((9, "z")).toDF("k", "v"), freq = -1L)

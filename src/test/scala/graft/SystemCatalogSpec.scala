@@ -58,6 +58,45 @@ class SystemCatalogSpec extends AnyFunSuite {
     assert(sys == Seq(("prefix_tables", 0L, true), ("databases", 2L, true), ("tables", 4L, true)))
   }
 
+  test("context temp views never surface as rows in incresql.tables") {
+    gs.sql("use incresql")
+    try {
+      // 1st statement registers the bare context views; from the 2nd
+      // statement on, refreshSystemView runs while they exist — the
+      // listing must still only contain the reference's catalog rows
+      gs.sql("select 1")
+      val listed = gs.sql("select database_name, name, type from tables")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(!listed.contains(("default", "databases")) &&
+             !listed.contains(("default", "tables")),
+        s"context temp views leaked into the catalog listing: $listed")
+      // the REAL system rows are of course still there
+      assert(listed.contains(("incresql", "databases")) &&
+             listed.contains(("incresql", "tables")))
+    } finally gs.sql("use default")
+  }
+
+  test("user temp views named databases/tables are shadowed, then restored") {
+    spark.sql("SELECT 42 AS answer").createOrReplaceTempView("databases")
+    spark.sql("SELECT 'mine' AS who").createOrReplaceTempView("tables")
+    try {
+      gs.sql("use incresql")
+      // inside the context the names mean the system tables
+      val cols = gs.sql("select * from databases").columns.toSeq
+      assert(cols == Seq("name"), s"system view must win inside incresql: $cols")
+      gs.sql("use default")
+      // leaving restores the user's views verbatim, not deletes them
+      val a = gs.sql("select answer from databases").collect()(0).getInt(0)
+      assert(a == 42, "user view 'databases' must survive the context round-trip")
+      val w = gs.sql("select who from tables").collect()(0).getString(0)
+      assert(w == "mine", "user view 'tables' must survive the context round-trip")
+    } finally {
+      spark.catalog.dropTempView("databases")
+      spark.catalog.dropTempView("tables")
+      gs.sql("use default")
+    }
+  }
+
   test("EXPLAIN over a system table reproduces the group/mod.rs golden") {
     val got = gs.sql("explain select count(*) from incresql.databases")
       .collect().map(r => (0 until 4).map(r.getString).mkString("|")).toSeq
