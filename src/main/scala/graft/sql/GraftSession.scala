@@ -57,14 +57,39 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
   // tables, durable across connections, and re-inlines the text at
   // resolve time (/root/reference/src/catalog/src/lib.rs:176+,
   // p1_validation/resolve_tables.rs:35-58). Same model here: CREATE VIEW
-  // persists the raw dialect SQL as `<seq>_<name>.sql` (first line: the
-  // sql_context header) under the view-catalog dir (default:
+  // persists the raw dialect SQL as `<seq>_<db>.<name>.sql` (first line:
+  // the sql_context header) under the view-catalog dir (default:
   // `<warehouse>/_graft_views`); a new GraftSession replays the files in
   // creation order — so chained views resolve — re-running the dialect
   // rewriter under each view's stored database context. A view whose
   // base tables are absent in the new session is skipped with a warning
   // (the reference would defer that error to query time; pinned in
   // ViewCatalogSpec).
+  //
+  // Views are DATABASE-SCOPED, as in the reference (its catalog keys
+  // views by (database, name) and unqualified references resolve in the
+  // current database only — resolve_tables.rs:35-58): `CREATE VIEW
+  // db.name` / bare `name` owns the view to `db` / the current database;
+  // a bare reference resolves only when the current database matches;
+  // a qualified `db.name` reference resolves from anywhere. Spark temp
+  // views are session-global, so each view registers under the mangled
+  // name `graft_view_<db>__<name>` and the dialect rewriter maps
+  // references onto it, keeping the reference default alias (`name`)
+  // unless the query supplies its own.
+
+  private case class ViewMeta(db: String, name: String, body: String, ctx: String) {
+    def mangled: String = s"graft_view_${db}__$name"
+  }
+  // (database, name) → definition; insertion order preserved for listing
+  private var viewRegistry =
+    scala.collection.immutable.ListMap.empty[(String, String), ViewMeta]
+
+  /** (owning db, bare name) for a possibly-qualified view identifier. */
+  private def viewKeyOf(rawName: String): (String, String) = {
+    val parts = stripTicks(rawName).split('.')
+    if (parts.length > 1) (parts(parts.length - 2).toLowerCase, parts.last.toLowerCase)
+    else (spark.catalog.currentDatabase, parts.last.toLowerCase)
+  }
 
   private val viewDir = java.nio.file.Paths.get(
     Option(viewCatalogDir).getOrElse(GraftSession.defaultViewCatalog(spark)))
@@ -83,7 +108,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
         .foreach { fn =>
           val seq = fn.takeWhile(_.isDigit).toLong
           viewSeq.updateAndGet(m => math.max(m, seq))
-          val name = fn.dropWhile(_.isDigit).stripPrefix("_").stripSuffix(".sql")
+          val stem = fn.dropWhile(_.isDigit).stripPrefix("_").stripSuffix(".sql")
           val text = java.nio.file.Files.readString(viewDir.resolve(fn))
           // restore the stored sql_context for resolution, then put the
           // session database back (headerless files predate the header)
@@ -92,12 +117,21 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
               val nl = text.indexOf('\n')
               (Some(text.substring(ctxHeader.length, nl).trim), text.substring(nl + 1))
             } else (None, text)
+          // `<db>.<name>` stem; a legacy flat-namespace stem (no dot)
+          // falls back to the stored context database
+          val (db, name) = stem.split("\\.", 2) match {
+            case Array(d, n) => (d, n)
+            case _ => (ctx.getOrElse("default"), stem)
+          }
           val prevDb = spark.catalog.currentDatabase
           try {
-            ctx.filter(_ != prevDb).foreach(db => spark.sql(s"USE $db"))
+            ctx.filter(_ != prevDb).foreach(c => spark.sql(s"USE $c"))
             syncContextViews()
-            spark.sql(
-              s"CREATE OR REPLACE TEMP VIEW $name AS ${rewriteQuery(contextQualify(body))}")
+            val meta = ViewMeta(db, name, body.trim,
+              ctx.getOrElse(spark.catalog.currentDatabase))
+            spark.sql(s"CREATE OR REPLACE TEMP VIEW ${meta.mangled} AS " +
+              rewriteQuery(contextQualify(meta.body)))
+            viewRegistry += ((db, name) -> meta)
           } catch { case e: Exception =>
             System.err.println(s"[graft] persisted view $name not replayed: ${e.getMessage}")
           } finally {
@@ -115,19 +149,23 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
   // here as a header comment line above the raw dialect SQL.
   private val ctxHeader = "-- sql_context: "
 
-  private def persistView(name: String, body: String): Unit = {
+  private def persistView(db: String, name: String, body: String): Unit = {
     java.nio.file.Files.createDirectories(viewDir)
-    removeViewFiles(name)
+    removeViewFiles(db, name)
     val seq = viewSeq.incrementAndGet()
-    java.nio.file.Files.writeString(viewDir.resolve(f"${seq}%06d_$name.sql"),
+    java.nio.file.Files.writeString(viewDir.resolve(f"${seq}%06d_$db.$name.sql"),
       s"$ctxHeader${spark.catalog.currentDatabase}\n$body")
   }
 
-  private def removeViewFiles(name: String): Unit =
+  private def removeViewFiles(db: String, name: String): Unit =
     if (java.nio.file.Files.isDirectory(viewDir)) {
+      val qn = java.util.regex.Pattern.quote(name)
+      val qdb = java.util.regex.Pattern.quote(db)
       val s = java.nio.file.Files.list(viewDir)
+      // matches the scoped form and the legacy flat form of the same name
       try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
-        .filter(_.getFileName.toString.matches(s"\\d+_${java.util.regex.Pattern.quote(name)}\\.sql"))
+        .filter(p => p.getFileName.toString.matches(s"\\d+_$qdb\\.$qn\\.sql") ||
+          p.getFileName.toString.matches(s"\\d+_$qn\\.sql"))
         .toVector.foreach(java.nio.file.Files.delete)
       finally s.close()
     }
@@ -259,6 +297,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
 
   def sql(text: String): DataFrame = {
     syncContextViews()
+    syncViewNamespace()
     val dbBefore = spark.catalog.currentDatabase
     val out = dispatch(text)
     // a USE statement changes the resolution context mid-statement: sync
@@ -266,6 +305,10 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     // incresql (where a user could unknowingly overwrite them) and are
     // restored/dropped the moment the context is left
     if (spark.catalog.currentDatabase != dbBefore) syncContextViews()
+    // CREATE/DROP VIEW (and USE) change which bare names are visible;
+    // re-sync so a dropped view's bare name never dangles to the next
+    // statement
+    syncViewNamespace()
     out
   }
 
@@ -290,19 +333,29 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       spark.sql(s"CREATE TABLE $name ($mapped) USING PARQUET")
     case dropTableRe(name) => spark.sql(s"DROP TABLE $name")
     case createViewRe(name, body) =>
-      // reference views may be database-qualified (`create view
-      // default.test_view as ...`, tests/views/mod.rs); temp views are
-      // session-global here, so the qualifier is dropped — divergence:
-      // one flat view namespace instead of per-database scoping.
-      val bare = stripTicks(name).split('.').last
-      val df = spark.sql(
-        s"CREATE OR REPLACE TEMP VIEW $bare AS ${rewriteQuery(contextQualify(body))}")
-      persistView(bare, body.trim.stripSuffix(";").trim)
+      // `create view db.name` owns the view to db; bare names own to the
+      // current database (tests/views/mod.rs creates default.test_view
+      // from inside incresql). The body resolves under the CURRENT
+      // database — the view's sql_context — regardless of the owner.
+      val (db, bare) = viewKeyOf(name)
+      val meta = ViewMeta(db, bare, body.trim.stripSuffix(";").trim,
+        spark.catalog.currentDatabase)
+      val df = spark.sql(s"CREATE OR REPLACE TEMP VIEW ${meta.mangled} AS " +
+        rewriteQuery(contextQualify(meta.body)))
+      viewRegistry += ((db, bare) -> meta)
+      persistView(db, bare, meta.body)
       df
     case dropViewRe(name) =>
-      val bare = stripTicks(name).split('.').last
-      removeViewFiles(bare)
-      spark.sql(s"DROP VIEW $bare")
+      val (db, bare) = viewKeyOf(name)
+      viewRegistry.get((db, bare)) match {
+        case Some(m) =>
+          removeViewFiles(db, bare)
+          viewRegistry -= ((db, bare))
+          spark.sql(s"DROP VIEW ${m.mangled}")
+        case None =>
+          // not one of ours: fall through to a plain Spark temp view
+          spark.sql(s"DROP VIEW ${stripTicks(name).split('.').last}")
+      }
     case compactRe(name) =>
       // Parquet/Spark analog of RocksDB compaction (connection.rs:113-126):
       // refresh + recompute stats so subsequent plans see the table fresh.
@@ -408,24 +461,35 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
         val user = spark.catalog.listDatabases().collect().flatMap { db =>
           spark.catalog.listTables(db.name).collect()
         }
-          .filterNot(t => t.name.startsWith("incresql_") || t.name.startsWith("graft_dir_"))
+          .filterNot(t => t.name.startsWith("incresql_") || t.name.startsWith("graft_dir_") ||
+            t.name.startsWith("graft_view_"))
           // the bare `databases`/`tables` context temp views are resolver
           // plumbing, not catalog content — while active they must not
           // surface as spurious ('default', ..., 'view') rows the
           // reference catalog never contains
           .filterNot(t => contextViewsActive && t.isTemporary &&
             contextViewNames.contains(t.name))
+          // bare temp views for the current database's scoped views are
+          // resolver plumbing too — the view lists once, under its
+          // owning database, via the registry rows below
+          .filterNot(t => t.isTemporary && bareViewNames.contains(t.name))
           .map { t =>
             val db = Option(t.database).getOrElse("default")
             val typ = if (t.tableType == "VIEW" || t.isTemporary) "view" else "table"
             SysTableRow(db, t.name, typ, None, None, None, None, system = false)
           }
           .distinct
+        // database-scoped views list under their owning database with
+        // their stored SQL text and sql_context, as the reference's
+        // tables catalog does (catalog/src/lib.rs tables schema)
+        val scoped = viewRegistry.values.map(m =>
+          SysTableRow(m.db, m.name, "view", Some(m.body), Some(m.ctx),
+            None, None, system = false)).toSeq
         val sys = Seq( // ids fixed by the reference bootstrap
           SysTableRow("incresql", "prefix_tables", "table", None, None, Some(0L), None, system = true),
           SysTableRow("incresql", "databases", "table", None, None, Some(2L), None, system = true),
           SysTableRow("incresql", "tables", "table", None, None, Some(4L), None, system = true))
-        (user ++ sys).sortBy(r => (r.database_name, r.name)) // pk order
+        (user ++ scoped ++ sys).sortBy(r => (r.database_name, r.name)) // pk order
           .toSeq.toDF().createOrReplaceTempView("incresql_tables")
     }
   }
@@ -442,22 +506,94 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     "natural", "lateral", "tablesample", "sort", "cluster", "distribute",
     "window", "anti", "semi", "pivot", "unpivot", "offset", "values")
 
+  /** Rewritten table reference keeping the reference's default alias
+    * (`defaultAlias`) unless the query supplies its own. TABLESAMPLE is
+    * the one relation suffix Spark's grammar places BEFORE the alias, so
+    * `AS t` can't be inserted there without parsing past the sample
+    * clause — emit unaliased (qualified default-alias columns don't
+    * combine with TABLESAMPLE). */
+  private def aliasedRef(target: String, defaultAlias: String,
+      rest: String, alias: Option[String]): String =
+    alias match {
+      case Some(a) if a.toLowerCase == "tablesample" => s"$target$rest"
+      case Some(a) if !notAliases.contains(a.toLowerCase) => s"$target$rest"
+      case _ => s"$target AS $defaultAlias$rest"
+    }
+
   private def rewriteSystemTables(q: String): String =
     sysTableRe.replaceAllIn(q, m => {
       val t = m.group(1).toLowerCase
       refreshSystemView(t)
-      val rest = Option(m.group(2)).getOrElse("")
-      val alias = Option(m.group(3))
-      Regex.quoteReplacement(alias match {
-        case Some(a) if !notAliases.contains(a.toLowerCase) => s"incresql_$t$rest"
-        // TABLESAMPLE is the one relation suffix Spark's grammar places
-        // BEFORE the alias, so `AS t` can't be inserted here without
-        // parsing past the sample clause — emit unaliased (qualified
-        // default-alias columns don't combine with TABLESAMPLE).
-        case Some(a) if a.toLowerCase == "tablesample" => s"incresql_$t$rest"
-        case _ => s"incresql_$t AS $t$rest"
-      })
+      Regex.quoteReplacement(aliasedRef(s"incresql_$t", t,
+        Option(m.group(2)).getOrElse(""), Option(m.group(3))))
     })
+
+  /** Map database-scoped view references onto their mangled session temp
+    * views, the reference's resolve_tables.rs:35-58 scoping:
+    *
+    *   - a QUALIFIED `db.name` (resolvable from anywhere) is rewritten
+    *     textually — Spark would otherwise look for a metastore table;
+    *   - a BARE `name` resolves through a real bare temp view that
+    *     syncViewNamespace registers while the owning database is
+    *     current (so every syntactic position Spark allows — comma
+    *     cross-join lists included — resolves, with no text surgery),
+    *     PLUS the FROM/JOIN rewrite below. The rewrite looks redundant
+    *     interactively but is load-bearing inside CREATE VIEW bodies:
+    *     temp-view text re-resolves lazily per query, when the session
+    *     may sit in a different database, so view→view references must
+    *     be pinned to the mangled (global) name at creation time.
+    */
+  private def rewriteViewRefs(q: String): String = {
+    val aliasTail = """(\s+(?:[Aa][Ss]\s+)?([A-Za-z_]\w*))?"""
+    val cur = spark.catalog.currentDatabase
+    var out = q
+    viewRegistry.values.foreach { m =>
+      val qualified = ("(?i)(?<![\\w.`])" +
+        java.util.regex.Pattern.quote(s"${m.db}.${m.name}") + "\\b(?!\\s*\\.)" +
+        aliasTail).r
+      out = qualified.replaceAllIn(out, mm => Regex.quoteReplacement(
+        aliasedRef(m.mangled, m.name, Option(mm.group(1)).getOrElse(""),
+          Option(mm.group(2)))))
+      if (m.db == cur) {
+        val bare = ("(?i)\\b(from|join)\\s+" +
+          java.util.regex.Pattern.quote(m.name) + "\\b(?!\\s*\\.)" + aliasTail).r
+        out = bare.replaceAllIn(out, mm => Regex.quoteReplacement(
+          mm.group(1) + " " + aliasedRef(m.mangled, m.name,
+            Option(mm.group(2)).getOrElse(""), Option(mm.group(3)))))
+      }
+    }
+    out
+  }
+
+  // bare temp views currently registered for the session database's
+  // scoped views, plus any unrelated user temp views they shadow
+  private var bareViewNames = Set.empty[String]
+  private var bareShadowed =
+    Map.empty[String, org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation]
+
+  /** Keep a bare temp view per scoped view of the CURRENT database, so
+    * unqualified references resolve natively; drop (restoring anything
+    * shadowed) when the database or the registry changes. Re-registered
+    * every statement so CREATE OR REPLACE definitions take effect. */
+  private def syncViewNamespace(): Unit = {
+    val cat = spark.sessionState.catalog
+    val cur = spark.catalog.currentDatabase
+    val want = viewRegistry.collect { case ((db, n), _) if db == cur => n }.toSet
+    (bareViewNames -- want).foreach { n =>
+      bareShadowed.get(n) match {
+        case Some(saved) => cat.createTempView(n, saved, overrideIfExists = true)
+        case None => spark.catalog.dropTempView(n)
+      }
+      bareShadowed -= n
+    }
+    (want -- bareViewNames).foreach { n =>
+      cat.getRawTempView(n).foreach(v => bareShadowed += (n -> v))
+    }
+    want.foreach { n =>
+      spark.table(viewRegistry((cur, n)).mangled).createOrReplaceTempView(n)
+    }
+    bareViewNames = want
+  }
 
   // --- query dialect rewriting -------------------------------------------
 
@@ -473,6 +609,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     out = mapOutsideQuotes(out) { seg =>
       // incresql.databases / incresql.tables system catalog tables
       var s = rewriteSystemTables(seg)
+      // database-scoped view references → mangled session temp views
+      s = rewriteViewRefs(s)
       // MySQL @@ magic variables → constants
       // (p1_validation/sub_in_special_vars.rs:7-32)
       s = s.replaceAll("(?i)@@max_allowed_packet", "16777215")

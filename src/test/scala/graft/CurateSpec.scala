@@ -36,16 +36,21 @@ class CurateSpec extends AnyFunSuite {
       gs.sql("use graft_vdb")
       gs.sql("create table vt (c TEXT)")
       gs.sql("""insert into vt values ('tables')""")
-      // view over a table in another database, queried from default
+      // bare CREATE VIEW owns the view to the current database
+      // (graft_vdb); from default it resolves only via the qualifier
       gs.sql("create view graft_tv as select c as table_name from graft_vdb.vt")
       gs.sql("use default")
       val rows = gs.sql(
-        """select t.table_name from graft_tv t
+        """select t.table_name from graft_vdb.graft_tv t
           |join (select 'tables' as n) s on t.table_name = s.n""".stripMargin).collect()
       assert(rows.length == 1 && rows(0).getString(0) == "tables")
+      // the bare name does NOT leak across databases (reference scoping)
+      val err = intercept[Exception](
+        gs.sql("select * from graft_tv").collect())
+      assert(err.getMessage.contains("graft_tv"))
     } finally {
       gs.sql("use default")
-      spark.sql("DROP VIEW IF EXISTS graft_tv")
+      try gs.sql("drop view graft_vdb.graft_tv") catch { case _: Exception => () }
       spark.sql("DROP DATABASE IF EXISTS graft_vdb CASCADE")
     }
   }

@@ -56,8 +56,8 @@ class ViewCatalogSpec extends AnyFunSuite {
     gs1.sql("create view v_replace as select 2 as x")
     val gs2 = freshSession(dir)
     assert(gs2.sql("select x from v_replace").collect()(0).getInt(0) == 2)
-    // exactly one catalog file remains for the name
-    val files = new java.io.File(dir).list().count(_.endsWith("_v_replace.sql"))
+    // exactly one catalog file remains for the name (db-scoped stem)
+    val files = new java.io.File(dir).list().count(_.endsWith(".v_replace.sql"))
     assert(files == 1)
   }
 
@@ -69,8 +69,8 @@ class ViewCatalogSpec extends AnyFunSuite {
     if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
     gs.sql("create table vc_test (c TEXT)")
     spark.sql("INSERT INTO vc_test VALUES ('vc_test')")
-    // db-qualified view name (reference scopes views per database; here
-    // the qualifier drops into one flat namespace — documented divergence)
+    // db-qualified view name: owned by `default`, so the bare reference
+    // below resolves because the session database matches
     gs.sql("""create view default.vc_test_view as
              |select name as table_name from incresql.tables
              |where database_name = 'default'""".stripMargin)
@@ -107,6 +107,46 @@ class ViewCatalogSpec extends AnyFunSuite {
     assert(s2.catalog.currentDatabase == "default", "replay must restore the session db")
     gs.sql("drop view test_view")
     gs.sql("drop table test")
+  }
+
+  test("views are database-scoped: bare name only in the owning db, qualified anywhere") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
+    Engine.registerAll(spark, sf)
+    val gs = new GraftSession(spark, dir)
+    spark.sql("DROP DATABASE IF EXISTS graft_scope_db CASCADE")
+    gs.sql("create database graft_scope_db")
+    try {
+      gs.sql("use graft_scope_db")
+      gs.sql("create view v_scoped as select r_name from region where r_regionkey = 0")
+      // owning database: bare resolves, with the default alias usable
+      assert(gs.sql("select v_scoped.r_name from v_scoped").collect()(0)
+        .getString(0) == "AFRICA")
+      gs.sql("use default")
+      // other database: bare does NOT resolve...
+      val err = intercept[Exception](gs.sql("select * from v_scoped").collect())
+      assert(err.getMessage.contains("v_scoped"))
+      // ...but the qualified name does, from anywhere
+      assert(gs.sql("select r_name from graft_scope_db.v_scoped").collect()(0)
+        .getString(0) == "AFRICA")
+      // the catalog lists the view under its owning database with its
+      // stored SQL text and sql_context, like the reference's tables table
+      val row = gs.sql(
+        """select database_name, sql, sql_context from incresql.tables
+          |where name = 'v_scoped'""".stripMargin).collect()(0)
+      assert(row.getString(0) == "graft_scope_db")
+      assert(row.getString(1).startsWith("select r_name from region"))
+      assert(row.getString(2) == "graft_scope_db")
+      // scoping survives into a fresh session
+      val gs2 = freshSession(dir)
+      assert(gs2.sql("select r_name from graft_scope_db.v_scoped").collect()(0)
+        .getString(0) == "AFRICA")
+      val err2 = intercept[Exception](gs2.sql("select * from v_scoped").collect())
+      assert(err2.getMessage.contains("v_scoped"))
+      gs.sql("drop view graft_scope_db.v_scoped")
+    } finally {
+      gs.sql("use default")
+      spark.sql("DROP DATABASE IF EXISTS graft_scope_db CASCADE")
+    }
   }
 
   test("bootstrap databases exist: USE incresql round-trips") {
