@@ -321,10 +321,24 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     case showDatabasesRe() =>
       spark.sql("SHOW DATABASES").select(col("namespace").as("database"))
     case showTablesRe() =>
-      spark.sql("SHOW TABLES").select(col("tableName").as("table"))
+      // the reference lists the CURRENT database's catalog entries only
+      // (tests/show/tables.rs: empty under default, the three system
+      // tables under incresql) — sourced from the same system view as
+      // incresql.tables, so plumbing temp views never leak in
+      refreshSystemView("tables")
+      spark.table("incresql_tables")
+        .filter(col("database_name") === spark.catalog.currentDatabase)
+        .select(col("name").as("table")).orderBy(col("table"))
     case useRe(db) => spark.sql(s"USE $db")
     case createDbRe(db) => spark.sql(s"CREATE DATABASE $db")
-    case dropDbRe(db) => spark.sql(s"DROP DATABASE $db")
+    case dropDbRe(db) =>
+      // the reference refuses to drop a non-empty database
+      // (catalog/src/lib.rs:146-148 check_db_empty); Spark enforces that
+      // for tables, and scoped views count as contents too
+      val d = stripTicks(db).toLowerCase
+      require(!viewRegistry.keys.exists(_._1 == d),
+        s"database $d is not empty: it still contains views")
+      spark.sql(s"DROP DATABASE $db")
     case createTableRe(name, cols) =>
       val mapped = splitTopLevel(cols).map { colDef =>
         val parts = colDef.trim.split("\\s+", 2)

@@ -58,6 +58,25 @@ class SystemCatalogSpec extends AnyFunSuite {
     assert(sys == Seq(("prefix_tables", 0L, true), ("databases", 2L, true), ("tables", 4L, true)))
   }
 
+  test("SHOW TABLES lists the current database only (show/tables.rs golden)") {
+    // under incresql: exactly the three system tables, in name order
+    gs.sql("use incresql")
+    try {
+      val t = gs.sql("show tables").collect().map(_.getString(0)).toSeq
+      assert(t == Seq("databases", "prefix_tables", "tables"))
+    } finally gs.sql("use default")
+    // a freshly created database lists nothing
+    spark.sql("DROP DATABASE IF EXISTS graft_show_db CASCADE")
+    gs.sql("create database graft_show_db")
+    try {
+      gs.sql("use graft_show_db")
+      assert(gs.sql("show tables").collect().isEmpty)
+    } finally {
+      gs.sql("use default")
+      spark.sql("DROP DATABASE IF EXISTS graft_show_db CASCADE")
+    }
+  }
+
   test("context temp views never surface as rows in incresql.tables") {
     gs.sql("use incresql")
     try {

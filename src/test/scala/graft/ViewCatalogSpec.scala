@@ -149,6 +149,26 @@ class ViewCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP DATABASE refuses while scoped views remain (check_db_empty)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
+    val gs = new GraftSession(spark, dir)
+    spark.sql("DROP DATABASE IF EXISTS graft_nodrop_db CASCADE")
+    gs.sql("create database graft_nodrop_db")
+    try {
+      gs.sql("use graft_nodrop_db")
+      gs.sql("create view v_hold as select 1 as x")
+      gs.sql("use default")
+      val err = intercept[IllegalArgumentException](
+        gs.sql("drop database graft_nodrop_db"))
+      assert(err.getMessage.contains("not empty"))
+      gs.sql("drop view graft_nodrop_db.v_hold")
+      gs.sql("drop database graft_nodrop_db") // empty now: succeeds
+    } finally {
+      gs.sql("use default")
+      spark.sql("DROP DATABASE IF EXISTS graft_nodrop_db CASCADE")
+    }
+  }
+
   test("bootstrap databases exist: USE incresql round-trips") {
     val gs = new GraftSession(spark,
       java.nio.file.Files.createTempDirectory("graft_views_").toString)
