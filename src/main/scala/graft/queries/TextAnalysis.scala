@@ -185,5 +185,70 @@ object TextAnalysis {
         |ORDER BY doc_id, rnk""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf)
+  // --- repetition filters (Gopher-style, Rae et al. 2021 §A1.1) -----------
+  // Two standard training-data repetition signals per document:
+  //   - dup_3gram_frac: fraction of word-3-grams that repeat an earlier
+  //     occurrence (1 − distinct/total);
+  //   - top_word_frac: share of the single most frequent token.
+  // The Spark side is a pure per-row projection — the most-frequent-token
+  // count folds over the SORTED token array (max multiplicity = longest
+  // equal run), so no explode/groupBy shuffle touches the corpus; at
+  // 100 TB this scores at scan speed like the other ta_* ops. The oracle
+  // computes the same numbers the expensive way (unnest + GROUP BY) —
+  // equality proves the fold. Thresholds sit inside the observed sf0.01
+  // distribution (dup ≤ 0.02, top ≤ 0.12) so `keep` splits both ways.
+  val repetition: QueryDef = QueryDef.sqlBacked(
+    "ta_repetition",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, len(tokens) AS nt, len(tokens) - 2 AS n3,
+      |    len(list_distinct(list_transform(range(1, len(tokens)-1),
+      |      i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))) AS n3d
+      |  FROM toks WHERE len(tokens) >= 3
+      |), wc AS (
+      |  SELECT doc_id, max(c) AS topc FROM (
+      |    SELECT doc_id, w, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(tokens) AS w FROM toks) GROUP BY doc_id, w
+      |  ) GROUP BY doc_id
+      |)
+      |SELECT g.doc_id,
+      |  CAST(nt AS INT) AS n_tokens,
+      |  CAST(n3 - n3d AS DOUBLE) / n3 AS dup_3gram_frac,
+      |  CAST(topc AS DOUBLE) / nt AS top_word_frac,
+      |  (CAST(n3 - n3d AS DOUBLE) / n3 <= 0.02
+      |    AND CAST(topc AS DOUBLE) / nt <= 0.12) AS keep
+      |FROM g JOIN wc ON g.doc_id = wc.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    docs(spark, dir)
+    spark.sql(
+      """WITH toks AS (
+        |  SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS tokens
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, size(tokens) AS nt, size(tokens) - 2 AS n3,
+        |    size(array_distinct(transform(sequence(0, size(tokens)-3),
+        |      i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))) AS n3d,
+        |    aggregate(sort_array(tokens),
+        |      named_struct('prev', '', 'run', 0, 'best', 0),
+        |      (acc, x) -> named_struct(
+        |        'prev', x,
+        |        'run', IF(x = acc.prev, acc.run + 1, 1),
+        |        'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1))),
+        |      acc -> acc.best) AS topc
+        |  FROM toks WHERE size(tokens) >= 3
+        |)
+        |SELECT doc_id,
+        |  CAST(nt AS INT) AS n_tokens,
+        |  CAST(n3 - n3d AS DOUBLE) / n3 AS dup_3gram_frac,
+        |  CAST(topc AS DOUBLE) / nt AS top_word_frac,
+        |  (CAST(n3 - n3d AS DOUBLE) / n3 <= 0.02
+        |    AND CAST(topc AS DOUBLE) / nt <= 0.12) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf, repetition)
 }
