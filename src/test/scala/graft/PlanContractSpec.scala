@@ -50,6 +50,17 @@ class PlanContractSpec extends AnyFunSuite {
       s"scan reads unneeded columns: $read")
   }
 
+  test("ta_repetition: scoring is shuffle-free — no hash exchange, only the output sort") {
+    val p = plan("ta_repetition")
+    // the per-row fold must never regress to an explode+groupBy shuffle
+    assert(!p.contains("hashpartitioning"),
+      "repetition scoring shuffles the corpus — fold regressed to groupBy")
+    assert(!p.contains("Generate"), "explode appeared in the scoring path")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("lang") && !read.contains("url"),
+      s"scan reads unneeded columns: $read")
+  }
+
   test("evt_range_join: the band join stays an equi-join, never a cross/nested-loop product") {
     val p = plan("evt_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
