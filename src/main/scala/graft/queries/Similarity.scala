@@ -209,5 +209,70 @@ object Similarity {
 
   val ivf: QueryDef = QueryDef.sqlBacked("ann_ivf_topk", ivfOracle)(ivfTopK(_, _))
 
-  val all: Seq[QueryDef] = Seq(bruteForce, ivf)
+  // --- int8 symmetric quantization (storage/compression path) -------------
+  // The standard embedding-compression step before writing an index:
+  // per-vector symmetric int8 quantization (scale = max|x| / 127, value
+  // q = round(x / scale) clamped to [-127, 127]) with its reconstruction
+  // error surfaced per vector. A pure per-row projection — at 100 TB the
+  // quantized table writes at scan speed with no shuffle, cutting the
+  // float32 corpus 4× before any ANN index build. Outputs are scalars
+  // (scale, max_err, mse) because the driver compare can't hold arrays;
+  // hash equality against DuckDB proves the whole per-element pipeline
+  // (both engines fold errors in index order with identical IEEE ops).
+  private val quantizeOracle =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+      |  FROM base
+      |), q AS (
+      |  SELECT vec_id, v, maxabs,
+      |    list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+      |      least(CAST(127 AS BIGINT),
+      |        CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)))) AS qv
+      |  FROM s WHERE maxabs > 0
+      |), e AS (
+      |  SELECT vec_id, maxabs,
+      |    list_transform(range(1, len(v) + 1),
+      |      i -> v[i] - qv[i] * maxabs / 127.0) AS err
+      |  FROM q
+      |)
+      |SELECT vec_id, maxabs / 127.0 AS scale,
+      |  list_max(list_transform(err, x -> abs(x))) AS max_err,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(err, x -> x * x)), (a, b) -> a + b) / len(err) AS mse
+      |FROM e ORDER BY vec_id""".stripMargin
+
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    emb(spark, dir)
+    spark.sql(
+      """WITH base AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v, array_max(transform(v, x -> abs(x))) AS maxabs
+        |  FROM base
+        |), q AS (
+        |  SELECT vec_id, v, maxabs,
+        |    transform(v, x -> greatest(CAST(-127 AS BIGINT),
+        |      least(CAST(127 AS BIGINT),
+        |        CAST(floor(x * 127.0D / maxabs + 0.5D) AS BIGINT)))) AS qv
+        |  FROM s WHERE maxabs > 0
+        |), e AS (
+        |  SELECT vec_id, maxabs,
+        |    transform(sequence(0, size(v) - 1),
+        |      i -> v[i] - qv[i] * maxabs / 127.0D) AS err
+        |  FROM q
+        |)
+        |SELECT vec_id, maxabs / 127.0D AS scale,
+        |  array_max(transform(err, x -> abs(x))) AS max_err,
+        |  aggregate(err, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x) / size(err) AS mse
+        |FROM e ORDER BY vec_id""".stripMargin)
+  }
+
+  val quantized: QueryDef =
+    QueryDef.sqlBacked("emb_quantize", quantizeOracle)(quantize(_, _))
+
+  val all: Seq[QueryDef] = Seq(bruteForce, ivf, quantized)
 }
