@@ -40,6 +40,28 @@ object Demo {
     show("CREATE VIEW demo_asia AS SELECT * FROM region WHERE r_name = 'ASIA'")
     show("SELECT r_regionkey, r_name FROM demo_asia")
     show("DROP VIEW demo_asia")
+    // views are database-scoped, like the reference catalog: bare names
+    // resolve only in the owning database, qualified names from anywhere
+    spark.sql("DROP DATABASE IF EXISTS demo_db CASCADE")
+    show("CREATE DATABASE demo_db")
+    show("USE demo_db")
+    show("CREATE VIEW demo_v AS SELECT r_name FROM region WHERE r_regionkey = 0")
+    show("SELECT * FROM demo_v")
+    show("USE default")
+    show("SELECT * FROM demo_db.demo_v")
+    show("DROP VIEW demo_db.demo_v")
+    show("DROP DATABASE demo_db")
+    // training-pipeline extensions: repetition quality filter and int8
+    // embedding quantization (both pure per-row projections)
+    def showDf(label: String, df: org.apache.spark.sql.DataFrame, limit: Int = 3): Unit = {
+      println(s"\ngraft> [pipeline] $label")
+      df.collect().take(limit).foreach { row =>
+        println(row.toSeq.map(v => if (v == null) "NULL" else v.toString)
+          .mkString("|", "|", "|"))
+      }
+    }
+    showDf("ta_repetition", SparkEntry.queries("ta_repetition")(spark, sfDir))
+    showDf("emb_quantize", SparkEntry.queries("emb_quantize")(spark, sfDir))
     // reference-format EXPLAIN (4-column logical tree); Spark's physical
     // plan remains under EXPLAIN FORMATTED
     show("EXPLAIN SELECT count(*) FROM lineitem WHERE l_quantity < 10", limit = 12)
