@@ -108,6 +108,10 @@ object Dedup {
     cachedShingles(spark, dir)
     // One xxhash64 per shingle, then the 64 per-lane minima run inside the
     // codegen'd MinHash64 kernel — not 64 interpreted lambda folds.
+    // The band signature is re-hashed to ONE BIGINT before the candidate
+    // self-join: the shuffle key shrinks ~10× vs the 4-minima string, and
+    // a hash collision can only ADD a candidate pair, which the exact
+    // jaccard_sorted verification below then discards — recall unaffected.
     spark.sql(
       s"""WITH sig AS (
          |  SELECT doc_id, shingles,
@@ -116,7 +120,7 @@ object Dedup {
          |),
          |bands AS (
          |  SELECT doc_id, b AS band_idx,
-         |    concat_ws(',', slice(minhash, b * 4 + 1, 4)) AS band_sig
+         |    xxhash64(concat_ws(',', slice(minhash, b * 4 + 1, 4))) AS band_sig
          |  FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b
          |),
          |cand AS (
