@@ -51,6 +51,18 @@ final class IncrementalExtremaView(
       .groupBy(keyCols.map(col): _*)
       .agg(min(col(valCol)).as(s"min_$valCol"), max(col(valCol)).as(s"max_$valCol"))
 
+  /** Current COUNT(DISTINCT value) per key — retractable for the same
+    * reason the extrema are: the state is the value multiset, so a
+    * value's distinct contribution disappears exactly when its merged
+    * freq drops to ≤ 0. The compacted snapshot holds ONE row per
+    * distinct (key, value) (MultisetStore's write contract), so the
+    * read is a plain count — no distinct aggregation re-runs. */
+  def distinctCounts(): DataFrame =
+    MultisetStore.snapshot(spark, statePath)
+      .filter(col(freqCol) > 0L)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as(s"n_distinct_$valCol"))
+
   /** Streaming maintenance: drain a freq-annotated delta stream into the
     * multiset state, one merge per micro-batch — same contract as
     * [[IncrementalAggView.maintainFrom]]. */

@@ -107,5 +107,50 @@ object Ivm {
     view.current().orderBy(col("o_orderstatus"))
   }
 
-  val all: Seq[QueryDef] = Seq(refresh, extrema)
+  /** Retractable COUNT(DISTINCT) view over the same change scenario —
+    * served from the same multiset state as [[extrema]] (a distinct
+    * value counts while its merged freq is positive; retraction to zero
+    * removes it). The oracle recomputes the surviving multiset from
+    * scratch and counts distinct values with freq > 0. */
+  val distinct: QueryDef = QueryDef.sqlBacked(
+    "ivm_distinct",
+    """WITH changes AS (
+      |  SELECT o_orderstatus, o_totalprice, 1 AS freq FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice, -1 AS freq FROM orders
+      |  WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice * 2, 1 AS freq FROM orders
+      |  WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 0
+      |),
+      |ms AS (
+      |  SELECT o_orderstatus, o_totalprice, sum(freq) AS f
+      |  FROM changes GROUP BY o_orderstatus, o_totalprice
+      |)
+      |SELECT o_orderstatus,
+      |  CAST(count(CASE WHEN f > 0 THEN 1 END) AS BIGINT) AS n_distinct_o_totalprice
+      |FROM ms GROUP BY o_orderstatus
+      |HAVING count(CASE WHEN f > 0 THEN 1 END) > 0
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (spark, dir) =>
+    val orders = Engine.table(spark, dir, "orders")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_ivm_dist_").resolve("state").toString
+    val view = new graft.ivm.IncrementalExtremaView(
+      spark, Seq("o_orderstatus"), "o_totalprice", statePath)
+    view.initialize(orders.select(col("o_orderstatus"), col("o_totalprice")))
+
+    view.applyDelta(orders
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 0)
+      .select(col("o_orderstatus"), col("o_totalprice"), lit(-1L).as(view.freqCol)))
+
+    view.applyDelta(orders
+      .filter(col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0)
+      .select(col("o_orderstatus"), (col("o_totalprice") * 2).as("o_totalprice"),
+        lit(1L).as(view.freqCol)))
+
+    view.distinctCounts().orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[QueryDef] = Seq(refresh, extrema, distinct)
 }

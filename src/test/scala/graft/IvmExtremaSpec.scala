@@ -40,6 +40,23 @@ class IvmExtremaSpec extends AnyFunSuite {
     assert(cur(v) == Map("a" -> (7.0, 7.0)))
   }
 
+  test("distinct count retracts per VALUE: last copy removes it, duplicates don't") {
+    val v = view()
+    def dc(): Map[String, Long] = v.distinctCounts().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    v.initialize(Seq(("a", 1.0), ("a", 1.0), ("a", 5.0), ("b", 3.0)).toDF("k", "v"))
+    assert(dc() == Map("a" -> 2L, "b" -> 1L))
+    // one copy of a duplicated value retracts — still counted
+    v.applyDelta(Seq(("a", 1.0, -1L)).toDF("k", "v", v.freqCol))
+    assert(dc() == Map("a" -> 2L, "b" -> 1L))
+    // the last copy retracts — the value leaves the distinct set
+    v.applyDelta(Seq(("a", 1.0, -1L)).toDF("k", "v", v.freqCol))
+    assert(dc() == Map("a" -> 1L, "b" -> 1L))
+    // a key retracted to empty vanishes entirely
+    v.applyDelta(Seq(("b", 3.0, -1L)).toDF("k", "v", v.freqCol))
+    assert(dc() == Map("a" -> 1L))
+  }
+
   test("streaming maintenance reaches the same extrema as batch applyDelta") {
     import org.apache.spark.sql.types._
     val v = view()
