@@ -132,6 +132,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
             spark.sql(s"CREATE OR REPLACE TEMP VIEW ${meta.mangled} AS " +
               rewriteQuery(contextQualify(meta.body)))
             viewRegistry += ((db, name) -> meta)
+            viewEpoch += 1
           } catch { case e: Exception =>
             System.err.println(s"[graft] persisted view $name not replayed: ${e.getMessage}")
           } finally {
@@ -357,6 +358,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       val df = spark.sql(s"CREATE OR REPLACE TEMP VIEW ${meta.mangled} AS " +
         rewriteQuery(contextQualify(meta.body)))
       viewRegistry += ((db, bare) -> meta)
+      viewEpoch += 1
       persistView(db, bare, meta.body)
       df
     case dropViewRe(name) =>
@@ -365,6 +367,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
         case Some(m) =>
           removeViewFiles(db, bare)
           viewRegistry -= ((db, bare))
+          viewEpoch += 1
           spark.sql(s"DROP VIEW ${m.mangled}")
         case None =>
           // not one of ours: fall through to a plain Spark temp view
@@ -584,14 +587,21 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
   private var bareViewNames = Set.empty[String]
   private var bareShadowed =
     Map.empty[String, org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation]
+  // registry mutation counter + last-synced (epoch, database): the sync
+  // is a no-op unless a view was created/dropped/replaced or the session
+  // database moved — per-statement cost is two comparisons, not O(views)
+  private var viewEpoch = 0L
+  private var bareSyncedAt: (Long, String) = (-1L, "")
 
   /** Keep a bare temp view per scoped view of the CURRENT database, so
     * unqualified references resolve natively; drop (restoring anything
     * shadowed) when the database or the registry changes. Re-registered
-    * every statement so CREATE OR REPLACE definitions take effect. */
+    * after any registry mutation so CREATE OR REPLACE definitions take
+    * effect. */
   private def syncViewNamespace(): Unit = {
     val cat = spark.sessionState.catalog
     val cur = spark.catalog.currentDatabase
+    if (bareSyncedAt == ((viewEpoch, cur))) return
     val want = viewRegistry.collect { case ((db, n), _) if db == cur => n }.toSet
     (bareViewNames -- want).foreach { n =>
       bareShadowed.get(n) match {
@@ -607,6 +617,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       spark.table(viewRegistry((cur, n)).mangled).createOrReplaceTempView(n)
     }
     bareViewNames = want
+    bareSyncedAt = (viewEpoch, cur)
   }
 
   // --- query dialect rewriting -------------------------------------------
