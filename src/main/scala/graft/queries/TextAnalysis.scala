@@ -223,31 +223,37 @@ object TextAnalysis {
       |ORDER BY g.doc_id""".stripMargin
   ) { (spark, dir) =>
     docs(spark, dir)
-    spark.sql(
-      """WITH toks AS (
-        |  SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS tokens
-        |  FROM documents
-        |), m AS (
-        |  SELECT doc_id, size(tokens) AS nt, size(tokens) - 2 AS n3,
-        |    size(array_distinct(transform(sequence(0, size(tokens)-3),
-        |      i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))) AS n3d,
-        |    aggregate(sort_array(tokens),
-        |      named_struct('prev', '', 'run', 0, 'best', 0),
-        |      (acc, x) -> named_struct(
-        |        'prev', x,
-        |        'run', IF(x = acc.prev, acc.run + 1, 1),
-        |        'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1))),
-        |      acc -> acc.best) AS topc
-        |  FROM toks WHERE size(tokens) >= 3
-        |)
-        |SELECT doc_id,
-        |  CAST(nt AS INT) AS n_tokens,
-        |  CAST(n3 - n3d AS DOUBLE) / n3 AS dup_3gram_frac,
-        |  CAST(topc AS DOUBLE) / nt AS top_word_frac,
-        |  (CAST(n3 - n3d AS DOUBLE) / n3 <= 0.02
-        |    AND CAST(topc AS DOUBLE) / nt <= 0.12) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin)
+    scoreRepetition(Engine.table(spark, dir, "documents"))
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
   }
+
+  /** The repetition scoring as a reusable STATELESS transform over a
+    * frame with (doc_id, text) — identical expressions to the
+    * [[repetition]] oracle; works unchanged on a streaming DataFrame
+    * (no aggregation, no state — StreamingSpec pins stream ≡ batch). */
+  def scoreRepetition(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS tokens")
+      .where("size(tokens) >= 3")
+      .selectExpr(
+        "doc_id",
+        "size(tokens) AS nt",
+        "size(tokens) - 2 AS n3",
+        """size(array_distinct(transform(sequence(0, size(tokens)-3),
+          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))) AS n3d""".stripMargin,
+        """aggregate(sort_array(tokens),
+          |  named_struct('prev', '', 'run', 0, 'best', 0),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x = acc.prev, acc.run + 1, 1),
+          |    'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1))),
+          |  acc -> acc.best) AS topc""".stripMargin)
+      .selectExpr(
+        "doc_id",
+        "CAST(nt AS INT) AS n_tokens",
+        "CAST(n3 - n3d AS DOUBLE) / n3 AS dup_3gram_frac",
+        "CAST(topc AS DOUBLE) / nt AS top_word_frac",
+        """(CAST(n3 - n3d AS DOUBLE) / n3 <= 0.02
+          |  AND CAST(topc AS DOUBLE) / nt <= 0.12) AS keep""".stripMargin)
 
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf, repetition)

@@ -98,6 +98,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming repetition scoring equals batch (stateless projection)") {
+    import spark.implicits._
+    val docs = Engine.table(spark, sf, "documents").select("doc_id", "text")
+    val expected = queries.TextAnalysis.scoreRepetition(docs)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_rep_src_").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = queries.TextAnalysis.scoreRepetition(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rep_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rep_out")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+
   test("streaming fingerprint dedup keeps one doc per distinct text") {
     import spark.implicits._
     // documents has no event time; synthesize arrival order as timestamps,
