@@ -22,7 +22,7 @@ object Demo {
     def show(sql: String, limit: Int = 6): Unit = {
       println(s"\ngraft> $sql")
       val df = gs.sql(sql)
-      df.collect().take(limit).foreach { row =>
+      df.take(limit).foreach { row =>
         println(row.toSeq.map(v => if (v == null) "NULL" else v.toString)
           .mkString("|", "|", "|"))
       }
@@ -55,7 +55,7 @@ object Demo {
     // embedding quantization (both pure per-row projections)
     def showDf(label: String, df: org.apache.spark.sql.DataFrame, limit: Int = 3): Unit = {
       println(s"\ngraft> [pipeline] $label")
-      df.collect().take(limit).foreach { row =>
+      df.take(limit).foreach { row =>
         println(row.toSeq.map(v => if (v == null) "NULL" else v.toString)
           .mkString("|", "|", "|"))
       }

@@ -56,10 +56,12 @@ object MultisetStore {
     * version first the rename fails, the staging output is discarded,
     * and the whole merge retries against the NEW base — no delta is ever
     * silently lost (the reference gets the same guarantee from its
-    * single-writer storage engine, table.rs:309-347). The atomic-rename
-    * step assumes a filesystem with atomic directory rename (local FS,
-    * HDFS); on an object store without it, run single-writer per path —
-    * the same discipline every file-commit protocol needs there.
+    * single-writer storage engine, table.rs:309-347). The commit step uses
+    * java.nio (local-filesystem paths): on a distributed filesystem or
+    * object store, where java.nio cannot address the path, run
+    * single-writer per path or port the claim step to that store's
+    * rename/conditional-put — the same discipline every file-commit
+    * protocol needs there.
     */
   def append(spark: SparkSession, path: String, df: DataFrame, freq: Long = 1L): Unit = {
     val dataCols = df.columns.filter(_ != freqCol).toIndexedSeq

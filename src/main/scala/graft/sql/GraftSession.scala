@@ -79,6 +79,15 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
 
   private case class ViewMeta(db: String, name: String, body: String, ctx: String) {
     def mangled: String = s"graft_view_${db}__$name"
+    // compiled once per view definition, not per statement
+    private def q(s: String) = java.util.regex.Pattern.quote(s)
+    private val aliasTail = """(\s+(?:[Aa][Ss]\s+)?([A-Za-z_]\w*))?"""
+    lazy val qualifiedRe: Regex =
+      ("(?i)(?<![\\w.`])" + q(s"$db.$name") + "\\b(?!\\s*\\.)" + aliasTail).r
+    lazy val qualifiedColRe: Regex =
+      ("(?i)(?<![\\w.`])" + q(s"$db.$name") + "(?=\\s*\\.)").r
+    lazy val bareRe: Regex =
+      ("(?i)\\b(from|join)\\s+" + q(name) + "\\b(?!\\s*\\.)" + aliasTail).r
   }
   // (database, name) → definition; insertion order preserved for listing
   private var viewRegistry =
@@ -118,15 +127,27 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
               (Some(text.substring(ctxHeader.length, nl).trim), text.substring(nl + 1))
             } else (None, text)
           // `<db>.<name>` stem; a legacy flat-namespace stem (no dot)
-          // falls back to the stored context database
+          // falls back to the stored context database — and the file is
+          // migrated to the scoped stem, so the bare-name delete pattern
+          // that legacy files needed (which could collide across
+          // databases) never applies to migrated catalogs
           val (db, name) = stem.split("\\.", 2) match {
             case Array(d, n) => (d, n)
-            case _ => (ctx.getOrElse("default"), stem)
+            case _ =>
+              val owner = ctx.getOrElse("default")
+              java.nio.file.Files.move(viewDir.resolve(fn),
+                viewDir.resolve(f"${seq}%06d_$owner.$stem.sql"))
+              (owner, stem)
           }
           val prevDb = spark.catalog.currentDatabase
           try {
             ctx.filter(_ != prevDb).foreach(c => spark.sql(s"USE $c"))
             syncContextViews()
+            // bare temp views of the stored context database must exist
+            // while this body analyzes: view references in positions the
+            // FROM/JOIN pin can't reach (comma cross-join lists) resolve
+            // through them, exactly as they did at creation time
+            syncViewNamespace()
             val meta = ViewMeta(db, name, body.trim,
               ctx.getOrElse(spark.catalog.currentDatabase))
             spark.sql(s"CREATE OR REPLACE TEMP VIEW ${meta.mangled} AS " +
@@ -163,10 +184,11 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       val qn = java.util.regex.Pattern.quote(name)
       val qdb = java.util.regex.Pattern.quote(db)
       val s = java.nio.file.Files.list(viewDir)
-      // matches the scoped form and the legacy flat form of the same name
+      // scoped form only: legacy flat-form files are migrated to the
+      // scoped stem at replay, so a bare-name pattern (which could match
+      // another database's same-named view) is never needed here
       try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
-        .filter(p => p.getFileName.toString.matches(s"\\d+_$qdb\\.$qn\\.sql") ||
-          p.getFileName.toString.matches(s"\\d+_$qn\\.sql"))
+        .filter(_.getFileName.toString.matches(s"\\d+_$qdb\\.$qn\\.sql"))
         .toVector.foreach(java.nio.file.Files.delete)
       finally s.close()
     }
@@ -197,7 +219,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
   private val showTablesRe = """(?is)^\s*show\s+tables\s*;?\s*$""".r
   private val useRe = """(?is)^\s*use\s+([\w`]+)\s*;?\s*$""".r
   private val createDbRe = """(?is)^\s*create\s+database\s+([\w`]+)\s*;?\s*$""".r
-  private val dropDbRe = """(?is)^\s*drop\s+database\s+([\w`]+)\s*;?\s*$""".r
+  private val dropDbRe =
+    """(?is)^\s*drop\s+database\s+(if\s+exists\s+)?([\w`]+)(\s+cascade)?\s*;?\s*$""".r
   private val createTableRe = """(?is)^\s*create\s+table\s+([\w.`]+)\s*\((.*)\)\s*;?\s*$""".r
   private val dropTableRe = """(?is)^\s*drop\s+table\s+([\w.`]+)\s*;?\s*$""".r
   private val createViewRe = """(?is)^\s*create\s+view\s+([\w.`]+)\s+as\s+(.*)$""".r
@@ -332,14 +355,25 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
         .select(col("name").as("table")).orderBy(col("table"))
     case useRe(db) => spark.sql(s"USE $db")
     case createDbRe(db) => spark.sql(s"CREATE DATABASE $db")
-    case dropDbRe(db) =>
+    case dropDbRe(ifExists, db, cascade) =>
       // the reference refuses to drop a non-empty database
       // (catalog/src/lib.rs:146-148 check_db_empty); Spark enforces that
-      // for tables, and scoped views count as contents too
+      // for tables, and scoped views count as contents too. CASCADE (a
+      // Spark extension) instead drops the database's views with it —
+      // registry, mangled temp views, and catalog files included, so no
+      // ghost view replays into a later session.
       val d = stripTicks(db).toLowerCase
-      require(!viewRegistry.keys.exists(_._1 == d),
-        s"database $d is not empty: it still contains views")
-      spark.sql(s"DROP DATABASE $db")
+      val owned = viewRegistry.keys.filter(_._1 == d).toSeq
+      if (cascade == null)
+        require(owned.isEmpty, s"database $d is not empty: it still contains views")
+      else owned.foreach { case (vdb, vname) =>
+        removeViewFiles(vdb, vname)
+        spark.sql(s"DROP VIEW IF EXISTS ${viewRegistry((vdb, vname)).mangled}")
+        viewRegistry -= ((vdb, vname))
+        viewEpoch += 1
+      }
+      spark.sql(s"DROP DATABASE ${Option(ifExists).getOrElse("")} $db " +
+        Option(cascade).getOrElse(""))
     case createTableRe(name, cols) =>
       val mapped = splitTopLevel(cols).map { colDef =>
         val parts = colDef.trim.split("\\s+", 2)
@@ -561,20 +595,20 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     *     be pinned to the mangled (global) name at creation time.
     */
   private def rewriteViewRefs(q: String): String = {
-    val aliasTail = """(\s+(?:[Aa][Ss]\s+)?([A-Za-z_]\w*))?"""
     val cur = spark.catalog.currentDatabase
     var out = q
     viewRegistry.values.foreach { m =>
-      val qualified = ("(?i)(?<![\\w.`])" +
-        java.util.regex.Pattern.quote(s"${m.db}.${m.name}") + "\\b(?!\\s*\\.)" +
-        aliasTail).r
-      out = qualified.replaceAllIn(out, mm => Regex.quoteReplacement(
+      out = m.qualifiedRe.replaceAllIn(out, mm => Regex.quoteReplacement(
         aliasedRef(m.mangled, m.name, Option(mm.group(1)).getOrElse(""),
           Option(mm.group(2)))))
+      // `db.name.col` column qualifiers collapse to the default alias
+      // (`name.col`), since the relation itself is aliased back to the
+      // bare name. Text-level caveat (inherent to the pre-rewriter
+      // design): a table alias that equals a registered view's database
+      // with a struct column named like the view would be rewritten too.
+      out = m.qualifiedColRe.replaceAllIn(out, _ => Regex.quoteReplacement(m.name))
       if (m.db == cur) {
-        val bare = ("(?i)\\b(from|join)\\s+" +
-          java.util.regex.Pattern.quote(m.name) + "\\b(?!\\s*\\.)" + aliasTail).r
-        out = bare.replaceAllIn(out, mm => Regex.quoteReplacement(
+        out = m.bareRe.replaceAllIn(out, mm => Regex.quoteReplacement(
           mm.group(1) + " " + aliasedRef(m.mangled, m.name,
             Option(mm.group(2)).getOrElse(""), Option(mm.group(3)))))
       }

@@ -149,6 +149,49 @@ class ViewCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("comma cross-join view bodies replay; db.view.col qualifiers resolve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
+    Engine.registerAll(spark, sf)
+    val gs1 = new GraftSession(spark, dir)
+    gs1.sql("create view v_cc_a as select 1 as x")
+    gs1.sql("create view v_cc_b as select 2 as y")
+    // comma cross-join list: the bare names resolve through the synced
+    // bare temp views, a position the FROM/JOIN pin can't reach
+    gs1.sql("create view v_cc as select * from v_cc_a, v_cc_b")
+    assert(gs1.sql("select x, y from v_cc").collect()(0).toSeq == Seq(1, 2))
+    // a fresh session must replay all three (the comma refs resolve
+    // because replay syncs the context database's bare views first)
+    val gs2 = freshSession(dir)
+    assert(gs2.sql("select x, y from v_cc").collect()(0).toSeq == Seq(1, 2))
+    // fully-qualified column references collapse to the default alias
+    assert(gs2.sql("select default.v_cc.x from default.v_cc").collect()(0)
+      .getInt(0) == 1)
+    Seq("v_cc", "v_cc_a", "v_cc_b").foreach(v => gs2.sql(s"drop view $v"))
+  }
+
+  test("DROP DATABASE CASCADE removes the database's views everywhere") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
+    val gs = new GraftSession(spark, dir)
+    spark.sql("DROP DATABASE IF EXISTS graft_casc_db CASCADE")
+    gs.sql("create database graft_casc_db")
+    gs.sql("use graft_casc_db")
+    gs.sql("create view v_gone as select 1 as x")
+    gs.sql("use default")
+    gs.sql("drop database graft_casc_db cascade")
+    // no ghost: catalog row gone, file gone, qualified reference dead
+    assert(gs.sql(
+      "select * from incresql.tables where name = 'v_gone'").collect().isEmpty)
+    assert(!new java.io.File(dir).list().exists(_.contains("v_gone")))
+    val err = intercept[Exception](
+      gs.sql("select * from graft_casc_db.v_gone").collect())
+    assert(err != null)
+    // and a fresh session replays nothing from it
+    val gs2 = freshSession(dir)
+    val err2 = intercept[Exception](
+      gs2.sql("select * from graft_casc_db.v_gone").collect())
+    assert(err2 != null)
+  }
+
   test("DROP DATABASE refuses while scoped views remain (check_db_empty)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_views_").toString
     val gs = new GraftSession(spark, dir)
