@@ -36,7 +36,8 @@ object Bench {
     val pipeline = Seq(
       queries.Dedup.minhash, queries.Dedup.clusters,
       queries.Similarity.bruteForce, queries.Similarity.ivf,
-      queries.TextAnalysis.tfidf,
+      queries.Similarity.quantized,
+      queries.TextAnalysis.tfidf, queries.TextAnalysis.repetition,
       queries.Curate.curate, queries.Curate.sample)
       .map(q => q.name -> timeOnce(spark)(q))
 
