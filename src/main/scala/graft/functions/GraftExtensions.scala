@@ -35,7 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("dot_product", "dot product of two double arrays, index-order fold from 0.0",
         exprs => DotProduct(exprs(0), exprs(1))),
       ("argmax_dot", "index of the matrix row with the max dot product against a vector (ties -> lowest)",
-        exprs => ArgmaxDot(exprs(0), exprs(1))))
+        exprs => ArgmaxDot(exprs(0), exprs(1))),
+      ("quant_stats", "[scale, max_err, mse] of symmetric int8 quantization of a float/double vector",
+        exprs => QuantStats(exprs.head)))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

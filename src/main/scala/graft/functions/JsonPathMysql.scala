@@ -212,6 +212,8 @@ object GraftFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "argmax_dot", exprs => ArgmaxDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "quant_stats", exprs => QuantStats(exprs.head), "built-in")
   }
 
   /** `->`: json-context extraction (wildcards wrap in an array). */

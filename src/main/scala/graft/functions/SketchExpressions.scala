@@ -413,3 +413,100 @@ case class MinHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Symmetric int8 quantization statistics of a vector, as one codegen
+  * loop: returns `[scale, max_err, mse]` where scale = max|x|/127,
+  * q_i = clamp(floor(x_i·127/max|x| + 0.5), ±127), err_i = x_i − q_i·
+  * max|x|/127 — the EXACT IEEE operation order of the SQL higher-order
+  * spelling in queries/Similarity.scala and its DuckDB oracle, so
+  * results stay bit-identical while the 3 passes over the vector run as
+  * generated Java instead of one interpreted lambda call per element.
+  * Accepts array<float> (cast per element — exact) or array<double>.
+  * NULL for an empty or all-zero vector (no scale exists).
+  */
+case class QuantStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "quant_stats"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quant_stats needs array<float> or array<double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    def at(i: Int): Double = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) { val v = math.abs(at(i)); if (v > maxabs) maxabs = v; i += 1 }
+    if (n == 0 || maxabs == 0.0) null
+    else {
+      var maxErr = 0.0
+      var sse = 0.0
+      i = 0
+      while (i < n) {
+        val x = at(i)
+        var q = math.floor(x * 127.0 / maxabs + 0.5).toLong
+        if (q > 127L) q = 127L
+        if (q < -127L) q = -127L
+        val err = x - q.toDouble * maxabs / 127.0
+        val ae = math.abs(err)
+        if (ae > maxErr) maxErr = ae
+        sse += err * err
+        i += 1
+      }
+      new GenericArrayData(Array[Any](maxabs / 127.0, maxErr, sse / n))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val x = ctx.freshName("x"); val m = ctx.freshName("maxabs")
+      val q = ctx.freshName("q"); val err = ctx.freshName("err")
+      val ae = ctx.freshName("ae"); val me = ctx.freshName("maxErr")
+      val sse = ctx.freshName("sse"); val out = ctx.freshName("out")
+      val get = (idx: String) =>
+        if (isFloat) s"(double) $a.getFloat($idx)" else s"$a.getDouble($idx)"
+      s"""
+         |int $n = $a.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = Math.abs(${get(i)});
+         |  if ($x > $m) $m = $x;
+         |}
+         |if ($n == 0 || $m == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $me = 0.0;
+         |  double $sse = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = ${get(i)};
+         |    long $q = (long) Math.floor($x * 127.0 / $m + 0.5);
+         |    if ($q > 127L) $q = 127L;
+         |    if ($q < -127L) $q = -127L;
+         |    double $err = $x - (double) $q * $m / 127.0;
+         |    double $ae = Math.abs($err);
+         |    if ($ae > $me) $me = $ae;
+         |    $sse += $err * $err;
+         |  }
+         |  double[] $out = new double[]{$m / 127.0, $me, $sse / $n};
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -246,29 +246,16 @@ object Similarity {
 
   def quantize(spark: SparkSession, dir: String): DataFrame = {
     emb(spark, dir)
+    // One codegen loop per row (functions/SketchExpressions.QuantStats)
+    // instead of five chained higher-order lambdas — identical IEEE
+    // operation order, so the DuckDB oracle still matches bit for bit;
+    // the kernel reads the float array directly (float→double cast is
+    // exact), keeping the whole scoring inside whole-stage codegen.
     spark.sql(
-      """WITH base AS (
-        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), s AS (
-        |  SELECT vec_id, v, array_max(transform(v, x -> abs(x))) AS maxabs
-        |  FROM base
-        |), q AS (
-        |  SELECT vec_id, v, maxabs,
-        |    transform(v, x -> greatest(CAST(-127 AS BIGINT),
-        |      least(CAST(127 AS BIGINT),
-        |        CAST(floor(x * 127.0D / maxabs + 0.5D) AS BIGINT)))) AS qv
-        |  FROM s WHERE maxabs > 0
-        |), e AS (
-        |  SELECT vec_id, maxabs,
-        |    transform(sequence(0, size(v) - 1),
-        |      i -> v[i] - qv[i] * maxabs / 127.0D) AS err
-        |  FROM q
-        |)
-        |SELECT vec_id, maxabs / 127.0D AS scale,
-        |  array_max(transform(err, x -> abs(x))) AS max_err,
-        |  aggregate(err, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x) / size(err) AS mse
-        |FROM e ORDER BY vec_id""".stripMargin)
+      """SELECT vec_id, st[0] AS scale, st[1] AS max_err, st[2] AS mse
+        |FROM (SELECT vec_id, quant_stats(embedding) AS st FROM embeddings)
+        |WHERE st IS NOT NULL
+        |ORDER BY vec_id""".stripMargin)
   }
 
   val quantized: QueryDef =

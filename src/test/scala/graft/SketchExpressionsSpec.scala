@@ -92,4 +92,37 @@ class SketchExpressionsSpec extends AnyFunSuite {
       .selectExpr("simhash60(hs) AS fp").as[Long].head()
     assert(evalFp == dfFp)
   }
+
+  test("quant_stats equals the SQL higher-order spelling bit for bit") {
+    // the kernel replaced five chained HOF lambdas in emb_quantize; this
+    // pins the generated loop against that exact spelling, per element
+    val vecs = Seq(
+      Seq(0.5f, -1.25f, 3.75f, 0.0f),
+      Seq(1e-4f, -1e-4f, 2e-4f),
+      Seq(-7.5f))
+    val df = vecs.toDF("v")
+    val kernel = df.selectExpr("quant_stats(v) AS st")
+      .selectExpr("st[0] AS scale", "st[1] AS max_err", "st[2] AS mse")
+      .collect().map(_.toSeq)
+    val hof = df
+      .selectExpr("transform(v, x -> CAST(x AS DOUBLE)) AS d")
+      .selectExpr("d", "array_max(transform(d, x -> abs(x))) AS maxabs")
+      .where("maxabs > 0")
+      .selectExpr("d", "maxabs",
+        """transform(d, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+          |CAST(floor(x * 127.0D / maxabs + 0.5D) AS BIGINT)))) AS qv""".stripMargin)
+      .selectExpr("maxabs",
+        "transform(sequence(0, size(d) - 1), i -> d[i] - qv[i] * maxabs / 127.0D) AS err")
+      .selectExpr("maxabs / 127.0D AS scale",
+        "array_max(transform(err, x -> abs(x))) AS max_err",
+        "aggregate(err, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x) / size(err) AS mse")
+      .collect().map(_.toSeq)
+    assert(kernel.toSeq == hof.toSeq)
+  }
+
+  test("quant_stats is NULL for empty and all-zero vectors") {
+    val got = Seq(Seq.empty[Float], Seq(0.0f, 0.0f)).toDF("v")
+      .selectExpr("quant_stats(v) AS st").collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
 }
