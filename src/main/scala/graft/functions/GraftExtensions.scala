@@ -37,7 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("argmax_dot", "index of the matrix row with the max dot product against a vector (ties -> lowest)",
         exprs => ArgmaxDot(exprs(0), exprs(1))),
       ("quant_stats", "[scale, max_err, mse] of symmetric int8 quantization of a float/double vector",
-        exprs => QuantStats(exprs.head)))
+        exprs => QuantStats(exprs.head)),
+      ("rep_stats", "[n_tokens, n_3grams, n_distinct_3grams, top_token_count] of a token array",
+        exprs => RepStats(exprs.head)))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -214,6 +214,8 @@ object GraftFunctions {
       "argmax_dot", exprs => ArgmaxDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "quant_stats", exprs => QuantStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rep_stats", exprs => RepStats(exprs.head), "built-in")
   }
 
   /** `->`: json-context extraction (wildcards wrap in an array). */

@@ -510,3 +510,84 @@ case class QuantStats(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Repetition statistics of a token array, as one generated loop:
+  * returns `[n_tokens, n_3grams, n_distinct_3grams, top_token_count]`
+  * — the integer inputs of queries/TextAnalysis.scoreRepetition's
+  * fractions. Replaces three interpreted lambda passes (3-gram
+  * transform, distinct build, sorted-run fold); the outputs are exact
+  * integers, so the derived fractions stay bit-identical to the SQL
+  * spelling and the DuckDB oracle. `[n, n-2, 0, 0]`-shaped underflow
+  * can't occur: callers filter n ≥ 3 (matching the oracle's WHERE).
+  * Uses JVM collections inside codegen (allowed — whole-stage codegen
+  * emits arbitrary Java), trading a per-row HashMap for the per-element
+  * lambda interpreter.
+  */
+case class RepStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rep_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rep_stats needs array<string>, got $other")
+    }
+
+  /** Shared by eval and the generated code (the loop is collection-
+    * bound, so a static helper keeps the codegen template tiny). */
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = a.getUTF8String(i).toString; i += 1 }
+    new GenericArrayData(RepStats.compute(toks).map(_.asInstanceOf[Any]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val toks = ctx.freshName("toks")
+      s"""
+         |int $n = $a.numElements();
+         |String[] $toks = new String[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $toks[$i] = $a.getUTF8String($i).toString();
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.RepStats.computeBoxed($toks));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RepStats {
+  /** `[n, n-2, distinct 3-grams, max token multiplicity]`. */
+  def compute(toks: Array[String]): Array[Long] = {
+    val n = toks.length
+    val grams = new java.util.HashSet[String]()
+    var i = 0
+    while (i + 2 < n) {
+      grams.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val counts = new java.util.HashMap[String, Int]()
+    var top = 0
+    i = 0
+    while (i < n) {
+      val c = counts.merge(toks(i), 1, Integer.sum)
+      if (c > top) top = c
+      i += 1
+    }
+    Array(n.toLong, (n - 2).toLong, grams.size.toLong, top.toLong)
+  }
+
+  /** Boxed variant for the generated code (GenericArrayData wants Object[]). */
+  def computeBoxed(toks: Array[String]): Array[AnyRef] =
+    compute(toks).map(java.lang.Long.valueOf)
+}

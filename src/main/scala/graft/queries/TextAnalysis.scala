@@ -232,28 +232,21 @@ object TextAnalysis {
     * [[repetition]] oracle; works unchanged on a streaming DataFrame
     * (no aggregation, no state — StreamingSpec pins stream ≡ batch). */
   def scoreRepetition(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // the integer statistics come from the rep_stats codegen kernel
+    // (functions/SketchExpressions.RepStats) — one generated loop instead
+    // of three interpreted lambda passes; the fractions below divide the
+    // same exact integers the SQL spelling produced, so the oracle is
+    // unchanged (RepStatsSpec pins kernel ≡ HOF spelling)
     df.selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS tokens")
       .where("size(tokens) >= 3")
+      .selectExpr("doc_id", "rep_stats(tokens) AS st")
       .selectExpr(
         "doc_id",
-        "size(tokens) AS nt",
-        "size(tokens) - 2 AS n3",
-        """size(array_distinct(transform(sequence(0, size(tokens)-3),
-          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))) AS n3d""".stripMargin,
-        """aggregate(sort_array(tokens),
-          |  named_struct('prev', '', 'run', 0, 'best', 0),
-          |  (acc, x) -> named_struct(
-          |    'prev', x,
-          |    'run', IF(x = acc.prev, acc.run + 1, 1),
-          |    'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1))),
-          |  acc -> acc.best) AS topc""".stripMargin)
-      .selectExpr(
-        "doc_id",
-        "CAST(nt AS INT) AS n_tokens",
-        "CAST(n3 - n3d AS DOUBLE) / n3 AS dup_3gram_frac",
-        "CAST(topc AS DOUBLE) / nt AS top_word_frac",
-        """(CAST(n3 - n3d AS DOUBLE) / n3 <= 0.02
-          |  AND CAST(topc AS DOUBLE) / nt <= 0.12) AS keep""".stripMargin)
+        "CAST(st[0] AS INT) AS n_tokens",
+        "CAST(st[1] - st[2] AS DOUBLE) / st[1] AS dup_3gram_frac",
+        "CAST(st[3] AS DOUBLE) / st[0] AS top_word_frac",
+        """(CAST(st[1] - st[2] AS DOUBLE) / st[1] <= 0.02
+          |  AND CAST(st[3] AS DOUBLE) / st[0] <= 0.12) AS keep""".stripMargin)
 
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf, repetition)

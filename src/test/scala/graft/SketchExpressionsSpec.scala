@@ -125,4 +125,28 @@ class SketchExpressionsSpec extends AnyFunSuite {
       .selectExpr("quant_stats(v) AS st").collect()
     assert(got.forall(_.isNullAt(0)))
   }
+
+  test("rep_stats equals the HOF spelling's integers (incl. duplicates and runs)") {
+    val docs = Seq(
+      Seq("a", "b", "a", "b", "a", "b"),          // repeating 3-grams
+      Seq("x", "x", "x", "y", "z"),               // run of 3
+      Seq("p", "q", "r"))                          // single 3-gram
+    val df = docs.toDF("tokens")
+    val kernel = df.selectExpr("rep_stats(tokens) AS st")
+      .collect().map(_.getSeq[Long](0).toList)
+    val hof = df.selectExpr(
+        "CAST(size(tokens) AS BIGINT) AS nt",
+        "CAST(size(tokens) - 2 AS BIGINT) AS n3",
+        """CAST(size(array_distinct(transform(sequence(0, size(tokens)-3),
+          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))) AS BIGINT) AS n3d""".stripMargin,
+        """CAST(aggregate(sort_array(tokens),
+          |  named_struct('prev', '', 'run', 0, 'best', 0),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x = acc.prev, acc.run + 1, 1),
+          |    'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1))),
+          |  acc -> acc.best) AS BIGINT) AS topc""".stripMargin)
+      .collect().map(r => List(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kernel.toList == hof.toList)
+  }
 }
