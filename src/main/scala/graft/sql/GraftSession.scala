@@ -223,8 +223,14 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     """(?is)^\s*drop\s+database\s+(if\s+exists\s+)?([\w`]+)(\s+cascade)?\s*;?\s*$""".r
   private val createTableRe = """(?is)^\s*create\s+table\s+([\w.`]+)\s*\((.*)\)\s*;?\s*$""".r
   private val dropTableRe = """(?is)^\s*drop\s+table\s+([\w.`]+)\s*;?\s*$""".r
-  private val createViewRe = """(?is)^\s*create\s+view\s+([\w.`]+)\s+as\s+(.*)$""".r
-  private val dropViewRe = """(?is)^\s*drop\s+view\s+([\w.`]+)\s*;?\s*$""".r
+  // OR REPLACE / IF EXISTS variants are intercepted too: letting them
+  // fall through to raw Spark would create a metastore view beside the
+  // scoped catalog / drop only the bare temp view (which the namespace
+  // sync would immediately resurrect)
+  private val createViewRe =
+    """(?is)^\s*create\s+(?:or\s+replace\s+)?view\s+([\w.`]+)\s+as\s+(.*)$""".r
+  private val dropViewRe =
+    """(?is)^\s*drop\s+view\s+(if\s+exists\s+)?([\w.`]+)\s*;?\s*$""".r
   private val compactRe = """(?is)^\s*compact\s+table\s+([\w.`]+)\s*;?\s*$""".r
   private val explainRe = """(?is)^\s*explain\s+(.*)$""".r
   private val deleteRe =
@@ -395,7 +401,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       viewEpoch += 1
       persistView(db, bare, meta.body)
       df
-    case dropViewRe(name) =>
+    case dropViewRe(ifExists, name) =>
       val (db, bare) = viewKeyOf(name)
       viewRegistry.get((db, bare)) match {
         case Some(m) =>
@@ -405,7 +411,9 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
           spark.sql(s"DROP VIEW ${m.mangled}")
         case None =>
           // not one of ours: fall through to a plain Spark temp view
-          spark.sql(s"DROP VIEW ${stripTicks(name).split('.').last}")
+          // (honoring IF EXISTS as a silent no-op on an unknown name)
+          val ie = if (ifExists == null) "" else "IF EXISTS "
+          spark.sql(s"DROP VIEW $ie${stripTicks(name).split('.').last}")
       }
     case compactRe(name) =>
       // Parquet/Spark analog of RocksDB compaction (connection.rs:113-126):

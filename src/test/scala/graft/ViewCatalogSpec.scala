@@ -36,6 +36,14 @@ class ViewCatalogSpec extends AnyFunSuite {
     val gs3 = freshSession(dir)
     val err = intercept[Exception](gs3.sql("select * from v_persist").collect())
     assert(err.getMessage.toLowerCase.contains("v_persist"))
+    // DROP VIEW IF EXISTS: silent no-op on the now-absent name, and a
+    // REAL drop (registry + file) when the view exists — the bare temp
+    // view must not resurrect it on the next statement
+    gs3.sql("drop view if exists v_persist")
+    gs3.sql("create view v_persist as select 3 as x")
+    gs3.sql("drop view if exists v_persist")
+    val err2 = intercept[Exception](gs3.sql("select * from v_persist").collect())
+    assert(err2.getMessage.toLowerCase.contains("v_persist"))
   }
 
   test("chained views replay in creation order; dialect rewrites re-apply") {
@@ -53,7 +61,9 @@ class ViewCatalogSpec extends AnyFunSuite {
     Engine.registerAll(spark, sf)
     val gs1 = new GraftSession(spark, dir)
     gs1.sql("create view v_replace as select 1 as x")
-    gs1.sql("create view v_replace as select 2 as x")
+    // the explicit OR REPLACE spelling routes through the scoped catalog
+    // too (falling through to raw Spark would create a metastore view)
+    gs1.sql("create or replace view v_replace as select 2 as x")
     val gs2 = freshSession(dir)
     assert(gs2.sql("select x from v_replace").collect()(0).getInt(0) == 2)
     // exactly one catalog file remains for the name (db-scoped stem)
