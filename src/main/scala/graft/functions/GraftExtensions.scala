@@ -17,7 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    val base: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
       ("json_extract_mysql", "MySQL-semantics JSON path extraction (wildcard wrap, case-insensitive keys)",
         exprs => JsonExtractMysql(exprs(0), exprs(1))),
       ("json_unquote", "MySQL json_unquote: unwraps a JSON string scalar to TEXT",
@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => QuantStats(exprs.head)),
       ("rep_stats", "[n_tokens, n_3grams, n_distinct_3grams, top_token_count] of a token array",
         exprs => RepStats(exprs.head)))
+    val fns = base ++ GraftFunctions.referenceNames.map { case (name, builder) =>
+      (name, s"reference registry name $name (cast/predicate semantics)", builder)
+    }
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

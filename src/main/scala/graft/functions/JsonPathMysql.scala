@@ -216,6 +216,41 @@ object GraftFunctions {
       "quant_stats", exprs => QuantStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "rep_stats", exprs => RepStats(exprs.head), "built-in")
+    GraftFunctions.referenceNames.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  /** The reference's callable registry names (tests/show/functions.rs)
+    * that Spark doesn't already provide: the missing `to_*` casts (CAST
+    * semantics under ansi=false — parse failure → NULL, like to_int.rs)
+    * and the is-predicate function forms. Spark's own to_date /
+    * to_timestamp / to_json / isnull builtins stay untouched — their
+    * single-arg behavior covers the reference forms, and overriding
+    * to_json would break Spark's struct→json serialization direction.
+    * JSONPATH is STRING-typed here (SURVEY §1.5), so its cast is a text
+    * cast. Divergence note: user-called `to_decimal(x)` targets the
+    * reference's max DECIMAL(28,14) — the reference infers per-source
+    * precision/scale, so printed trailing scale can differ.
+    */
+  private[functions] val referenceNames: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Literal, Not}
+    import org.apache.spark.sql.types._
+    def cast(t: DataType): Seq[Expression] => Expression = exprs => Cast(exprs.head, t)
+    Seq(
+      ("to_int", cast(IntegerType)),
+      ("to_bigint", cast(LongType)),
+      ("to_bool", cast(BooleanType)),
+      ("to_text", cast(StringType)),
+      ("to_jsonpath", cast(StringType)),
+      ("to_decimal", cast(DecimalType(28, 14))),
+      ("istrue", exprs => Coalesce(Seq(Cast(exprs.head, BooleanType), Literal(false)))),
+      ("isfalse", exprs => Coalesce(Seq(Not(Cast(exprs.head, BooleanType)), Literal(false)))),
+      // the reference's own names for Spark's typeof / current_database
+      ("type_of", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.TypeOf(exprs.head)),
+      ("database", _ =>
+        new org.apache.spark.sql.catalyst.expressions.CurrentDatabase()))
   }
 
   /** `->`: json-context extraction (wildcards wrap in an array). */

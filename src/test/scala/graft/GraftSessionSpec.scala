@@ -83,6 +83,26 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(fns.contains("json_extract_mysql") && fns.contains("rolling_hash64"))
   }
 
+  test("every identifier in the reference SHOW FUNCTIONS golden is callable") {
+    // tests/show/functions.rs lists the reference registry; operator
+    // spellings (!=, *, ->, between, and/or/not, is-forms) are operators
+    // here too — the identifier-shaped names must all resolve as calls
+    val fns = gs.sql("show functions").collect().map(_.getString(0)).toSet
+    val names = Seq("avg", "coalesce", "count", "database", "date_sub", "if",
+      "isfalse", "isnull", "istrue", "json_extract_mysql", "json_unquote",
+      "sum", "to_bigint", "to_bool", "to_date", "to_decimal", "to_int",
+      "to_json", "to_jsonpath", "to_text", "to_timestamp", "type_of")
+    val missing = names.filterNot(fns.contains)
+    assert(missing.isEmpty, s"missing reference registry names: $missing")
+    // cast semantics under ansi=false: parse failure -> NULL (to_int.rs)
+    val r = gs.sql("""select to_int('12') a, to_int('abc') b, to_bigint('7') c,
+                     |istrue(NULL) d, isfalse(false) e, isnull(NULL) f,
+                     |to_text(42) g""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 12 && r.isNullAt(1) && r.getLong(2) == 7L)
+    assert(!r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5))
+    assert(r.getString(6) == "42")
+  }
+
   test("DDL round-trip: create database/table, insert, delete-style, drop") {
     gs.sql("create database graft_test_db")
     try {
