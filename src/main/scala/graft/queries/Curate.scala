@@ -117,5 +117,108 @@ object Curate {
   val sample: QueryDef =
     QueryDef.sqlBacked("pipeline_sample", sampleOracle)(stratifiedSample(_, _))
 
-  val all: Seq[QueryDef] = Seq(curate, sample)
+  // --- benchmark decontamination ------------------------------------------
+  // GPT-3-style eval-set decontamination (Brown et al. 2020 §C): a train
+  // document is contaminated when it shares a word-5-gram with any held-out
+  // eval document. The eval split here is the deterministic doc_id % 23
+  // slice standing in for a benchmark table. Scale shape: the eval n-gram
+  // set is tiny relative to the corpus (eval sets are KBs–MBs, the corpus
+  // is TBs), so it is collected into a BROADCAST inner join — the corpus
+  // side streams through scan→explode→broadcast-probe with no corpus-wide
+  // exchange; the only shuffle carries the MATCHED (doc_id, gram) pairs
+  // (near-zero on clean corpora) into the per-doc count. Every train doc
+  // is reported with its overlap count, clean docs included (count 0).
+  private def fiveGram(tokens: String, i: String): String =
+    s"concat_ws(' ', $tokens[$i], $tokens[$i+1], $tokens[$i+2], $tokens[$i+3], $tokens[$i+4])"
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    val grams = spark.sql(
+      s"""SELECT doc_id, explode(array_distinct(transform(
+         |    sequence(0, size(tokens)-5), i -> ${fiveGram("tokens", "i")}))) AS gram
+         |FROM (SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS tokens
+         |      FROM documents)
+         |WHERE size(tokens) >= 5""".stripMargin)
+    grams.createOrReplaceTempView("grams")
+    spark.sql(
+      """WITH eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0),
+        |hits AS (
+        |  SELECT /*+ BROADCAST(eval_g) */ g.doc_id, count(DISTINCT g.gram) AS n_overlap
+        |  FROM grams g JOIN eval_g ON g.gram = eval_g.gram
+        |  WHERE g.doc_id % 23 <> 0
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n_overlap, 0) AS INT) AS n_overlap,
+        |  coalesce(h.n_overlap, 0) >= 1 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
+  }
+
+  private val decontaminateOracle =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(tokens)-3), i -> ${fiveGram("tokens", "i")}))) AS gram
+       |  FROM tok WHERE len(tokens) >= 5),
+       |eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0),
+       |hits AS (
+       |  SELECT g.doc_id, count(DISTINCT g.gram) AS n_overlap
+       |  FROM grams g JOIN eval_g USING (gram)
+       |  WHERE g.doc_id % 23 <> 0
+       |  GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(h.n_overlap, 0) AS INT) AS n_overlap,
+       |  coalesce(h.n_overlap, 0) >= 1 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+       |LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  val decontam: QueryDef =
+    QueryDef.sqlBacked("pipeline_decontaminate", decontaminateOracle)(decontaminate(_, _))
+
+  // --- weighted source mixing ---------------------------------------------
+  // Mixture construction for a training run: each source gets a sampling
+  // weight (literature: up-weight curated sources, down-weight crawl —
+  // e.g. The Pile, Gao et al. 2020 §2). rate > 1 means integer-copy
+  // upsampling plus a hash-Bernoulli fractional copy; rate < 1 is a
+  // hash-Bernoulli downsample — all decisions are per-row hash arithmetic
+  // (reproducible across runs/retries/engines, unlike rand()), so the
+  // output multiset is a pure deterministic function of the input. The
+  // plan is scan → explode(≤⌈rate⌉ copies) → filter: shuffle-free, scales
+  // at I/O speed. The oracle replays the identical arithmetic row for row.
+  private val mixRate =
+    """CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2.5
+      |     WHEN source IN ('src3', 'src4', 'src5') THEN 1.0
+      |     ELSE 0.3 END""".stripMargin
+
+  def mixSources(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      s"""SELECT doc_id, source, CAST(copy AS INT) AS copy FROM (
+         |  SELECT doc_id, source, rate, copy,
+         |    ${Dedup.hash60SparkSql("concat(CAST(doc_id AS STRING), ':', CAST(copy AS STRING))")} % 1000 AS h
+         |  FROM (
+         |    SELECT doc_id, source, rate,
+         |      explode(sequence(0, CAST(ceil(rate) AS INT) - 1)) AS copy
+         |    FROM (SELECT doc_id, source, $mixRate AS rate FROM documents)))
+         |WHERE copy + 1 <= rate OR h < CAST((rate - floor(rate)) * 1000 AS BIGINT)
+         |ORDER BY doc_id, copy""".stripMargin)
+  }
+
+  private val mixOracle =
+    s"""SELECT doc_id, source, CAST(copy AS INT) AS copy FROM (
+       |  SELECT doc_id, source, rate,
+       |    unnest(range(0, CAST(ceil(rate) AS BIGINT))) AS copy
+       |  FROM (SELECT doc_id, source, $mixRate AS rate FROM documents)) t
+       |WHERE copy + 1 <= rate
+       |   OR ${Dedup.hash60DuckSql("concat(CAST(doc_id AS VARCHAR), ':', CAST(copy AS VARCHAR))")} % 1000
+       |      < CAST((rate - floor(rate)) * 1000 AS BIGINT)
+       |ORDER BY doc_id, copy""".stripMargin
+
+  val mix: QueryDef = QueryDef.sqlBacked("pipeline_mix", mixOracle)(mixSources(_, _))
+
+  val all: Seq[QueryDef] = Seq(curate, sample, decontam, mix)
 }

@@ -248,6 +248,66 @@ object TextAnalysis {
         """(CAST(st[1] - st[2] AS DOUBLE) / st[1] <= 0.02
           |  AND CAST(st[3] AS DOUBLE) / st[0] <= 0.12) AS keep""".stripMargin)
 
+  // --- PII detection + redaction ------------------------------------------
+  // Standard pre-training scrub (emails / IPv4 / phone-shaped strings —
+  // the C4/Dolma rule family): per-doc match counts plus a redacted text
+  // where each span is replaced by a type tag. The synthetic corpus
+  // contains no organic PII, so both sides inject deterministic fake PII
+  // into the doc_id % 5/7/11 slices first — the detector is exercised on
+  // real positives AND real negatives, and redaction correctness is pinned
+  // by the md5 of the redacted text. Pure per-row projection: one codegen
+  // span, shuffle-free, scan-speed at 100 TB. The regexes stay inside the
+  // RE2 ∩ java.util.regex common subset so both engines match identically.
+  private val piiInjectSpark =
+    """SELECT doc_id, concat(text,
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now') ELSE '' END,
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN concat(' from 10.', CAST(doc_id % 256 AS STRING), '.0.1 host') ELSE '' END,
+      |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199 today' ELSE '' END) AS text
+      |FROM documents""".stripMargin
+  private val piiInjectDuck =
+    """SELECT doc_id, concat(text,
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com now') ELSE '' END,
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN concat(' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.1 host') ELSE '' END,
+      |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199 today' ELSE '' END) AS text
+      |FROM documents""".stripMargin
+
+  val pii: QueryDef = QueryDef.sqlBacked(
+    "ta_pii",
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '\\b555-[0-9]{4}\\b')) AS INT) AS n_phones,
+       |  (len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+       |   + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+       |   + len(regexp_extract_all(text, '\\b555-[0-9]{4}\\b'))) > 0 AS has_pii,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+       |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+       |    '\\b555-[0-9]{4}\\b', '<PHONE>', 'g')) AS redacted_fp
+       |FROM ($piiInjectDuck) t
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    docs(spark, dir)
+    spark.sql(
+      s"""SELECT doc_id,
+         |  CAST(size(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}', 0)) AS INT) AS n_emails,
+         |  CAST(size(regexp_extract_all(text, '\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b', 0)) AS INT) AS n_ips,
+         |  CAST(size(regexp_extract_all(text, '\\\\b555-[0-9]{4}\\\\b', 0)) AS INT) AS n_phones,
+         |  (size(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}', 0))
+         |   + size(regexp_extract_all(text, '\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b', 0))
+         |   + size(regexp_extract_all(text, '\\\\b555-[0-9]{4}\\\\b', 0))) > 0 AS has_pii,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}', '<EMAIL>'),
+         |    '\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b', '<IP>'),
+         |    '\\\\b555-[0-9]{4}\\\\b', '<PHONE>')) AS redacted_fp
+         |FROM ($piiInjectSpark) t
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf, repetition)
+    Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf, repetition, pii)
 }

@@ -28,6 +28,61 @@ class CurateSpec extends AnyFunSuite {
     assert(pairs.nonEmpty, "corpus should contain near-dups for this test to bite")
   }
 
+  test("decontamination flags exactly the 5-gram-overlap docs, keeps clean docs") {
+    val out = queries.Curate.decontaminate(spark, sf).collect()
+    // eval slice excluded from the report
+    assert(out.forall(_.getLong(0) % 23 != 0))
+    val (dirty, clean) = out.partition(_.getAs[Boolean]("contaminated"))
+    assert(clean.nonEmpty, "corpus should have uncontaminated docs")
+    assert(clean.forall(_.getAs[Int]("n_overlap") == 0))
+    assert(dirty.forall(_.getAs[Int]("n_overlap") >= 1))
+    // the eval-side probe is a broadcast, not a corpus-wide shuffle join
+    val plan = queries.Curate.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval n-gram set must broadcast-join the corpus grams:\n$plan")
+  }
+
+  test("source mixing up/downsamples deterministically by rate") {
+    val out = queries.Curate.mixSources(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySource = out.groupBy(_._2)
+    val docs = Engine.table(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nBySource = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    // rate 2.5: every doc appears 2 or 3 times; mean multiplicity in (2,3)
+    for (s <- Seq("src0", "src1", "src2") if nBySource.contains(s)) {
+      val copies = bySource(s).groupBy(_._1).view.mapValues(_.length)
+      assert(copies.values.forall(c => c == 2 || c == 3), s"$s multiplicity")
+    }
+    // rate 1.0: exactly once
+    for (s <- Seq("src3", "src4", "src5") if nBySource.contains(s))
+      assert(bySource(s).length == nBySource(s), s"$s must pass through 1:1")
+    // rate 0.3: a strict subset, copy always 0
+    for ((s, rows) <- bySource if !Set("src0","src1","src2","src3","src4","src5")(s)) {
+      assert(rows.length < nBySource(s), s"$s must downsample")
+      assert(rows.forall(_._3 == 0))
+    }
+    // deterministic: a second run is row-for-row identical
+    val again = queries.Curate.mixSources(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("pii redaction counts the injected spans and rewrites exactly them") {
+    val out = queries.TextAnalysis.pii.run(spark, sf).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Int]("n_emails") == (if (id % 5 == 0) 1 else 0), s"emails doc $id")
+      assert(r.getAs[Int]("n_ips") == (if (id % 7 == 0) 1 else 0), s"ips doc $id")
+      assert(r.getAs[Int]("n_phones") == (if (id % 11 == 0) 1 else 0), s"phones doc $id")
+      assert(r.getAs[Boolean]("has_pii") == (id % 5 == 0 || id % 7 == 0 || id % 11 == 0))
+    }
+    assert(out.exists(_.getAs[Boolean]("has_pii")))
+    assert(out.exists(!_.getAs[Boolean]("has_pii")))
+  }
+
   test("cross-database view inlining (tests/views/mod.rs:3-31)") {
     val gs = new graft.sql.GraftSession(spark)
     spark.sql("DROP DATABASE IF EXISTS graft_vdb CASCADE")
