@@ -36,9 +36,11 @@ object Bench {
     val pipeline = Seq(
       queries.Dedup.minhash, queries.Dedup.clusters,
       queries.Similarity.bruteForce, queries.Similarity.ivf,
-      queries.Similarity.quantized,
+      queries.Similarity.quantized, queries.Similarity.semantic,
       queries.TextAnalysis.tfidf, queries.TextAnalysis.repetition,
-      queries.Curate.curate, queries.Curate.sample)
+      queries.TextAnalysis.pii,
+      queries.Curate.curate, queries.Curate.sample,
+      queries.Curate.decontam, queries.Curate.mix)
       .map(q => q.name -> timeOnce(spark)(q))
 
     // Core-count scaling evidence: the 100×-scale claims rest on plan

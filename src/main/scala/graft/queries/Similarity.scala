@@ -261,5 +261,71 @@ object Similarity {
   val quantized: QueryDef =
     QueryDef.sqlBacked("emb_quantize", quantizeOracle)(quantize(_, _))
 
-  val all: Seq[QueryDef] = Seq(bruteForce, ivf, quantized)
+  // --- semantic deduplication (SemDeDup, Abbas et al. 2023) ---------------
+  // Embedding-space near-dup removal the way it scales: vectors are first
+  // bucketed to their nearest centroid — the same shuffle-free argmax_dot
+  // projection as the IVF path — and exact pairwise cosine runs only
+  // WITHIN a cell. The pair space shrinks from N²/2 to Σ|cell|²/2; at
+  // 100 TB you size C ~ √N so cells stay bounded, the cell id becomes the
+  // write-time partition key, and the within-cell join is co-partitioned
+  // and exchange-free. Keep rule is deterministic keep-lowest-id: a
+  // vector is dropped iff a lower-id vector in ITS cell has cosine ≥ τ.
+  // τ = 0.35 is calibrated to this synthetic corpus (near-orthogonal,
+  // top cosines ≈ 0.3–0.5) so the verdict splits both ways. Every vector
+  // is reported with its cell and kept flag. Cross-cell misses are the
+  // documented SemDeDup approximation (same as the paper's k-means
+  // bucketing), not a bug.
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    emb(spark, dir)
+    // Materialize the cell assignment once (the 100 TB shape writes it
+    // with cell as partition key); otherwise each of the three references
+    // below would re-run the argmax projection over the scan.
+    val corpus = spark.sql(
+      s"""SELECT vec_id, v, argmax_dot(v, $centroidMatrixSql) AS cell
+         |FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings)""".stripMargin)
+    corpus.cache()
+    corpus.createOrReplaceTempView("sem_corpus")
+    spark.sql(
+      s"""WITH losers AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM sem_corpus a JOIN sem_corpus b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE dot_product(a.v, b.v) >= $threshold
+         |)
+         |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, l.vec_id IS NULL AS kept
+         |FROM sem_corpus c LEFT JOIN losers l ON c.vec_id = l.vec_id
+         |ORDER BY c.vec_id""".stripMargin)
+  }
+
+  private val semanticOracle =
+    s"""WITH cent AS ($centroidDuck),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |corpus AS (
+       |  SELECT e.vec_id, e.v, t.cid AS cell FROM e JOIN (
+       |    SELECT vec_id, cid FROM (
+       |      SELECT e.vec_id, cent.cid,
+       |        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |          ${Dedup.dotDuckSql("e.v", "cent.cv")} DESC, cent.cid) AS rn
+       |      FROM e CROSS JOIN cent) WHERE rn = 1) t
+       |  ON e.vec_id = t.vec_id
+       |),
+       |losers AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM corpus a JOIN corpus b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${Dedup.dotDuckSql("a.v", "b.v")} >= 0.35
+       |)
+       |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, l.vec_id IS NULL AS kept
+       |FROM corpus c LEFT JOIN losers l ON c.vec_id = l.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+
+  val semantic: QueryDef =
+    QueryDef.sqlBacked("dedup_semantic", semanticOracle)(semanticDedup(_, _))
+
+  val all: Seq[QueryDef] = Seq(bruteForce, ivf, quantized, semantic)
 }

@@ -81,4 +81,28 @@ class SimilarityKernelSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 0.0)
     assert(r.getDouble(2) == 1.0 / 3.0)
   }
+
+  test("semantic dedup drops exactly the vectors with a lower-id cell-mate above tau") {
+    val sf = "/root/testdata/sf0.001"
+    val out = queries.Similarity.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val total = Engine.table(spark, sf, "embeddings").count()
+    assert(out.length == total, "every vector must be reported exactly once")
+    assert(out.map(_._2).distinct.forall(c => c >= 0 && c < 16))
+
+    // recompute the keep rule the expensive way: exact within-cell cosine
+    val vecs = Engine.table(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    out.foreach { case (id, cell, kept) =>
+      val hasLowerDup = vecs.keys.exists(o =>
+        o < id && cellOf(o) == cell && dot(vecs(o), vecs(id)) >= 0.35)
+      assert(kept == !hasLowerDup, s"vec $id kept=$kept but lower-dup=$hasLowerDup")
+    }
+    assert(out.exists(!_._3) || total < 100, "corpus should contain semantic dups")
+  }
 }
