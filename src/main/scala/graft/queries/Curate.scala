@@ -194,18 +194,23 @@ object Curate {
       |     WHEN source IN ('src3', 'src4', 'src5') THEN 1.0
       |     ELSE 0.3 END""".stripMargin
 
+  /** The mixing as a reusable STATELESS transform over a frame with
+    * (doc_id, source): bounded explode + hash filter, no aggregation, no
+    * state — runs unchanged on a streaming DataFrame (StreamingSpec pins
+    * stream ≡ batch). */
+  def mixTransform(df: DataFrame): DataFrame =
+    df.selectExpr("doc_id", "source", s"$mixRate AS rate")
+      .selectExpr("doc_id", "source", "rate",
+        "explode(sequence(0, CAST(ceil(rate) AS INT) - 1)) AS copy")
+      .selectExpr("doc_id", "source", "rate", "copy",
+        s"${Dedup.hash60SparkSql("concat(CAST(doc_id AS STRING), ':', CAST(copy AS STRING))")} % 1000 AS h")
+      .where("copy + 1 <= rate OR h < CAST((rate - floor(rate)) * 1000 AS BIGINT)")
+      .selectExpr("doc_id", "source", "CAST(copy AS INT) AS copy")
+
   def mixSources(spark: SparkSession, dir: String): DataFrame = {
-    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
-    spark.sql(
-      s"""SELECT doc_id, source, CAST(copy AS INT) AS copy FROM (
-         |  SELECT doc_id, source, rate, copy,
-         |    ${Dedup.hash60SparkSql("concat(CAST(doc_id AS STRING), ':', CAST(copy AS STRING))")} % 1000 AS h
-         |  FROM (
-         |    SELECT doc_id, source, rate,
-         |      explode(sequence(0, CAST(ceil(rate) AS INT) - 1)) AS copy
-         |    FROM (SELECT doc_id, source, $mixRate AS rate FROM documents)))
-         |WHERE copy + 1 <= rate OR h < CAST((rate - floor(rate)) * 1000 AS BIGINT)
-         |ORDER BY doc_id, copy""".stripMargin)
+    val docs = Engine.table(spark, dir, "documents")
+    mixTransform(docs.select(col("doc_id"), col("source")))
+      .orderBy(col("doc_id"), col("copy"))
   }
 
   private val mixOracle =

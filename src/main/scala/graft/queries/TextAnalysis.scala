@@ -292,21 +292,31 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
     docs(spark, dir)
-    spark.sql(
-      s"""SELECT doc_id,
-         |  CAST(size(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}', 0)) AS INT) AS n_emails,
-         |  CAST(size(regexp_extract_all(text, '\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b', 0)) AS INT) AS n_ips,
-         |  CAST(size(regexp_extract_all(text, '\\\\b555-[0-9]{4}\\\\b', 0)) AS INT) AS n_phones,
-         |  (size(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}', 0))
-         |   + size(regexp_extract_all(text, '\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b', 0))
-         |   + size(regexp_extract_all(text, '\\\\b555-[0-9]{4}\\\\b', 0))) > 0 AS has_pii,
-         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}', '<EMAIL>'),
-         |    '\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b', '<IP>'),
-         |    '\\\\b555-[0-9]{4}\\\\b', '<PHONE>')) AS redacted_fp
-         |FROM ($piiInjectSpark) t
-         |ORDER BY doc_id""".stripMargin)
+    scrubPii(spark.sql(piiInjectSpark))
+      .selectExpr("doc_id", "n_emails", "n_ips", "n_phones", "has_pii",
+        "md5(redacted) AS redacted_fp")
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
   }
+
+  /** The PII scrub as a reusable STATELESS transform over a frame with
+    * (doc_id, text): per-row match counts plus the redacted text. No
+    * aggregation, no state — it runs unchanged on a streaming DataFrame
+    * (StreamingSpec pins stream ≡ batch). The [[pii]] QueryDef wraps this
+    * with the fake-PII injection and folds `redacted` to its md5 for the
+    * scalar-only driver compare. */
+  def scrubPii(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.selectExpr(
+      "doc_id",
+      "CAST(size(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}', 0)) AS INT) AS n_emails",
+      "CAST(size(regexp_extract_all(text, '\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b', 0)) AS INT) AS n_ips",
+      "CAST(size(regexp_extract_all(text, '\\\\b555-[0-9]{4}\\\\b', 0)) AS INT) AS n_phones",
+      """(size(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', 0))
+        | + size(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', 0))
+        | + size(regexp_extract_all(text, '\\b555-[0-9]{4}\\b', 0))) > 0 AS has_pii""".stripMargin,
+      """regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>'),
+        |  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>'),
+        |  '\\b555-[0-9]{4}\\b', '<PHONE>') AS redacted""".stripMargin)
 
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf, repetition, pii)

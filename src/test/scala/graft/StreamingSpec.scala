@@ -119,6 +119,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pii scrub equals batch (stateless projection)") {
+    val docs = Engine.table(spark, sf, "documents").select("doc_id", "text")
+    val expected = queries.TextAnalysis.scrubPii(docs)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_pii_src_").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = queries.TextAnalysis.scrubPii(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pii_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pii_out")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+
+  test("streaming source mixing equals batch (stateless explode+filter)") {
+    val docs = Engine.table(spark, sf, "documents").select("doc_id", "source")
+    val expected = queries.Curate.mixTransform(docs)
+      .collect().map(_.toSeq).sortBy(r => (r.head.asInstanceOf[Long], r(2).asInstanceOf[Int]))
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_mix_src_").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = queries.Curate.mixTransform(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mix_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mix_out")
+        .collect().map(_.toSeq).sortBy(r => (r.head.asInstanceOf[Long], r(2).asInstanceOf[Int]))
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+
   test("streaming fingerprint dedup keeps one doc per distinct text") {
     import spark.implicits._
     // documents has no event time; synthesize arrival order as timestamps,
