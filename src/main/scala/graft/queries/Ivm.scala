@@ -152,5 +152,69 @@ object Ivm {
     view.distinctCounts().orderBy(col("o_orderstatus"))
   }
 
-  val all: Seq[QueryDef] = Seq(refresh, extrema, distinct)
+  /** Incrementally maintained orders ⋈ customer view under the same
+    * deterministic change scenario on the orders side plus a customer-side
+    * insert wave (duplicate every c_custkey % 13 = 0 customer — the join
+    * frequency for their orders becomes 2, exercising frequency
+    * MULTIPLICATION, not just addition). Maintained via two delta-join
+    * refreshes ([[graft.ivm.IncrementalJoinView]]); the oracle recomputes
+    * the final freq-compacted join from scratch. */
+  val join: QueryDef = QueryDef.sqlBacked(
+    "ivm_join",
+    """WITH a AS (
+      |  SELECT o_custkey AS custkey, o_totalprice, 1 AS f FROM orders
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice, -1 FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice * 2, 1 FROM orders WHERE o_orderkey % 7 = 0
+      |),
+      |am AS (
+      |  SELECT custkey, o_totalprice, sum(f) AS f
+      |  FROM a GROUP BY custkey, o_totalprice HAVING sum(f) <> 0
+      |),
+      |b AS (
+      |  SELECT c_custkey AS custkey, c_mktsegment, 1 AS f FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, 1 FROM customer WHERE c_custkey % 13 = 0
+      |),
+      |bm AS (
+      |  SELECT custkey, c_mktsegment, sum(f) AS f
+      |  FROM b GROUP BY custkey, c_mktsegment HAVING sum(f) <> 0
+      |)
+      |SELECT am.custkey, CAST(am.o_totalprice AS DOUBLE) AS o_totalprice,
+      |  bm.c_mktsegment, CAST(am.f * bm.f AS BIGINT) AS freq
+      |FROM am JOIN bm ON am.custkey = bm.custkey
+      |ORDER BY am.custkey, o_totalprice, c_mktsegment""".stripMargin
+  ) { (spark, dir) =>
+    val orders = Engine.table(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val customer = Engine.table(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_ivm_join_").resolve("state").toString
+    val view = new graft.ivm.IncrementalJoinView(spark, Seq("custkey"), statePath)
+    view.initialize(orders, customer)
+
+    val ordersRaw = Engine.table(spark, dir, "orders")
+    view.applyDelta(
+      Some(ordersRaw.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"),
+          lit(-1L).as(view.freqCol))),
+      None)
+    view.applyDelta(
+      Some(ordersRaw.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey").as("custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit(1L).as(view.freqCol))),
+      Some(Engine.table(spark, dir, "customer")
+        .filter(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"),
+          lit(1L).as(view.freqCol))))
+
+    view.current()
+      .select(col("custkey"), col("o_totalprice").cast(DoubleType).as("o_totalprice"),
+        col("c_mktsegment"), col(view.freqCol).as("freq"))
+      .orderBy(col("custkey"), col("o_totalprice"), col("c_mktsegment"))
+  }
+
+  val all: Seq[QueryDef] = Seq(refresh, extrema, distinct, join)
 }

@@ -116,4 +116,38 @@ class IvmSpec extends AnyFunSuite {
     assert(r.getAs[Long]("cnt") == 5L)
     assert(r.getAs[java.math.BigDecimal]("sum_v").doubleValue() == 50.0)
   }
+
+  test("incremental join view: delta rule, freq multiplication, retraction, time travel") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("ivm_join_spec_").resolve("s").toString
+    val view = new graft.ivm.IncrementalJoinView(spark, Seq("k"), statePath)
+    val a = Seq((1, "x"), (1, "x"), (2, "y"), (3, "z")).toDF("k", "av")
+    val b = Seq((1, "B1"), (2, "B2"), (4, "B4")).toDF("k", "bv")
+    view.initialize(a, b)
+
+    // v0: (1,x,B1) freq 2 (duplicate A tuple compacts to freq 2), (2,y,B2) freq 1
+    def read(v: Int) = view.at(v).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(read(0) == Set((1, "x", "B1", 2L), (2, "y", "B2", 1L)))
+
+    // delta 1: duplicate b-side key 1 → join freq MULTIPLIES to 4
+    view.applyDelta(None, Some(Seq((1, "B1", 1L)).toDF("k", "bv", view.freqCol)))
+    assert(read(1) == Set((1, "x", "B1", 4L), (2, "y", "B2", 1L)))
+
+    // delta 2: retract one copy of (1, x) → freq 1·2(b) = 2 removed → 2 left;
+    // insert (4, w) → joins the pre-existing B4 row
+    view.applyDelta(
+      Some(Seq((1, "x", -1L), (4, "w", 1L)).toDF("k", "av", view.freqCol)), None)
+    assert(read(2) == Set((1, "x", "B1", 2L), (2, "y", "B2", 1L), (4, "w", "B4", 1L)))
+
+    // delta 3: retract the remaining (1, x) → the group vanishes entirely
+    view.applyDelta(Some(Seq((1, "x", -1L)).toDF("k", "av", view.freqCol)), None)
+    assert(read(3) == Set((2, "y", "B2", 1L), (4, "w", "B4", 1L)))
+
+    // time travel: every version still reads back unchanged
+    assert(read(0) == Set((1, "x", "B1", 2L), (2, "y", "B2", 1L)))
+    assert(read(1) == Set((1, "x", "B1", 4L), (2, "y", "B2", 1L)))
+    assert(view.currentVersion == 3)
+  }
 }
