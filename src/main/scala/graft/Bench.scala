@@ -38,7 +38,7 @@ object Bench {
       queries.Similarity.bruteForce, queries.Similarity.ivf,
       queries.Similarity.quantized, queries.Similarity.semantic,
       queries.TextAnalysis.tfidf, queries.TextAnalysis.repetition,
-      queries.TextAnalysis.pii,
+      queries.TextAnalysis.pii, queries.TextAnalysis.boilerplate,
       queries.Curate.curate, queries.Curate.sample,
       queries.Curate.decontam, queries.Curate.mix)
       .map(q => q.name -> timeOnce(spark)(q))

@@ -318,6 +318,66 @@ object TextAnalysis {
         |  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>'),
         |  '\\b555-[0-9]{4}\\b', '<PHONE>') AS redacted""".stripMargin)
 
+  // --- corpus-level boilerplate fraction (RefinedWeb/CCNet rule family) ---
+  // Cross-document repetition, the complement of ta_repetition's
+  // within-document signals: the fraction of a doc's distinct word-5-grams
+  // that also occur in OTHER documents (df ≥ 2) — headers, footers,
+  // license blocks, near-dup cluster members all light up. Scale shape:
+  // the df aggregation shuffles (gram, partial-count) pairs with map-side
+  // combine; the qualifying boilerplate-gram set is the small head of the
+  // distribution, so it BROADCASTS back against the doc grams and only
+  // MATCHED (doc_id, gram) pairs shuffle into the per-doc count (same
+  // pattern as pipeline_decontaminate; falls back to a hash join on the
+  // gram hash if a pathological corpus makes the set large). keep
+  // threshold 0.5 splits the sf0.01 corpus 453/47.
+  val boilerplate: QueryDef = QueryDef.sqlBacked(
+    "ta_boilerplate",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+      |  FROM documents),
+      |docg AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)-3),
+      |    i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2], tokens[i+3], tokens[i+4]))) AS grams
+      |  FROM tok WHERE len(tokens) >= 5),
+      |g AS (SELECT doc_id, unnest(grams) AS gram FROM docg),
+      |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+      |hits AS (
+      |  SELECT g.doc_id, count(*) AS n_boiler
+      |  FROM g JOIN df USING (gram) WHERE df.df >= 2 GROUP BY g.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(d.grams) AS INT) AS n_grams,
+      |  CAST(coalesce(h.n_boiler, 0) AS INT) AS n_boiler,
+      |  CAST(coalesce(h.n_boiler, 0) AS DOUBLE) / len(d.grams) AS boiler_frac,
+      |  CAST(coalesce(h.n_boiler, 0) AS DOUBLE) / len(d.grams) <= 0.5 AS keep
+      |FROM docg d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    docs(spark, dir)
+    spark.sql(
+      """SELECT doc_id, grams FROM (
+        |  SELECT doc_id, array_distinct(transform(sequence(0, size(tokens)-5),
+        |    i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2], tokens[i+3], tokens[i+4]))) AS grams
+        |  FROM (SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS tokens
+        |        FROM documents)
+        |  WHERE size(tokens) >= 5)""".stripMargin)
+      .createOrReplaceTempView("bp_docg")
+    spark.sql(
+      """WITH g AS (SELECT doc_id, explode(grams) AS gram FROM bp_docg),
+        |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+        |boiler AS (SELECT gram FROM df WHERE df >= 2),
+        |hits AS (
+        |  SELECT /*+ BROADCAST(boiler) */ g.doc_id, count(*) AS n_boiler
+        |  FROM g JOIN boiler ON g.gram = boiler.gram GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(size(d.grams) AS INT) AS n_grams,
+        |  CAST(coalesce(h.n_boiler, 0) AS INT) AS n_boiler,
+        |  CAST(coalesce(h.n_boiler, 0) AS DOUBLE) / size(d.grams) AS boiler_frac,
+        |  CAST(coalesce(h.n_boiler, 0) AS DOUBLE) / size(d.grams) <= 0.5 AS keep
+        |FROM bp_docg d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf, repetition, pii)
+    Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf, repetition, pii,
+      boilerplate)
 }
