@@ -103,4 +103,26 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("md5(cast(text") && p.contains("hashpartitioning(_groupingexpression"),
       "shuffle is not keyed on the pre-computed md5 fingerprint")
   }
+
+  test("ta_pii: scrub is a shuffle-free projection — only the output sort exchanges") {
+    val p = plan("ta_pii")
+    assert(!p.contains("hashpartitioning"),
+      "pii scrub introduced a hash shuffle — no longer scan-speed")
+    assert(!p.contains("Generate"), "explode appeared in the scrub path")
+  }
+
+  test("pipeline_mix: bounded explode+filter, no hash shuffle of the corpus") {
+    val p = plan("pipeline_mix")
+    assert(!p.contains("hashpartitioning"),
+      "mixing introduced a hash shuffle — no longer scan-speed")
+    assert(p.contains("Generate"), "the copy explode disappeared from the plan")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("text"), s"mixing reads document bodies: $read")
+  }
+
+  test("ta_boilerplate: df head broadcasts back — doc grams never hash-join-shuffle") {
+    val p = plan("ta_boilerplate")
+    assert(p.contains("BroadcastHashJoin"),
+      "boilerplate-gram set no longer broadcasts against the doc grams")
+  }
 }
