@@ -70,8 +70,14 @@ final class IncrementalJoinView(
   }
 
   /** Apply one batch of freq-annotated deltas (either side may be empty)
-    * → next snapshot version of both side-states and the view. */
-  def applyDelta(deltaA: Option[DataFrame], deltaB: Option[DataFrame]): Unit = {
+    * → next snapshot version of both side-states and the view.
+    *
+    * Returns ΔV, the view's own freq-compacted change set for this batch —
+    * downstream freq-delta consumers (an [[IncrementalAggView]] keyed on
+    * view columns, another join) compose by feeding on it, which is the
+    * whole point of the uniform freq-annotated delta contract: view
+    * maintenance pipelines chain without ever recomputing upstream state. */
+  def applyDelta(deltaA: Option[DataFrame], deltaB: Option[DataFrame]): DataFrame = {
     require(version >= 0, "view not initialized")
     val oldA = spark.read.parquet(dir("a", version))
     val oldB = spark.read.parquet(dir("b", version))
@@ -92,7 +98,14 @@ final class IncrementalJoinView(
     val oldView = spark.read.parquet(dir("view", version))
     val newView = dViewParts.foldLeft(oldView)(_ unionByName _)
     compact(newView).write.mode("overwrite").parquet(dir("view", version + 1))
+    // persist ΔV so the returned frame reads a snapshot, not a live plan
+    // over state that the NEXT applyDelta will supersede (empty ΔV when
+    // both deltas are absent)
+    val dView = dViewParts.reduceOption(_ unionByName _)
+      .map(compact).getOrElse(oldView.limit(0))
+    dView.write.mode("overwrite").parquet(dir("dview", version + 1))
     version += 1
+    spark.read.parquet(dir("dview", version))
   }
 
   /** The maintained join view (freq-annotated) at the latest version. */

@@ -216,5 +216,85 @@ object Ivm {
       .orderBy(col("custkey"), col("o_totalprice"), col("c_mktsegment"))
   }
 
-  val all: Seq[QueryDef] = Seq(refresh, extrema, distinct, join)
+  /** Composed IVM pipeline: an aggregate view (revenue by market segment)
+    * maintained from the JOIN view's own delta stream — ΔV of
+    * orders ⋈ customer feeds an [[IncrementalAggView]] keyed on
+    * c_mktsegment. This is the uniform freq-delta contract paying off:
+    * the agg view never sees the base tables, only the join view's
+    * compacted change sets, so a chained refresh costs
+    * |Δjoin| + |agg state| regardless of base size. Same change scenario
+    * as [[join]]; the oracle recomputes the final segment totals from
+    * scratch with freq-product weights. */
+  val pipeline: QueryDef = QueryDef.sqlBacked(
+    "ivm_pipeline",
+    """WITH a AS (
+      |  SELECT o_custkey AS custkey, o_totalprice, 1 AS f FROM orders
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice, -1 FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice * 2, 1 FROM orders WHERE o_orderkey % 7 = 0
+      |),
+      |am AS (
+      |  SELECT custkey, o_totalprice, sum(f) AS f
+      |  FROM a GROUP BY custkey, o_totalprice HAVING sum(f) <> 0
+      |),
+      |b AS (
+      |  SELECT c_custkey AS custkey, c_mktsegment, 1 AS f FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, 1 FROM customer WHERE c_custkey % 13 = 0
+      |),
+      |bm AS (
+      |  SELECT custkey, c_mktsegment, sum(f) AS f
+      |  FROM b GROUP BY custkey, c_mktsegment HAVING sum(f) <> 0
+      |)
+      |SELECT bm.c_mktsegment, CAST(sum(am.f * bm.f) AS BIGINT) AS cnt,
+      |  CAST(sum(CAST(am.o_totalprice AS DECIMAL(18,2)) * am.f * bm.f) AS DOUBLE)
+      |    AS sum_o_totalprice
+      |FROM am JOIN bm ON am.custkey = bm.custkey
+      |GROUP BY bm.c_mktsegment HAVING sum(am.f * bm.f) <> 0
+      |ORDER BY bm.c_mktsegment""".stripMargin
+  ) { (spark, dir) =>
+    val orders = Engine.table(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val customer = Engine.table(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ivm_pipe_")
+    val joinView = new graft.ivm.IncrementalJoinView(
+      spark, Seq("custkey"), base.resolve("join").toString)
+    joinView.initialize(orders, customer)
+
+    val aggView = new IncrementalAggView(
+      spark, Seq("c_mktsegment"), Seq("o_totalprice"),
+      base.resolve("agg").toString)
+    aggView.initialize(joinView.current()
+      .select(col("c_mktsegment"), col("o_totalprice"),
+        col(joinView.freqCol)))
+
+    val ordersRaw = Engine.table(spark, dir, "orders")
+    val d1 = joinView.applyDelta(
+      Some(ordersRaw.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"),
+          lit(-1L).as(joinView.freqCol))),
+      None)
+    aggView.applyDelta(d1.select(
+      col("c_mktsegment"), col("o_totalprice"), col(joinView.freqCol)))
+
+    val d2 = joinView.applyDelta(
+      Some(ordersRaw.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey").as("custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit(1L).as(joinView.freqCol))),
+      Some(Engine.table(spark, dir, "customer")
+        .filter(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"),
+          lit(1L).as(joinView.freqCol))))
+    aggView.applyDelta(d2.select(
+      col("c_mktsegment"), col("o_totalprice"), col(joinView.freqCol)))
+
+    aggView.current()
+      .select(col("c_mktsegment"), col("cnt"),
+        col("sum_o_totalprice").cast(DoubleType).as("sum_o_totalprice"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val all: Seq[QueryDef] = Seq(refresh, extrema, distinct, join, pipeline)
 }

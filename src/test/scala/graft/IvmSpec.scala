@@ -150,4 +150,27 @@ class IvmSpec extends AnyFunSuite {
     assert(read(1) == Set((1, "x", "B1", 4L), (2, "y", "B2", 1L)))
     assert(view.currentVersion == 3)
   }
+
+  test("join view deltas reconcile snapshots: V(n) = compact(V(n-1) ∪ ΔV(n))") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("ivm_dv_spec_").resolve("s").toString
+    val view = new graft.ivm.IncrementalJoinView(spark, Seq("k"), statePath)
+    view.initialize(
+      Seq((1, "x"), (2, "y")).toDF("k", "av"),
+      Seq((1, "B1"), (2, "B2")).toDF("k", "bv"))
+    val dv = view.applyDelta(
+      Some(Seq((1, "x", -1L), (3, "z", 1L)).toDF("k", "av", view.freqCol)),
+      Some(Seq((3, "B3", 2L)).toDF("k", "bv", view.freqCol)))
+    def tuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // ΔV applied to the previous snapshot must reproduce the new one
+    val reconciled = tuples(view.at(0)).++(tuples(dv))
+      .groupBy(t => (t._1, t._2, t._3)).view
+      .mapValues(_.map(_._4).sum).toMap.filter(_._2 != 0)
+      .map { case ((k, a, b), f) => (k, a, b, f) }.toSet
+    assert(reconciled == tuples(view.at(1)).toSet)
+    // and the delta itself contains the retraction and the new join rows
+    assert(tuples(dv).toSet == Set((1, "x", "B1", -1L), (3, "z", "B3", 2L)))
+  }
 }
