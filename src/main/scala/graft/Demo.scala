@@ -62,6 +62,11 @@ object Demo {
     }
     showDf("ta_repetition", SparkEntry.queries("ta_repetition")(spark, sfDir))
     showDf("emb_quantize", SparkEntry.queries("emb_quantize")(spark, sfDir))
+    showDf("ta_pii (redaction counts)", SparkEntry.queries("ta_pii")(spark, sfDir))
+    showDf("dedup_semantic (SemDeDup cells)", SparkEntry.queries("dedup_semantic")(spark, sfDir))
+    showDf("pipeline_decontaminate", SparkEntry.queries("pipeline_decontaminate")(spark, sfDir))
+    showDf("pipeline_mix (weighted sources)", SparkEntry.queries("pipeline_mix")(spark, sfDir))
+    showDf("ivm_pipeline (join ΔV → agg view)", SparkEntry.queries("ivm_pipeline")(spark, sfDir))
     // reference-format EXPLAIN (4-column logical tree); Spark's physical
     // plan remains under EXPLAIN FORMATTED
     show("EXPLAIN SELECT count(*) FROM lineitem WHERE l_quantity < 10", limit = 12)
