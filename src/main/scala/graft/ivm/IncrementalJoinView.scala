@@ -119,4 +119,17 @@ final class IncrementalJoinView(
   }
 
   def currentVersion: Int = version
+
+  /** Continuous maintenance from a stream of A-side freq-annotated deltas
+    * (the common shape: a fact stream joining a slowly-changing dimension
+    * whose own updates arrive via explicit applyDelta calls). Each
+    * micro-batch becomes one delta-join refresh — mirrors
+    * [[IncrementalAggView.maintainFrom]]. */
+  def maintainFrom(deltaAStream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    deltaAStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { applyDelta(Some(batch), None); () }
+      }
+      .start()
 }

@@ -173,4 +173,35 @@ class IvmSpec extends AnyFunSuite {
     // and the delta itself contains the retraction and the new join rows
     assert(tuples(dv).toSet == Set((1, "x", "B1", -1L), (3, "z", "B3", 2L)))
   }
+
+  test("streaming maintenance of the join view equals batch applyDelta") {
+    import spark.implicits._
+    def build(suffix: String) = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"ivm_js_$suffix").resolve("s").toString
+      val v = new graft.ivm.IncrementalJoinView(spark, Seq("k"), p)
+      v.initialize(
+        Seq((1, "x"), (2, "y")).toDF("k", "av"),
+        Seq((1, "B1"), (2, "B2"), (3, "B3")).toDF("k", "bv"))
+      v
+    }
+    val deltas = Seq((1, "x2", 1L), (2, "y", -1L), (3, "z", 2L))
+      .toDF("k", "av", "__freq")
+
+    val batchView = build("batch")
+    batchView.applyDelta(Some(deltas), None)
+    val expected = batchView.current().collect().map(_.toSeq).toSet
+
+    val srcDir = java.nio.file.Files.createTempDirectory("ivm_js_src_").toString
+    deltas.write.mode("overwrite").parquet(srcDir)
+    val streamView = build("stream")
+    val q = streamView.maintainFrom(
+      spark.readStream.schema(deltas.schema).parquet(srcDir))
+    try {
+      q.processAllAvailable()
+      val got = streamView.current().collect().map(_.toSeq).toSet
+      assert(got == expected)
+      assert(streamView.currentVersion >= 1)
+    } finally q.stop()
+  }
 }
