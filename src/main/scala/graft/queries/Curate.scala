@@ -225,5 +225,54 @@ object Curate {
 
   val mix: QueryDef = QueryDef.sqlBacked("pipeline_mix", mixOracle)(mixSources(_, _))
 
-  val all: Seq[QueryDef] = Seq(curate, sample, decontam, mix)
+  // --- sequence packing ---------------------------------------------------
+  // The last step before a training run: concatenate documents into
+  // fixed-budget token sequences (contiguous fill, 512 tokens here). A
+  // global greedy pack is inherently sequential, so the scale shape
+  // shards first: docs land in a deterministic hash BUCKET (the unit of
+  // parallelism — thousands on a real cluster, 8 here), and packing is a
+  // running token total per bucket (one window cumsum over doc_id order)
+  // from which each doc's starting sequence and offset are pure integer
+  // arithmetic. One shuffle on bucket, then sequential only within a
+  // bucket; every number is exact integer math so the oracle replays it
+  // row for row. Docs longer than the budget simply span sequences
+  // (contiguous fill, the standard GPT-style pre-training layout).
+  private val packBudget = 512
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      s"""SELECT doc_id, bucket, n_tokens,
+         |  CAST((cum - n_tokens) DIV $packBudget AS INT) AS seq_id,
+         |  CAST((cum - n_tokens) % $packBudget AS INT) AS seq_offset
+         |FROM (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (
+         |    SELECT doc_id,
+         |      ${Dedup.hash60SparkSql("CAST(doc_id AS STRING)")} % 8 AS bucket,
+         |      CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |    FROM documents))
+         |ORDER BY bucket, doc_id""".stripMargin)
+  }
+
+  private val packOracle =
+    s"""SELECT doc_id, bucket, n_tokens,
+       |  CAST((cum - n_tokens) // $packBudget AS INT) AS seq_id,
+       |  CAST((cum - n_tokens) % $packBudget AS INT) AS seq_offset
+       |FROM (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (
+       |    SELECT doc_id,
+       |      ${Dedup.hash60DuckSql("CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
+       |      CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |    FROM documents) t) t2
+       |ORDER BY bucket, doc_id""".stripMargin
+
+  val pack: QueryDef = QueryDef.sqlBacked("pipeline_pack", packOracle)(packSequences(_, _))
+
+  val all: Seq[QueryDef] = Seq(curate, sample, decontam, mix, pack)
 }

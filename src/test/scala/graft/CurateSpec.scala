@@ -83,6 +83,26 @@ class CurateSpec extends AnyFunSuite {
     assert(out.exists(!_.getAs[Boolean]("has_pii")))
   }
 
+  test("sequence packing fills each bucket contiguously under the 512 budget") {
+    val rows = queries.Curate.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, _, off) => assert(off >= 0 && off < 512) }
+    // within a bucket, each doc starts exactly where the previous ended
+    rows.groupBy(_._2).foreach { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, nt, seq, off) =>
+        assert(seq.toLong * 512 + off == cum, s"doc $id start mismatch")
+        cum += nt
+      }
+    }
+    // parallelism unit: the only corpus shuffle keys on the bucket
+    val p = queries.Curate.packSequences(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(bucket"),
+      "packing window is not partitioned by the hash bucket")
+  }
+
   test("cross-database view inlining (tests/views/mod.rs:3-31)") {
     val gs = new graft.sql.GraftSession(spark)
     spark.sql("DROP DATABASE IF EXISTS graft_vdb CASCADE")
