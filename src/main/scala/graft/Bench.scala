@@ -40,7 +40,7 @@ object Bench {
       queries.TextAnalysis.tfidf, queries.TextAnalysis.repetition,
       queries.TextAnalysis.pii, queries.TextAnalysis.boilerplate,
       queries.Curate.curate, queries.Curate.sample,
-      queries.Curate.decontam, queries.Curate.mix)
+      queries.Curate.decontam, queries.Curate.mix, queries.Curate.pack)
       .map(q => q.name -> timeOnce(spark)(q))
 
     // Core-count scaling evidence: the 100×-scale claims rest on plan
