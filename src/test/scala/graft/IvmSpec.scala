@@ -174,6 +174,50 @@ class IvmSpec extends AnyFunSuite {
     assert(tuples(dv).toSet == Set((1, "x", "B1", -1L), (3, "z", "B3", 2L)))
   }
 
+  test("randomized delta histories: maintained join view equals from-scratch recompute") {
+    import spark.implicits._
+    // seeded RNG → deterministic test; three independent histories
+    for (seed <- Seq(7, 23, 99)) {
+      val rnd = new scala.util.Random(seed)
+      def randRel(vals: Seq[String]): Seq[(Int, String, Long)] =
+        Seq.fill(rnd.nextInt(12) + 4)(
+          (rnd.nextInt(6), vals(rnd.nextInt(vals.size)),
+            (rnd.nextInt(5) - 2).toLong)) // freq in [-2, 2], incl. 0
+      val a0 = Seq.fill(rnd.nextInt(8) + 3)((rnd.nextInt(6), s"a${rnd.nextInt(4)}"))
+      val b0 = Seq.fill(rnd.nextInt(8) + 3)((rnd.nextInt(6), s"b${rnd.nextInt(4)}"))
+
+      val statePath = java.nio.file.Files
+        .createTempDirectory(s"ivm_prop_$seed").resolve("s").toString
+      val view = new graft.ivm.IncrementalJoinView(spark, Seq("k"), statePath)
+      view.initialize(a0.toDF("k", "av"), b0.toDF("k", "bv"))
+
+      // accumulate the ground-truth multisets as plain maps
+      var aTruth = a0.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var bTruth = b0.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      for (_ <- 0 until 3) {
+        val da = randRel((0 to 3).map(i => s"a$i"))
+        val db = randRel((0 to 3).map(i => s"b$i"))
+        view.applyDelta(
+          Some(da.toDF("k", "av", view.freqCol)),
+          Some(db.toDF("k", "bv", view.freqCol)))
+        da.foreach { case (k, v, f) =>
+          aTruth = aTruth.updated((k, v), aTruth.getOrElse((k, v), 0L) + f) }
+        db.foreach { case (k, v, f) =>
+          bTruth = bTruth.updated((k, v), bTruth.getOrElse((k, v), 0L) + f) }
+      }
+      aTruth = aTruth.filter(_._2 != 0); bTruth = bTruth.filter(_._2 != 0)
+      val expected = (for {
+        ((ka, av), fa) <- aTruth.toSeq
+        ((kb, bv), fb) <- bTruth.toSeq if ka == kb
+      } yield ((ka, av, bv), fa * fb))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).filter(_._2 != 0)
+        .map { case ((k, av, bv), f) => (k, av, bv, f) }.toSet
+      val got = view.current().collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == expected, s"seed $seed diverged")
+    }
+  }
+
   test("streaming maintenance of the join view equals batch applyDelta") {
     import spark.implicits._
     def build(suffix: String) = {
