@@ -292,7 +292,49 @@ object Functions {
           .as("p95_in_band"))
   }
 
+  // --- reference registry names (tests/show/functions.rs) -----------------
+  // The callable to_* / is-predicate family registered by GraftExtensions,
+  // oracle-verified over edge inputs where Spark's non-ANSI cast and
+  // DuckDB's TRY_CAST agree: valid literals, whitespace trim, garbage →
+  // NULL, empty → NULL. ('3.7' AS INT is the one documented divergence —
+  // Spark truncates to 3, DuckDB rounds to 4 — and stays out of the set.)
+  val registry: QueryDef = QueryDef.sqlBacked(
+    "fn_registry",
+    """SELECT
+      |  TRY_CAST('12' AS INTEGER) AS i_ok,
+      |  TRY_CAST('abc' AS INTEGER) AS i_bad,
+      |  TRY_CAST('' AS INTEGER) AS i_empty,
+      |  TRY_CAST(' 7 ' AS INTEGER) AS i_trim,
+      |  TRY_CAST('-5' AS BIGINT) AS l_neg,
+      |  TRY_CAST('true' AS BOOLEAN) AS b_word,
+      |  TRY_CAST('1' AS BOOLEAN) AS b_num,
+      |  TRY_CAST('x' AS BOOLEAN) AS b_bad,
+      |  CAST(TRY_CAST('1.25' AS DECIMAL(28,14)) AS DOUBLE) AS dec_ok,
+      |  CAST('graft' AS VARCHAR) AS t_id,
+      |  (NULL IS TRUE) AS it_null,
+      |  (TRY_CAST('1' AS BOOLEAN) IS TRUE) AS it_true,
+      |  (false IS FALSE) AS if_false,
+      |  (NULL IS NULL) AS in_null""".stripMargin
+  ) { (spark, _) =>
+    spark.sql(
+      """SELECT
+        |  to_int('12') AS i_ok,
+        |  to_int('abc') AS i_bad,
+        |  to_int('') AS i_empty,
+        |  to_int(' 7 ') AS i_trim,
+        |  to_bigint('-5') AS l_neg,
+        |  to_bool('true') AS b_word,
+        |  to_bool('1') AS b_num,
+        |  to_bool('x') AS b_bad,
+        |  CAST(to_decimal('1.25') AS DOUBLE) AS dec_ok,
+        |  to_text('graft') AS t_id,
+        |  istrue(NULL) AS it_null,
+        |  istrue(to_bool('1')) AS it_true,
+        |  isfalse(false) AS if_false,
+        |  isnull(NULL) AS in_null""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     compare, bool3vl, arith, cond, casts, datetime, strings, json, typeOf,
-    aggregates, approx)
+    aggregates, approx, registry)
 }
