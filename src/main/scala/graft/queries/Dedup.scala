@@ -417,10 +417,22 @@ object Dedup {
     * fixpoint — a silent non-fixpoint labeling must never escape to
     * library callers.
     *
+    * Small-graph finisher: star contraction shrinks the edge set every
+    * round, and once it fits comfortably on the driver
+    * (localFinishEdges, default 100k edges ≈ a few MB — far below any
+    * broadcast threshold) the remaining rounds are pure fixed overhead,
+    * so the component closure finishes with a driver-side min-label
+    * union-find instead of N more multi-job rounds. Identical labels by
+    * construction (min-root union ⇒ every root is its component's
+    * minimum — cross-checked against the distributed path in
+    * ClusterConvergenceSpec); at 100 TB the distributed rounds run until
+    * the contracted graph is tiny, then one collect ends it. Pass
+    * localFinishEdges = 0 to force the pure distributed path.
+    *
     * @return (doc_id → cluster_id labels for every node, rounds run)
     */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 50): (DataFrame, Int) = {
+      maxRounds: Int = 50, localFinishEdges: Long = 100000L): (DataFrame, Int) = {
     import org.apache.spark.sql.functions.{col, min => minCol, least, lit,
       count => cntCol, sum => sumCol, coalesce}
 
@@ -455,8 +467,37 @@ object Dedup {
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var prev = stats(edges)
+    // driver-side min-label union-find over a small edge set → the same
+    // (doc, lab) star relation the distributed fixpoint produces
+    def localFinish(e: DataFrame): DataFrame = {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent.update(c, r); c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb) }
+      }
+      val sparkL = e.sparkSession
+      import sparkL.implicits._
+      es.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
+        .map(d => (d, find(d))).filter { case (d, l) => d != l }
+        .toDF("doc", "lab")
+    }
+    def labelJoin(nonRoots: DataFrame): DataFrame =
+      nodes.select(col("doc"))
+        .join(nonRoots, Seq("doc"), "left")
+        .select(col("doc"), coalesce(col("lab"), col("doc")).as("lab"))
+
     var rounds = 0
     var converged = prev._1 == 0L // no edges at all: everything is a singleton
+    if (!converged && prev._1 <= localFinishEdges && localFinishEdges > 0L)
+      return (labelJoin(localFinish(edges)), rounds)
     while (!converged && rounds < maxRounds) {
       // localCheckpoint: materializes the round AND truncates lineage —
       // without it each round's plan nests the previous one and the DAG
@@ -470,6 +511,10 @@ object Dedup {
       edges = next
       prev = cur
       rounds += 1
+      // contraction shrank the graph under the driver bound → finish
+      // locally instead of paying more fixed-overhead rounds
+      if (!converged && cur._1 <= localFinishEdges && localFinishEdges > 0L)
+        return (labelJoin(localFinish(edges)), rounds)
     }
     if (!converged)
       throw new IllegalStateException(
@@ -478,10 +523,7 @@ object Dedup {
     // singletons label themselves
     val nonRoots = edges.groupBy(col("u")).agg(minCol(col("v")).as("lab"))
       .select(col("u").as("doc"), col("lab"))
-    val labeled = nodes.select(col("doc"))
-      .join(nonRoots, Seq("doc"), "left")
-      .select(col("doc"), coalesce(col("lab"), col("doc")).as("lab"))
-    (labeled, rounds)
+    (labelJoin(nonRoots), rounds)
   }
 
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {

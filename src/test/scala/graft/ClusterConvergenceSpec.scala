@@ -14,10 +14,13 @@ class ClusterConvergenceSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def labelsOf(n: Int, edges: Seq[(Long, Long)],
-      maxRounds: Int = 50): (Map[Long, Long], Int) = {
+      maxRounds: Int = 50, localFinishEdges: Long = 0L): (Map[Long, Long], Int) = {
+    // localFinishEdges = 0 forces the DISTRIBUTED star rounds — these
+    // pins must keep exercising the scale path, not the driver finisher
     val nodes = (0L until n.toLong).toDF("doc")
     val pairs = edges.toDF("id_a", "id_b")
-    val (lab, rounds) = queries.Dedup.connectedComponents(nodes, pairs, maxRounds)
+    val (lab, rounds) =
+      queries.Dedup.connectedComponents(nodes, pairs, maxRounds, localFinishEdges)
     (lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
   }
 
@@ -67,6 +70,22 @@ class ClusterConvergenceSpec extends AnyFunSuite {
       val edges = Seq.fill(n / 2)((nextInt(n).toLong, nextInt(n).toLong))
       val (lab, _) = labelsOf(n, edges)
       assert(lab == unionFind(n, edges), s"trial $trial (n=$n) diverged from union-find")
+    }
+  }
+
+  test("driver finisher labels exactly as the distributed star rounds") {
+    var seed = 0x2545F4914F6CDD1DL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 23
+      val edges = Seq.fill(n)((nextInt(n).toLong, nextInt(n).toLong))
+      val (viaLocal, r1) = labelsOf(n, edges, localFinishEdges = 1000000L)
+      val (viaRounds, _) = labelsOf(n, edges, localFinishEdges = 0L)
+      assert(r1 == 0, "small graphs must take the driver finisher immediately")
+      assert(viaLocal == viaRounds, s"trial $trial (n=$n): finisher diverged")
     }
   }
 
