@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Curate, Dedup, Events, Functions, Ivm, Multimodal, Relational, Similarity, TextAnalysis, Tpch}
+import graft.queries.{Analytic, Curate, Dedup, Events, Functions, Ivm, Multimodal, Relational, Similarity, TextAnalysis, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{Curate, Dedup, Events, Functions, Ivm, Multimodal, Relatio
 object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
-    Tpch.all ++ Relational.all ++ Functions.all ++
+    Tpch.all ++ Relational.all ++ Functions.all ++ Analytic.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
       Events.all ++ Ivm.all ++ Curate.all
 

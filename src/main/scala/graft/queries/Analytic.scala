@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{Engine, QueryDef}
+import org.apache.spark.sql.SparkSession
+
+/** Subquery, multi-dimensional grouping, and table-generating operators —
+  * the analytic SQL surface a user coming off the reference engine expects
+  * on top of SURVEY.md §2.1's core relational set.
+  *
+  * Subqueries are declared as plain SQL and decorrelated by Catalyst:
+  * IN/EXISTS become LeftSemi/LeftAnti joins, scalar subqueries become
+  * broadcast one-row joins — all broadcastable, no corpus-side shuffle, so
+  * each plan survives the 100 TB scale-up. The reference has no subquery
+  * planner (its parser rejects them — /root/reference/src/parser/src/
+  * select.rs covers only FROM/JOIN/WHERE/GROUP/ORDER), so this whole
+  * module is a Spark-native extension in the spirit of
+  * resolve_tables.rs' view inlining: declarative SQL, optimizer-planned.
+  *
+  * Determinism: aggregates over doubles go through exact DECIMAL sums;
+  * double expressions use identical IEEE operation trees in the Spark and
+  * DuckDB texts, so hash compares are bit-stable (QueryDef contract).
+  */
+object Analytic {
+
+  private def reg(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(t => Engine.table(spark, dir, t).createOrReplaceTempView(t))
+
+  // --- uncorrelated IN subquery → LeftSemi join ---------------------------
+  private val inSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 380000)
+      |ORDER BY c_custkey""".stripMargin
+
+  val subqueryIn: QueryDef = QueryDef.sqlBacked("op_subquery_in", inSql) {
+    (spark, dir) => reg(spark, dir, "customer", "orders"); spark.sql(inSql)
+  }
+
+  // --- NOT IN with a NULL-bearing list: 3VL kills every row ---------------
+  // `x NOT IN (list containing NULL)` is never TRUE (it is FALSE on a match,
+  // NULL otherwise), so the with_null variant returns count 0 while the
+  // no_null variant keeps suppliers outside the key range — the classic
+  // ANSI trap, pinned as a two-row result on both engines.
+  private val notInSql =
+    """SELECT 'no_null' AS variant, count(*) AS n FROM supplier
+      |WHERE s_nationkey NOT IN
+      |  (SELECT n_nationkey FROM nation WHERE n_nationkey BETWEEN 5 AND 20)
+      |UNION ALL
+      |SELECT 'with_null' AS variant, count(*) AS n FROM supplier
+      |WHERE s_nationkey NOT IN
+      |  (SELECT nullif(n_nationkey, 7) FROM nation WHERE n_nationkey BETWEEN 5 AND 20)
+      |ORDER BY variant""".stripMargin
+
+  val subqueryNotIn: QueryDef = QueryDef.sqlBacked("op_subquery_notin", notInSql) {
+    (spark, dir) => reg(spark, dir, "supplier", "nation"); spark.sql(notInSql)
+  }
+
+  // --- correlated EXISTS / NOT EXISTS → LeftSemi + LeftAnti ---------------
+  private val existsSql =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F' AND o2.o_totalprice > 350000)
+      |ORDER BY c_custkey""".stripMargin
+
+  val subqueryExists: QueryDef = QueryDef.sqlBacked("op_subquery_exists", existsSql) {
+    (spark, dir) => reg(spark, dir, "customer", "orders"); spark.sql(existsSql)
+  }
+
+  // --- scalar subqueries in projection + predicate ------------------------
+  // avg is spelled sum/count from an exact DECIMAL sum so the division is
+  // one double op with the same operands on both engines (a double-sum avg
+  // would be partition-order-dependent). Catalyst plans the two scalar
+  // subqueries as broadcast one-row joins — no per-row recompute.
+  private val scalarSql =
+    """SELECT o_orderkey,
+      |  CAST(o_totalprice AS DOUBLE) * (SELECT count(*) FROM orders)
+      |    / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |       FROM orders) AS price_ratio
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DOUBLE) * (SELECT count(*) FROM orders)
+      |  > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |           FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val subqueryScalar: QueryDef = QueryDef.sqlBacked("op_subquery_scalar", scalarSql) {
+    (spark, dir) => reg(spark, dir, "orders"); spark.sql(scalarSql)
+  }
+
+  // --- GROUPING SETS with grouping() disambiguation -----------------------
+  // One shuffle: Spark expands the sets map-side (Expand) then aggregates
+  // once on (keys, grouping_id) — the right shape at scale, no per-set scan.
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+      |                        (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  val groupingSets: QueryDef = QueryDef.sqlBacked("op_grouping_sets", groupingSetsSql) {
+    (spark, dir) => reg(spark, dir, "lineitem"); spark.sql(groupingSetsSql)
+  }
+
+  // --- CUBE over two order dimensions -------------------------------------
+  private val cubeSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  val cube: QueryDef = QueryDef.sqlBacked("op_cube", cubeSql) {
+    (spark, dir) => reg(spark, dir, "orders"); spark.sql(cubeSql)
+  }
+
+  // --- UNNEST with ordinality: posexplode ≡ unnest+generate_subscripts ----
+  // Generate runs inside the scan's codegen stage — a per-row flatMap, no
+  // shuffle; the only exchange is the final presentation sort.
+  private val unnestSpark =
+    """SELECT doc_id, CAST(pos + 1 AS INT) AS pos, tok
+      |FROM (SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS toks
+      |      FROM documents)
+      |LATERAL VIEW posexplode(toks) t AS pos, tok
+      |ORDER BY doc_id, pos""".stripMargin
+
+  private val unnestOracle =
+    """SELECT doc_id, CAST(pos AS INT) AS pos, tok FROM (
+      |  SELECT doc_id,
+      |    generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |        FROM documents))
+      |ORDER BY doc_id, pos""".stripMargin
+
+  val unnest: QueryDef = QueryDef.sqlBacked("op_unnest", unnestOracle) {
+    (spark, dir) => reg(spark, dir, "documents"); spark.sql(unnestSpark)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(subqueryIn, subqueryNotIn, subqueryExists, subqueryScalar,
+      groupingSets, cube, unnest)
+}

@@ -207,5 +207,39 @@ object Events {
     spark.sql(funnelSql)
   }
 
-  val all: Seq[QueryDef] = Seq(windowAgg, windowRank, sessionize, asofJoin, rangeJoin, funnel)
+  // --- time-RANGE window frame: trailing 1-hour sum per user --------------
+  // RANGE (not ROWS) so tied timestamps are peers — the frame is defined by
+  // event time, which is the semantics a stream engine's sliding window
+  // gives. Values go through floor(value·100) cents so the in-frame sum is
+  // integer (order-independent; a double sum would be frame-order-
+  // dependent). One shuffle on user_id, then a per-partition sort — the
+  // same shape Structured Streaming uses for its stateful sliding windows.
+  private val windowRangeSpark =
+    """SELECT event_id, user_id, ts,
+      |  sum(CAST(floor(value * 100) AS BIGINT)) OVER
+      |    (PARTITION BY user_id ORDER BY ts
+      |     RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS hr_cents,
+      |  CAST(count(*) OVER
+      |    (PARTITION BY user_id ORDER BY ts
+      |     RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS INT) AS hr_n
+      |FROM events ORDER BY event_id""".stripMargin
+
+  private val windowRangeOracle =
+    """SELECT event_id, user_id, ts,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER
+      |    (PARTITION BY user_id ORDER BY ts
+      |     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS hr_cents,
+      |  CAST(count(*) OVER
+      |    (PARTITION BY user_id ORDER BY ts
+      |     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS INT) AS hr_n
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val windowRange: QueryDef = QueryDef.sqlBacked("evt_window_range", windowRangeOracle) {
+    (spark, dir) =>
+      Engine.table(spark, dir, "events").createOrReplaceTempView("events")
+      spark.sql(windowRangeSpark)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(windowAgg, windowRank, windowRange, sessionize, asofJoin, rangeJoin, funnel)
 }

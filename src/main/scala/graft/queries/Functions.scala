@@ -334,7 +334,97 @@ object Functions {
         |  isnull(NULL) AS in_null""".stripMargin)
   }
 
+  // --- exact percentiles: linear-interpolation quantiles ------------------
+  // Spark `percentile` and DuckDB `quantile_cont` share the definition
+  // pos = p·(n−1), result = x_lo + frac·(x_hi − x_lo). l_quantity values
+  // are integer-valued doubles and p ∈ {¼, ½, ¾}, so every interpolated
+  // value is an exact binary quarter — bit-identical across engines with
+  // no rounding slack. (Exact percentile is a full sort per group; the
+  // scale path for 100 TB is fn_approx's approx_percentile sketch — this
+  // query is the exactness anchor the sketch is judged against.)
+  private val percentileOracle =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5)  AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  median(l_quantity) AS med,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val percentile: QueryDef = QueryDef.sqlBacked("fn_percentile", percentileOracle) {
+    (spark, dir) =>
+      Engine.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+      spark.sql(
+        """SELECT l_returnflag,
+          |  percentile(l_quantity, 0.25) AS p25,
+          |  percentile(l_quantity, 0.5)  AS p50,
+          |  percentile(l_quantity, 0.75) AS p75,
+          |  median(l_quantity) AS med,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  // --- statistical aggregates from exact moments --------------------------
+  // stddev/covar/corr are computed from exact DECIMAL power sums (order-
+  // independent, so distributed aggregation is deterministic), then one
+  // fixed double expression tree shared verbatim by both engines — every
+  // IEEE op has identical operands, so results are bit-identical. This is
+  // also the scale-correct design: a streaming Welford pass is sequential,
+  // while power sums are a single map-side-combined aggregation.
+  private def statsSql(table: String): String =
+    s"""WITH m AS (
+       |  SELECT l_returnflag,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+       |  FROM $table GROUP BY l_returnflag)
+       |SELECT l_returnflag,
+       |  sx / n AS mean_qty,
+       |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       |  sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_price,
+       |  (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+       |  (n * sxy - sx * sy)
+       |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+       |FROM m ORDER BY l_returnflag""".stripMargin
+
+  val stats: QueryDef = QueryDef.sqlBacked("fn_stats", statsSql("lineitem")) {
+    (spark, dir) =>
+      Engine.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+      spark.sql(statsSql("lineitem"))
+  }
+
+  // --- bitwise operators (Spark-native extension; DuckDB dialect: `xor`
+  // is a function and `^` is exponentiation, so the oracle text differs
+  // while the semantics are pinned identical) ------------------------------
+  val bitwise: QueryDef = QueryDef.sqlBacked(
+    "fn_bitwise",
+    """SELECT s_suppkey,
+      |  CAST(s_suppkey & 12 AS BIGINT) AS band,
+      |  CAST(s_suppkey | 5 AS BIGINT) AS bor,
+      |  CAST(xor(s_suppkey, 21) AS BIGINT) AS bxor,
+      |  CAST(~s_suppkey AS BIGINT) AS bnot,
+      |  CAST((s_suppkey % 16) << 3 AS BIGINT) AS shl,
+      |  CAST(s_suppkey >> 2 AS BIGINT) AS shr,
+      |  CAST(bit_count(s_suppkey) AS INT) AS bcnt
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    spark.sql(
+      """SELECT s_suppkey,
+        |  CAST(s_suppkey & 12 AS BIGINT) AS band,
+        |  CAST(s_suppkey | 5 AS BIGINT) AS bor,
+        |  CAST(s_suppkey ^ 21 AS BIGINT) AS bxor,
+        |  CAST(~s_suppkey AS BIGINT) AS bnot,
+        |  CAST(shiftleft(s_suppkey % 16, 3) AS BIGINT) AS shl,
+        |  CAST(shiftright(s_suppkey, 2) AS BIGINT) AS shr,
+        |  CAST(bit_count(s_suppkey) AS INT) AS bcnt
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     compare, bool3vl, arith, cond, casts, datetime, strings, json, typeOf,
-    aggregates, approx, registry)
+    aggregates, approx, registry, percentile, stats, bitwise)
 }

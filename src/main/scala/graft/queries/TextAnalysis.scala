@@ -403,7 +403,68 @@ object TextAnalysis {
         |ORDER BY d.doc_id""".stripMargin)
   }
 
+  // --- exact heavy hitters via Misra-Gries candidates + verify pass -------
+  // Tokens with frequency ≥ N/200 (φ = 0.5%). The scale design is the
+  // sketch-then-verify two-pass: a per-partition Misra-Gries summary of
+  // capacity k = 400 emits candidate tokens, and only candidates are
+  // exact-counted. Guarantee (so the result is EXACT, not approximate):
+  // if f(t) ≥ N/200 > N/k then on at least one partition p the local count
+  // exceeds N_p/k — otherwise f(t) = Σ_p f_p(t) ≤ Σ_p N_p/k = N/k, a
+  // contradiction — and MG(k) never evicts an item whose remaining local
+  // frequency exceeds N_p/k. So the candidate union is a superset of every
+  // φ-heavy token, and the verify pass makes the final counts exact. At
+  // 100 TB this means the groupBy shuffle carries only candidate tokens
+  // (bounded by k × partitions), not the full long-tail vocabulary.
+  // (Misra & Gries 1982; per-partition union bound as in SpaceSaving-
+  // merge literature.)
+  private def misraGriesCandidates(it: Iterator[String], k: Int): Iterator[String] = {
+    val counts = new java.util.HashMap[String, Long](k * 2)
+    while (it.hasNext) {
+      val t = it.next()
+      val c = counts.get(t)
+      if (c != 0L || counts.containsKey(t)) counts.put(t, c + 1)
+      else if (counts.size < k) counts.put(t, 1L)
+      else {
+        val entries = counts.entrySet().iterator()
+        while (entries.hasNext) {
+          val e = entries.next()
+          if (e.getValue == 1L) entries.remove() else e.setValue(e.getValue - 1)
+        }
+      }
+    }
+    scala.jdk.CollectionConverters.SetHasAsScala(counts.keySet()).asScala.iterator
+  }
+
+  private val heavyHittersOracle =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS n FROM toks)
+      |SELECT tok, cnt
+      |FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok) c
+      |CROSS JOIN tot
+      |WHERE cnt * 200 >= tot.n
+      |ORDER BY cnt DESC, tok""".stripMargin
+
+  val heavyHitters: QueryDef = QueryDef.sqlBacked("ta_heavy_hitters", heavyHittersOracle) {
+    (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val toks = Engine.table(spark, dir, "documents")
+        .select(explode(filter(split(col("text"), " "), x => x =!= lit(""))).as("tok"))
+      val candidates = toks.as[String]
+        .mapPartitions(misraGriesCandidates(_, 400))
+        .toDF("tok").distinct()
+      val counted = toks.join(broadcast(candidates), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      counted.crossJoin(total)
+        .where(col("cnt") * 200 >= col("n"))
+        .select(col("tok"), col("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf, repetition, pii,
-      boilerplate)
+      boilerplate, heavyHitters)
 }
