@@ -415,6 +415,36 @@ object Relational {
       .orderBy(col("r_regionkey"))
   }
 
+  // --- LSM delta appends + compaction (storage/src/table.rs:309-347) ------
+  // Same multiset algebra as op_multiset_freq, but through the O(delta)
+  // write path: each INSERT/DELETE persists only its delta (the
+  // reference's LSM write shape), state is merged on read, and an
+  // explicit compact folds the chain into one snapshot. The oracle — and
+  // the equality with op_multiset_freq's algebra — proves delta-append ∘
+  // compact ≡ eager merge: (region ⊎ region) ∖ region[key<2].
+  val multisetCompact: QueryDef = QueryDef.sqlBacked(
+    "op_multiset_compact",
+    """SELECT r_regionkey, r_name, count(*) AS copies FROM (
+      |  (SELECT * FROM region UNION ALL SELECT * FROM region)
+      |  EXCEPT ALL
+      |  (SELECT * FROM region WHERE r_regionkey < 2)
+      |) t GROUP BY r_regionkey, r_name ORDER BY r_regionkey""".stripMargin
+  ) { (spark, dir) =>
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_multiset_").resolve("region_lsm").toString
+    val r = Engine.table(spark, dir, "region")
+    graft.sources.MultisetStore.appendDelta(spark, path, r)      // INSERT ×1
+    graft.sources.MultisetStore.appendDelta(spark, path, r)      // INSERT ×1
+    graft.sources.MultisetStore.appendDelta(spark, path,         // DELETE one copy
+      r.filter(col("r_regionkey") < 2), freq = -1L)
+    graft.sources.MultisetStore.compact(spark, path)
+    graft.sources.MultisetStore.vacuum(path)
+    graft.sources.MultisetStore.read(spark, path)
+      .groupBy(col("r_regionkey"), col("r_name"))
+      .agg(count(lit(1)).as("copies"))
+      .orderBy(col("r_regionkey"))
+  }
+
   // --- FileScan: recursive CSV directory → one JSON-array column ----------
   // (file_scan.rs:15-52 + FIXTURES.md §2 — the embedded quoted comma case)
   val fileScan: QueryDef = QueryDef.sqlBacked(
@@ -568,6 +598,7 @@ object Relational {
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinNonEqui, joinNullKeys, joinCross,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
-    unionAll, delete, insert, multisetFreq, fileScan, roundtripJson, view, distinct,
+    unionAll, delete, insert, multisetFreq, multisetCompact, fileScan,
+    roundtripJson, view, distinct,
     rollup, pivot, intersect, except)
 }

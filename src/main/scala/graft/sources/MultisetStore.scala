@@ -4,87 +4,127 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Freq-compacting multiset table — the reference's storage model for
-  * user tables re-expressed over parquet.
+  * user tables re-expressed over parquet, with the reference's LSM write
+  * shape: cheap delta appends, lazy compaction.
   *
   * In the reference every stored tuple carries an i64 frequency and the
   * write path MERGES freq per identical tuple at write time
   * (/root/reference/src/storage/src/table.rs:309-347: `freq += last_freq`
   * on key collision); INSERT appends +1 per row, DELETE appends −1 via
   * NegateFreq (delete.rs:56-60), and a read materializes `freq` copies of
-  * each surviving tuple. This store keeps the same contract:
+  * each surviving tuple. The reference's RocksDB gets the per-key merge
+  * for free from LSM compaction — writes are O(delta), merging is
+  * deferred. This store keeps both contracts:
   *
-  *   - state is a compacted parquet snapshot of (columns…, __freq: Long),
-  *     one row per DISTINCT tuple — physical duplication never persists;
-  *   - `append(df, freq)` merges the delta into a NEW versioned snapshot
-  *     (read-modify-write through a fresh directory — never overwriting
-  *     the snapshot being read, safe on object stores; same pattern as
-  *     ivm.IncrementalAggView's state snapshots, which carry the same
-  *     `__freq` column — one freq model across storage and IVM);
+  *   - state is a chain of versioned parquet dirs: a compacted SNAPSHOT
+  *     (one row per distinct tuple, `__freq: Long`) plus zero or more
+  *     DELTA dirs appended after it (marked by an empty `_DELTA` file —
+  *     underscore-prefixed, so Spark's parquet reader ignores it);
+  *   - [[appendDelta]] writes ONLY the delta — O(|delta|) I/O, the LSM
+  *     write path; reads merge the chain on the fly; [[compact]] folds
+  *     the chain into a fresh snapshot (triggered automatically once
+  *     `autoCompactDeltas` deltas accumulate, like a size-tiered LSM);
+  *   - [[append]] is the eager path — merge-on-write, one-version chain —
+  *     for callers that read far more often than they write (IVM state);
   *   - `read` expands `__freq` copies per tuple (freq ≤ 0 rows yield
   *     nothing, matching the reference's read path; negative freq is
   *     retained in state, as the reference retains it, so a retraction
   *     arriving before its insert nets out correctly).
   *
-  * Scale: the merge is ONE hash aggregation keyed on the tuple — the same
-  * shuffle a distinct would cost — and its input is |state| + |delta|
-  * where |state| is bounded by distinct tuples, not inserts. On a real
-  * cluster, bucketing the snapshot by the tuple hash makes the merge
-  * co-partitioned and the exchange disappears from the write path.
+  * Scale: the compaction merge is ONE hash aggregation keyed on the tuple
+  * — the same shuffle a distinct would cost — and its input is
+  * |state| + Σ|delta| where |state| is bounded by distinct tuples, not
+  * inserts. Delta appends never touch existing state, so ingest cost is
+  * independent of table size — the property that matters when the table
+  * is 100 TB and the delta is a few GB. On a real cluster, bucketing the
+  * snapshot and deltas by the tuple hash makes the merge co-partitioned
+  * and the exchange disappears from the compaction path.
   */
 object MultisetStore {
 
   val freqCol = "__freq"
 
-  private def versionOf(spark: SparkSession, path: String): Option[Int] = {
+  /** appendDelta folds the chain into a new snapshot once this many
+    * deltas are pending — bounds merge-on-read cost at a small constant
+    * (the LSM level-0 file-count trigger, in spirit). */
+  val autoCompactDeltas = 8
+
+  private val deltaMarker = "_DELTA"
+
+  private def versionsOf(path: String): Seq[Int] = {
     val dir = new java.io.File(path)
-    if (!dir.isDirectory) None
-    else dir.list().filter(_.matches("v\\d+")).map(_.drop(1).toInt)
-      .sorted.lastOption
+    if (!dir.isDirectory) Seq.empty
+    else dir.list().filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted.toSeq
   }
 
   private def versionDir(path: String, v: Int) = s"$path/v$v"
 
-  /** Merge `df` into the multiset at `path`, each row weighted `freq`
-    * (+1 = insert, −1 = single-copy delete — NegateFreq). Compacts per
-    * full tuple: the snapshot never holds two rows with equal columns.
-    *
-    * Concurrency: optimistic read-modify-write. The base version is read
-    * ONCE, the merged snapshot is written to a hidden staging directory,
-    * then atomically renamed to `v<base+1>` — the version directory
-    * therefore only ever appears fully formed, so a concurrent reader
-    * never observes a partial snapshot. If another writer claimed that
-    * version first the rename fails, the staging output is discarded,
-    * and the whole merge retries against the NEW base — no delta is ever
-    * silently lost (the reference gets the same guarantee from its
-    * single-writer storage engine, table.rs:309-347). The commit step uses
-    * java.nio (local-filesystem paths): on a distributed filesystem or
-    * object store, where java.nio cannot address the path, run
-    * single-writer per path or port the claim step to that store's
+  private def isDelta(path: String, v: Int): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(versionDir(path, v), deltaMarker))
+
+  /** The snapshot-plus-deltas suffix of the version chain that defines
+    * current state: everything from the last snapshot on (or every delta,
+    * if no snapshot has been written yet). */
+  private def chain(path: String): Seq[Int] = {
+    val vs = versionsOf(path)
+    val lastSnap = vs.filterNot(isDelta(path, _)).lastOption
+    lastSnap match {
+      case Some(s) => vs.filter(_ >= s)
+      case None    => vs
+    }
+  }
+
+  private def mergeFreq(parts: Seq[DataFrame]): DataFrame = {
+    val unioned = parts.reduce(_ unionByName _)
+    val dataCols = unioned.columns.filter(_ != freqCol).toIndexedSeq
+    unioned.groupBy(dataCols.map(col): _*)
+      .agg(sum(col(freqCol)).as(freqCol))
+      .filter(col(freqCol) =!= 0L) // fully-retracted tuples compact away
+  }
+
+  /** Current logical state (one row per distinct tuple + freq), merging
+    * pending deltas on the fly. Single-snapshot chains skip the merge —
+    * the common shape after compaction — so steady-state reads are a
+    * plain parquet scan. */
+  private def state(spark: SparkSession, path: String): Option[DataFrame] =
+    chain(path) match {
+      case Seq() => None
+      case Seq(v) if !isDelta(path, v) =>
+        Some(spark.read.parquet(versionDir(path, v)))
+      case vs =>
+        Some(mergeFreq(vs.map(v => spark.read.parquet(versionDir(path, v)))))
+    }
+
+  private def normalize(df: DataFrame, freq: Long): DataFrame = {
+    val dataCols = df.columns.filter(_ != freqCol).toIndexedSeq
+    if (df.columns.contains(freqCol)) df.select(dataCols.map(col) :+ col(freqCol): _*)
+    else df.select(dataCols.map(col): _*).withColumn(freqCol, lit(freq))
+  }
+
+  /** Claim the next version directory atomically: write `build(staging)`,
+    * then rename staging → v<next>. The version dir only ever appears
+    * fully formed, so a concurrent reader never observes a partial
+    * snapshot; if another writer claimed the version first, the rename
+    * fails, the staging output is discarded, and `retry` runs against the
+    * NEW base — no delta is ever silently lost (the reference gets the
+    * same guarantee from its single-writer storage engine,
+    * table.rs:309-347). The commit step uses java.nio (local-filesystem
+    * paths): on a distributed filesystem or object store, run
+    * single-writer per path or port the claim to that store's
     * rename/conditional-put — the same discipline every file-commit
     * protocol needs there.
     */
-  def append(spark: SparkSession, path: String, df: DataFrame, freq: Long = 1L): Unit = {
-    val dataCols = df.columns.filter(_ != freqCol).toIndexedSeq
-    val delta =
-      if (df.columns.contains(freqCol)) df.select(dataCols.map(col) :+ col(freqCol): _*)
-      else df.select(dataCols.map(col): _*).withColumn(freqCol, lit(freq))
+  private def claimNextVersion(path: String)(build: java.nio.file.Path => Unit): Unit = {
     var committed = false
     var attempts = 0
     while (!committed) {
       attempts += 1
-      require(attempts <= 20, s"multiset append at $path lost the version race 20 times")
-      val base = versionOf(spark, path) // read exactly once per attempt
-      val merged = base match {
-        case None => delta
-        case Some(v) => spark.read.parquet(versionDir(path, v)).unionByName(delta)
-      }
-      val next = base.map(_ + 1).getOrElse(0)
+      require(attempts <= 20, s"multiset write at $path lost the version race 20 times")
+      val next = versionsOf(path).lastOption.map(_ + 1).getOrElse(0)
       val staging = java.nio.file.Paths.get(
         path, s"_staging_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
-      merged.groupBy(dataCols.map(col): _*)
-        .agg(sum(col(freqCol)).as(freqCol))
-        .filter(col(freqCol) =!= 0L) // fully-retracted tuples compact away
-        .write.mode("overwrite").parquet(staging.toString)
+      build(staging)
       val target = java.nio.file.Paths.get(versionDir(path, next))
       try {
         java.nio.file.Files.move(staging, target,
@@ -93,11 +133,60 @@ object MultisetStore {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException
              | _: java.nio.file.FileSystemException =>
-          // lost the race: another writer owns v<next>; re-merge on top
           if (java.nio.file.Files.exists(target)) deleteRecursively(staging)
           else throw new IllegalStateException(
             s"atomic rename to $target failed but the version is unclaimed")
       }
+    }
+  }
+
+  /** Eager merge-on-write: folds `df` (each row weighted `freq`; +1 =
+    * insert, −1 = single-copy delete — NegateFreq) and any pending deltas
+    * into a fresh one-version snapshot. O(|state|) per call; use
+    * [[appendDelta]] on write-heavy paths. */
+  def append(spark: SparkSession, path: String, df: DataFrame, freq: Long = 1L): Unit = {
+    val delta = normalize(df, freq)
+    claimNextVersion(path) { staging =>
+      // base re-read inside the claim loop: a lost race re-merges on the
+      // winner's state, so no concurrent append is dropped
+      val merged = state(spark, path) match {
+        case None       => mergeFreq(Seq(delta))
+        case Some(base) => mergeFreq(Seq(base, delta))
+      }
+      merged.write.mode("overwrite").parquet(staging.toString)
+    }
+  }
+
+  /** LSM write path: persist ONLY the delta — O(|delta|) I/O regardless
+    * of table size. Reads merge pending deltas on the fly; once
+    * [[autoCompactDeltas]] deltas accumulate the chain is folded into a
+    * new snapshot so merge-on-read cost stays bounded. */
+  def appendDelta(spark: SparkSession, path: String, df: DataFrame, freq: Long = 1L): Unit = {
+    val delta = normalize(df, freq)
+    claimNextVersion(path) { staging =>
+      delta.write.mode("overwrite").parquet(staging.toString)
+      java.nio.file.Files.createFile(staging.resolve(deltaMarker))
+    }
+    if (chain(path).count(isDelta(path, _)) >= autoCompactDeltas) compact(spark, path)
+  }
+
+  /** Fold the snapshot-plus-deltas chain into a single fresh snapshot
+    * version (the LSM compaction step). Older versions stay on disk for
+    * in-flight readers until [[vacuum]]. */
+  def compact(spark: SparkSession, path: String): Unit =
+    state(spark, path).foreach { merged =>
+      claimNextVersion(path) { staging =>
+        merged.write.mode("overwrite").parquet(staging.toString)
+      }
+    }
+
+  /** Drop every version older than the latest snapshot. Safe once no
+    * reader holds a plan over the old versions. */
+  def vacuum(path: String): Unit = {
+    val vs = versionsOf(path)
+    vs.filterNot(isDelta(path, _)).lastOption.foreach { snap =>
+      vs.filter(_ < snap).foreach(v =>
+        deleteRecursively(java.nio.file.Paths.get(versionDir(path, v))))
     }
   }
 
@@ -112,19 +201,16 @@ object MultisetStore {
 
   /** The multiset expanded back to rows: `__freq` copies per tuple. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val v = versionOf(spark, path).getOrElse(
-      throw new IllegalStateException(s"no multiset snapshot at $path"))
-    val snap = spark.read.parquet(versionDir(path, v))
+    val snap = snapshot(spark, path)
     val dataCols = snap.columns.filter(_ != freqCol).toIndexedSeq
     snap.filter(col(freqCol) > 0L)
       .withColumn("__copy", explode(expr(s"sequence(1, $freqCol)")))
       .select(dataCols.map(col): _*)
   }
 
-  /** The compacted snapshot itself: one row per distinct tuple + freq. */
-  def snapshot(spark: SparkSession, path: String): DataFrame = {
-    val v = versionOf(spark, path).getOrElse(
+  /** The compacted logical state: one row per distinct tuple + freq
+    * (pending deltas merged on the fly). */
+  def snapshot(spark: SparkSession, path: String): DataFrame =
+    state(spark, path).getOrElse(
       throw new IllegalStateException(s"no multiset snapshot at $path"))
-    spark.read.parquet(versionDir(path, v))
-  }
 }

@@ -72,4 +72,55 @@ class MultisetStoreSpec extends AnyFunSuite {
     MultisetStore.append(spark, p, Seq((9, "z")).toDF("k", "v"), freq = 2L)
     assert(MultisetStore.read(spark, p).count() == 1)
   }
+
+  test("delta appends merge on read; compact + vacuum leave one snapshot with identical state") {
+    val p = tmp()
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    MultisetStore.appendDelta(spark, p, df)
+    MultisetStore.appendDelta(spark, p, df)
+    MultisetStore.appendDelta(spark, p, Seq((1, "a")).toDF("k", "v"), freq = -1L)
+    val before = MultisetStore.snapshot(spark, p)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(before == Map((1, "a") -> 1L, (2, "b") -> 2L))
+    // three pending deltas on disk, no snapshot yet
+    val versionsBefore = new java.io.File(p).list().count(_.matches("v\\d+"))
+    assert(versionsBefore == 3)
+    MultisetStore.compact(spark, p)
+    MultisetStore.vacuum(p)
+    val entries = new java.io.File(p).list().filter(_.matches("v\\d+")).toSeq
+    assert(entries.size == 1, s"vacuum left extra versions: $entries")
+    val after = MultisetStore.snapshot(spark, p)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(after == before, "compaction changed the logical state")
+  }
+
+  test("a delta append lands in O(delta): existing version dirs are not rewritten") {
+    val p = tmp()
+    MultisetStore.append(spark, p, Seq((1, "a")).toDF("k", "v"))
+    val v0 = java.nio.file.Paths.get(p, "v0")
+    val mtimes = java.nio.file.Files.list(v0).toArray.map(_.toString).sorted.toSeq
+    MultisetStore.appendDelta(spark, p, Seq((2, "b")).toDF("k", "v"))
+    val after = java.nio.file.Files.list(v0).toArray.map(_.toString).sorted.toSeq
+    assert(after == mtimes, "delta append touched the existing snapshot")
+    assert(MultisetStore.read(spark, p).count() == 2)
+  }
+
+  test("auto-compaction folds the chain once the delta trigger is reached") {
+    val p = tmp()
+    (1 to MultisetStore.autoCompactDeltas).foreach { i =>
+      MultisetStore.appendDelta(spark, p, Seq((i, s"r$i")).toDF("k", "v"))
+    }
+    // the trigger fired on the last append: a snapshot now caps the chain
+    // (old delta dirs remain on disk until vacuum — only the post-snapshot
+    // chain counts as pending)
+    val vs = new java.io.File(p).list().filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt).sorted.toSeq
+    def delta(v: Int) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p, s"v$v", "_DELTA"))
+    val lastSnap = vs.filterNot(delta).lastOption
+    assert(lastSnap.nonEmpty, "auto-compaction never wrote a snapshot")
+    assert(vs.count(v => v > lastSnap.get && delta(v)) == 0,
+      "deltas pending after the auto-compaction snapshot")
+    assert(MultisetStore.read(spark, p).count() == MultisetStore.autoCompactDeltas)
+  }
 }
