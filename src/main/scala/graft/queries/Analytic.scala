@@ -143,7 +143,27 @@ object Analytic {
     (spark, dir) => reg(spark, dir, "documents"); spark.sql(unnestSpark)
   }
 
+  // --- LATERAL correlated derived table: top-2 orders per customer --------
+  // The declarative form of per-group top-k. Catalyst decorrelates the
+  // LIMIT'd lateral subquery into row_number + WindowGroupLimit (partial
+  // top-k before the exchange) joined back broadcast — the same plan the
+  // hand-written window idiom gets, proven by AnalyticSpec. At 100 TB the
+  // WindowGroupLimit is the load-bearing piece: each map task keeps only
+  // k rows per key, so the shuffle carries O(k·keys), not the fact table.
+  private val lateralSql =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_custkey < 200
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
+  val lateralJoin: QueryDef = QueryDef.sqlBacked("op_lateral_join", lateralSql) {
+    (spark, dir) => reg(spark, dir, "customer", "orders"); spark.sql(lateralSql)
+  }
+
   val all: Seq[QueryDef] =
     Seq(subqueryIn, subqueryNotIn, subqueryExists, subqueryScalar,
-      groupingSets, cube, unnest)
+      groupingSets, cube, unnest, lateralJoin)
 }

@@ -240,6 +240,57 @@ object Events {
       spark.sql(windowRangeSpark)
   }
 
+  // --- time-series gap filling + forward fill -----------------------------
+  // Densify each user's hourly series over [min, max] (sequence+explode —
+  // the grid is generated, never shuffled), left-join the real hourly
+  // aggregate back, and forward-fill misses with last_value IGNORE NULLS.
+  // Values go through floor(value·100) cents (order-independent integer
+  // sums). One shuffle for the hourly aggregate, one window pass per
+  // user — grid generation is a per-row flatMap over the tiny bounds
+  // table, so the dense timeline never costs a corpus-wide exchange.
+  private val gapfillSpark =
+    """WITH agg AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour_start,
+      |    sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+      |bounds AS (SELECT user_id, min(hour_start) AS lo, max(hour_start) AS hi
+      |           FROM agg GROUP BY user_id),
+      |grid AS (SELECT user_id, explode(sequence(lo, hi, interval 1 hour)) AS hour_start
+      |         FROM bounds)
+      |SELECT g.user_id, g.hour_start,
+      |  coalesce(a.cents, 0) AS cents,
+      |  (a.cents IS NULL) AS gap,
+      |  last_value(a.cents) IGNORE NULLS OVER
+      |    (PARTITION BY g.user_id ORDER BY g.hour_start) AS cents_ff
+      |FROM grid g LEFT JOIN agg a
+      |  ON g.user_id = a.user_id AND g.hour_start = a.hour_start
+      |ORDER BY g.user_id, g.hour_start""".stripMargin
+
+  private val gapfillOracle =
+    """WITH agg AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour_start,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+      |bounds AS (SELECT user_id, min(hour_start) AS lo, max(hour_start) AS hi
+      |           FROM agg GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      |         FROM bounds)
+      |SELECT g.user_id, g.hour_start,
+      |  coalesce(a.cents, 0) AS cents,
+      |  (a.cents IS NULL) AS gap,
+      |  last_value(a.cents IGNORE NULLS) OVER
+      |    (PARTITION BY g.user_id ORDER BY g.hour_start) AS cents_ff
+      |FROM grid g LEFT JOIN agg a
+      |  ON g.user_id = a.user_id AND g.hour_start = a.hour_start
+      |ORDER BY g.user_id, g.hour_start""".stripMargin
+
+  val gapfill: QueryDef = QueryDef.sqlBacked("evt_gapfill", gapfillOracle) {
+    (spark, dir) =>
+      Engine.table(spark, dir, "events").createOrReplaceTempView("events")
+      spark.sql(gapfillSpark)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(windowAgg, windowRank, windowRange, sessionize, asofJoin, rangeJoin, funnel)
+    Seq(windowAgg, windowRank, windowRange, sessionize, asofJoin, rangeJoin,
+      funnel, gapfill)
 }

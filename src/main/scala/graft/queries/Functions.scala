@@ -424,7 +424,29 @@ object Functions {
         |FROM supplier ORDER BY s_suppkey""".stripMargin)
   }
 
+  // --- ordered string aggregation -----------------------------------------
+  // Spark has no ordered string_agg, so the deterministic spelling is
+  // sort_array ∘ collect_list ∘ concat_ws — the sort is per GROUP (bounded
+  // by the group's cardinality), not a global exchange, so the plan is the
+  // usual partial+final hash aggregation. The oracle is DuckDB's native
+  // `string_agg(... ORDER BY ...)`; equality pins that the Spark spelling
+  // realizes the same ordered-concat semantics.
+  val stringAgg: QueryDef = QueryDef.sqlBacked(
+    "fn_string_agg",
+    """SELECT n_regionkey,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS names,
+      |  count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT n_regionkey,
+        |  concat_ws(',', sort_array(collect_list(n_name))) AS names,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     compare, bool3vl, arith, cond, casts, datetime, strings, json, typeOf,
-    aggregates, approx, registry, percentile, stats, bitwise)
+    aggregates, approx, registry, percentile, stats, bitwise, stringAgg)
 }

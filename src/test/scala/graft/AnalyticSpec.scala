@@ -124,6 +124,42 @@ class AnalyticSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("op_lateral_join: LIMIT'd lateral decorrelates to WindowGroupLimit top-k, never a per-row loop") {
+    val p = plan("op_lateral_join")
+    assert(p.contains("WindowGroupLimit"),
+      "lateral top-k must plan partial per-key limits before the exchange")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lateral degenerated to a product join")
+    val rows = run("op_lateral_join").collect()
+    val perCust = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perCust.forall(_ <= 2), "lateral LIMIT 2 exceeded")
+  }
+
+  test("evt_gapfill: series is hourly-contiguous per user; forward fill carries last observation") {
+    val rows = run("evt_gapfill").collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { series =>
+      val hours = series.map(_.getTimestamp(1).getTime)
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600L * 1000 },
+        "grid has a non-hourly step")
+      // on observed hours the forward fill equals the observation
+      series.filterNot(_.getBoolean(3)).foreach { r =>
+        assert(r.getLong(4) == r.getLong(2), "cents_ff diverged on an observed hour")
+      }
+      // gap rows report 0 observed cents
+      series.filter(_.getBoolean(3)).foreach(r => assert(r.getLong(2) == 0L))
+    }
+    assert(rows.exists(_.getBoolean(3)), "no gaps in the grid — fill path untested")
+  }
+
+  test("fn_string_agg is deterministic: names sorted ascending within each group") {
+    run("fn_string_agg").collect().foreach { r =>
+      val names = r.getString(1).split(',').toSeq
+      assert(names == names.sorted, s"unsorted agg for region ${r.get(0)}")
+      assert(names.length == r.getLong(2))
+    }
+  }
+
   test("ta_heavy_hitters plan: candidate filter is a broadcast semi join before the count shuffle") {
     val p = plan("ta_heavy_hitters")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
