@@ -40,7 +40,8 @@ object Bench {
       queries.TextAnalysis.tfidf, queries.TextAnalysis.repetition,
       queries.TextAnalysis.pii, queries.TextAnalysis.boilerplate,
       queries.Curate.curate, queries.Curate.sample,
-      queries.Curate.decontam, queries.Curate.mix, queries.Curate.pack)
+      queries.Curate.decontam, queries.Curate.mix, queries.Curate.pack,
+      queries.TextAnalysis.heavyHitters, queries.Events.gapfill)
       .map(q => q.name -> timeOnce(spark)(q))
 
     // Core-count scaling evidence: the 100×-scale claims rest on plan
