@@ -290,7 +290,61 @@ object Events {
       spark.sql(gapfillSpark)
   }
 
+  // --- distribution window functions: ntile / percent_rank / cume_dist ----
+  // Completes the analytic window surface beyond evt_window_rank's
+  // row_number/rank/lag/lead. The window's ORDER BY is a total order
+  // (ts, event_id), so rank-derived distributions are deterministic;
+  // percent_rank and cume_dist are single double divisions of exact
+  // integer rank/count pairs — identical operands on both engines, so the
+  // doubles hash-match bit-for-bit. Same scale shape as every window op
+  // here: one shuffle on user_id, then a per-partition sort.
+  private val windowDistSql =
+    """SELECT event_id, user_id,
+      |  CAST(dense_rank() OVER w AS INT) AS drnk,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  val windowDist: QueryDef = QueryDef.sqlBacked("evt_window_dist", windowDistSql) {
+    (spark, dir) =>
+      Engine.table(spark, dir, "events").createOrReplaceTempView("events")
+      spark.sql(windowDistSql)
+  }
+
+  // --- ROWS-frame moving aggregates + positional value functions ----------
+  // Trailing 5-row window per user (the row-count twin of
+  // evt_window_range's time-RANGE frame): moving sum/min/max over exact
+  // cents, plus first_value / nth_value with the frame pinned explicitly —
+  // default frames for positional functions are the classic cross-engine
+  // trap, so both texts spell ROWS UNBOUNDED PRECEDING. The moving average
+  // is emitted as one double division of the exact (cents, n) pair.
+  private val windowRowsSql =
+    """SELECT event_id, user_id,
+      |  CAST(sum(cents) OVER w5 AS BIGINT) AS mv_cents,
+      |  CAST(min(cents) OVER w5 AS BIGINT) AS mv_min,
+      |  CAST(max(cents) OVER w5 AS BIGINT) AS mv_max,
+      |  CAST(sum(cents) OVER w5 AS DOUBLE) / CAST(count(*) OVER w5 AS DOUBLE) AS mv_avg,
+      |  CAST(first_value(event_id) OVER wall AS BIGINT) AS first_evt,
+      |  CAST(nth_value(event_id, 2) OVER wall AS BIGINT) AS second_evt
+      |FROM (SELECT event_id, user_id, ts,
+      |        CAST(floor(value * 100) AS BIGINT) AS cents FROM events) e
+      |WINDOW
+      |  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      |  wall AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  val windowRows: QueryDef = QueryDef.sqlBacked("evt_window_rows", windowRowsSql) {
+    (spark, dir) =>
+      Engine.table(spark, dir, "events").createOrReplaceTempView("events")
+      spark.sql(windowRowsSql)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(windowAgg, windowRank, windowRange, sessionize, asofJoin, rangeJoin,
-      funnel, gapfill)
+    Seq(windowAgg, windowRank, windowRange, windowDist, windowRows,
+      sessionize, asofJoin, rangeJoin, funnel, gapfill)
 }
