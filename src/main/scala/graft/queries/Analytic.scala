@@ -163,7 +163,27 @@ object Analytic {
     (spark, dir) => reg(spark, dir, "customer", "orders"); spark.sql(lateralSql)
   }
 
+  // --- QUALIFY clause (dialect extension) ---------------------------------
+  // The filter-on-window-functions clause DuckDB/Snowflake define; Spark
+  // lacks it, so GraftSession.rewriteQualify realizes it as a select-list
+  // predicate filtered one level out (see the rewrite's doc). The ORACLE
+  // IS THE IDENTICAL TEXT — DuckDB executes QUALIFY natively, so the
+  // hash match proves the rewrite implements the clause's semantics, not
+  // a paraphrase of them. Same plan as the window top-k idiom: rn <= k
+  // predicates trigger WindowGroupLimit partial top-k before the exchange.
+  private val qualifySql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  val qualify: QueryDef = QueryDef.sqlBacked("op_qualify", qualifySql) {
+    (spark, dir) =>
+      reg(spark, dir, "orders")
+      spark.sql(graft.sql.GraftSession.rewriteQualify(qualifySql))
+  }
+
   val all: Seq[QueryDef] =
     Seq(subqueryIn, subqueryNotIn, subqueryExists, subqueryScalar,
-      groupingSets, cube, unnest, lateralJoin)
+      groupingSets, cube, unnest, lateralJoin, qualify)
 }

@@ -40,6 +40,87 @@ object GraftSession {
       else wh
     path.stripSuffix("/") + "/_graft_views"
   }
+
+  // --- QUALIFY clause (dialect extension; DuckDB/Snowflake surface) -------
+  // Spark has no QUALIFY; the rewrite realizes its semantics exactly as
+  // the engines that do define it: the predicate is evaluated AFTER
+  // GROUP BY/HAVING and window computation, BEFORE ORDER BY/LIMIT. The
+  // predicate is injected into the select list (where window functions
+  // and select aliases are both legal — Spark's lateral column alias
+  // resolution covers the alias case) and filtered one level out:
+  //
+  //   SELECT <sel> FROM ... QUALIFY <pred> [ORDER BY ...] →
+  //   SELECT * EXCEPT (__qualify) FROM
+  //     (SELECT <sel>, (<pred>) AS __qualify FROM ...) __qualified
+  //   WHERE __qualify [ORDER BY ...]
+  //
+  // Scope (documented, pinned in GraftSessionSpec): QUALIFY at the top
+  // level of each set-operation arm; a QUALIFY nested inside a
+  // parenthesized subquery is left for that subquery's own rewrite pass
+  // (GraftSession.sql rewrites recursively only via view definitions).
+
+  /** Index of the first of `words` appearing OUTSIDE quotes at paren depth
+    * 0 as a whole word, scanning from `from`; -1 if none. */
+  private def findTopLevelWord(s: String, words: Seq[String], from: Int): Int = {
+    var i = from
+    var quote: Char = 0
+    var depth = 0
+    val lower = s.toLowerCase
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\') i += 1
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (i == 0 || !isWordChar(s.charAt(i - 1)))) {
+        val hit = words.exists(w => lower.startsWith(w, i) &&
+          (i + w.length == s.length || !isWordChar(s.charAt(i + w.length))))
+        if (hit) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  // clauses that can follow a QUALIFY predicate at top level
+  private val qualifyStops =
+    Seq("order", "limit", "offset", "union", "intersect", "except", ";")
+
+  /** Rewrite every top-level `QUALIFY` clause (left-to-right; set-operation
+    * arms each get their own pass because the rewritten prefix contains no
+    * QUALIFY token). Returns `q` unchanged when the clause is absent. */
+  def rewriteQualify(q: String): String = {
+    val qi = findTopLevelWord(q, Seq("qualify"), 0)
+    if (qi < 0) return q
+    val predStart = qi + "qualify".length
+    val stop = findTopLevelWord(q, qualifyStops, predStart)
+    val predEnd = if (stop < 0) q.length else stop
+    val pred = q.substring(predStart, predEnd).trim
+    require(pred.nonEmpty, s"empty QUALIFY predicate in: $q")
+    val tail = q.substring(predEnd)
+    // the owning SELECT is the NEAREST top-level one before the QUALIFY
+    // (not the first: in `A UNION SELECT ... QUALIFY p`, arm 2 owns it);
+    // its FROM is the insertion point for the predicate column
+    var sel = -1
+    var scan = findTopLevelWord(q, Seq("select"), 0)
+    while (scan >= 0 && scan < qi) {
+      sel = scan
+      scan = findTopLevelWord(q, Seq("select"), scan + 1)
+    }
+    require(sel >= 0, s"QUALIFY without owning SELECT in: $q")
+    val fromIdx = findTopLevelWord(q, Seq("from"), sel)
+    require(fromIdx >= 0 && fromIdx < qi, s"QUALIFY without FROM in: $q")
+    val inner = q.substring(sel, fromIdx) +
+      s", ($pred) AS __qualify " + q.substring(fromIdx, qi)
+    val rewritten = q.substring(0, sel) +
+      s"SELECT * EXCEPT (__qualify) FROM ($inner) __qualified WHERE __qualify" +
+      (if (tail.nonEmpty) " " + tail.trim else "")
+    rewriteQualify(rewritten) // next arm, if any
+  }
 }
 
 final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null) {
@@ -705,6 +786,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     // LIMIT off,n → LIMIT n OFFSET off
     out = mapOutsideQuotes(out)(limitOffsetRe.replaceAllIn(_,
       m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"))
+    // QUALIFY clause → select-list predicate + one-level-out filter
+    out = GraftSession.rewriteQualify(out)
     // -> / ->> json operators
     out = rewriteJsonOps(out)
     out

@@ -134,4 +134,51 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(Set("default", "incresql", "information_schema").subsetOf(dbs.toSet))
     assert(gs.sql("show tables").columns.sameElements(Array("table")))
   }
+
+  test("QUALIFY filters on window functions, evaluated before ORDER BY/LIMIT") {
+    Engine.registerAll(spark, "/root/testdata/sf0.001")
+    val top = gs.sql(
+      """select o_custkey, o_orderkey from orders
+        |qualify row_number() over
+        |  (partition by o_custkey order by o_totalprice desc, o_orderkey) = 1
+        |order by o_custkey limit 5""".stripMargin).collect()
+    assert(top.length == 5)
+    assert(top.map(_.getLong(0)).distinct.length == 5) // one row per customer
+    // no helper column leaks into the output schema
+    assert(top.nonEmpty && !gs.sql(
+      """select o_custkey from orders
+        |qualify row_number() over (order by o_orderkey) <= 3""".stripMargin)
+      .columns.contains("__qualify"))
+  }
+
+  test("QUALIFY composes with GROUP BY (windows over grouped rows)") {
+    Engine.registerAll(spark, "/root/testdata/sf0.001")
+    val r = gs.sql(
+      """select o_orderstatus, count(*) as n from orders
+        |group by o_orderstatus
+        |qualify rank() over (order by count(*) desc) = 1""".stripMargin).collect()
+    assert(r.length == 1)
+    val byHand = spark.sql(
+      "select o_orderstatus, count(*) as n from orders group by o_orderstatus")
+      .collect().maxBy(_.getLong(1))
+    assert(r(0).getString(0) == byHand.getString(0) && r(0).getLong(1) == byHand.getLong(1))
+  }
+
+  test("QUALIFY rewrites each set-operation arm independently") {
+    Engine.registerAll(spark, "/root/testdata/sf0.001")
+    val r = gs.sql(
+      """select 'lo' as side, o_orderkey from orders
+        |qualify row_number() over (order by o_totalprice, o_orderkey) = 1
+        |union all
+        |select 'hi' as side, o_orderkey from orders
+        |qualify row_number() over (order by o_totalprice desc, o_orderkey) = 1
+        |order by side""".stripMargin).collect()
+    assert(r.length == 2 && r.map(_.getString(0)).toSeq == Seq("hi", "lo"))
+    assert(r(0).getLong(1) != r(1).getLong(1))
+  }
+
+  test("QUALIFY inside a string literal is untouched") {
+    val r = gs.sql("select 'qualify me' as s").collect()(0)
+    assert(r.getString(0) == "qualify me")
+  }
 }
