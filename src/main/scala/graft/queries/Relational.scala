@@ -368,6 +368,32 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  // --- UPDATE statement (Spark-native DML extension) ----------------------
+  // The reference's DML surface stops at INSERT/DELETE; UPDATE completes
+  // it via GraftSession's whole-table rewrite (CASE projection staged
+  // through a temp path — see GraftSession.update). This runs the REAL
+  // statement against a scratch managed table seeded from region; the
+  // oracle states the per-row CASE semantics directly, including the
+  // ANSI rule that a NULL predicate leaves the row unchanged.
+  val update: QueryDef = QueryDef.sqlBacked(
+    "op_update",
+    """SELECT r_regionkey,
+      |  CASE WHEN r_regionkey < 2 THEN upper(r_name) ELSE r_name END AS r_name
+      |FROM region ORDER BY r_regionkey""".stripMargin
+  ) { (spark, dir) =>
+    val tbl = s"graft_upd_${System.nanoTime()}"
+    val gs = new graft.sql.GraftSession(spark)
+    Engine.table(spark, dir, "region").write.saveAsTable(tbl)
+    try {
+      gs.sql(s"UPDATE $tbl SET r_name = upper(r_name) WHERE r_regionkey < 2")
+      val updated = spark.table(tbl)
+        .select(col("r_regionkey"), col("r_name")).orderBy(col("r_regionkey"))
+      // pin the (tiny) result before dropping the managed table under it
+      spark.createDataFrame(
+        java.util.Arrays.asList(updated.collect(): _*), updated.schema)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   // --- TableInsert: multiset append — duplicate inserts survive -----------
   // (table_insert.rs:22-55; a user table is a bag). Writes region twice to
   // a scratch parquet table, reads it back, counts per key.
@@ -598,7 +624,7 @@ object Relational {
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinNonEqui, joinNullKeys, joinCross,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
-    unionAll, delete, insert, multisetFreq, multisetCompact, fileScan,
+    unionAll, delete, update, insert, multisetFreq, multisetCompact, fileScan,
     roundtripJson, view, distinct,
     rollup, pivot, intersect, except)
 }

@@ -316,6 +316,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
   private val explainRe = """(?is)^\s*explain\s+(.*)$""".r
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+([\w.`]+)(?:\s+where\s+(.+?))?(?:\s+limit\s+(\d+))?\s*;?\s*$""".r
+  private val updateRe =
+    """(?is)^\s*update\s+([\w.`]+)\s+set\s+(.+?)(?:\s+where\s+(.+?))?\s*;?\s*$""".r
 
   /** While the session database is `incresql`, the reference resolves
     * bare `tables` / `databases` to its system tables
@@ -503,6 +505,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
     case deleteRe(table, whereOpt, limitOpt) =>
       delete(table, Option(whereOpt), Option(limitOpt).map(_.toInt))
+    case updateRe(table, setList, whereOpt) =>
+      update(table, setList, Option(whereOpt))
     case explainRe(body) if body.matches("(?is)^formatted\\s+.*") =>
       // EXPLAIN FORMATTED: Spark's physical plan, for auditing pushdown /
       // broadcast / codegen — the Catalyst-native view.
@@ -556,15 +560,60 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     spark.emptyDataFrame
   }
 
-  /** Split "a INT, b DECIMAL(10,2)" on top-level commas only. */
+  /** UPDATE t SET c = e[, ...] [WHERE p] — a Spark-native DML extension
+    * (the reference's statement surface stops at INSERT/DELETE,
+    * connection.rs:35-136). Planned as the same whole-table rewrite shape
+    * as [[delete]]: one projection where each assigned column becomes
+    * `CASE WHEN coalesce(p, false) THEN expr ELSE col END` — rows where
+    * the predicate is NULL keep their values, per ANSI — staged through a
+    * temp path so the overwrite never reads its target. Assignment
+    * expressions go through the dialect rewriter, so `->`/`->>` etc. work
+    * on the right-hand side.
+    */
+  private def update(table: String, setList: String, where: Option[String]): DataFrame = {
+    val df = spark.table(table)
+    val pred = where.map(w => expr(rewriteQuery(w))).getOrElse(lit(true))
+    val assignments = splitTopLevel(setList).map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"malformed SET assignment: $a")
+      val target = stripTicks(a.substring(0, eq).trim).toLowerCase
+      (target, expr(rewriteQuery(a.substring(eq + 1).trim)))
+    }.toMap
+    val resolved = df.columns.map(_.toLowerCase).toSet
+    assignments.keys.foreach(k =>
+      require(resolved.contains(k), s"UPDATE target column $k not in $table"))
+    val projected = df.select(df.columns.toIndexedSeq.map { c =>
+      assignments.get(c.toLowerCase) match {
+        case Some(e) => when(coalesce(pred, lit(false)), e).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_update_").toString
+    projected.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").insertInto(table)
+    spark.emptyDataFrame
+  }
+
+  /** Split "a INT, b DECIMAL(10,2)" (or an UPDATE SET list) on top-level
+    * commas only — parens AND quoted literals (`SET x = 'a,b'`) are
+    * opaque. */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var depth = 0; var start = 0
-    s.zipWithIndex.foreach {
-      case ('(', _) => depth += 1
-      case (')', _) => depth -= 1
-      case (',', i) if depth == 0 => out += s.substring(start, i); start = i + 1
-      case _ => ()
+    var depth = 0; var start = 0; var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\') i += 1
+      } else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
     }
     out += s.substring(start)
     out.result().filter(_.trim.nonEmpty)

@@ -181,4 +181,20 @@ class GraftSessionSpec extends AnyFunSuite {
     val r = gs.sql("select 'qualify me' as s").collect()(0)
     assert(r.getString(0) == "qualify me")
   }
+
+  test("UPDATE: multi-column SET, comma in a literal, NULL predicate skips") {
+    val tbl = s"graft_upd_spec_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $tbl (k INT, a STRING, b INT) USING PARQUET")
+    spark.sql(s"INSERT INTO $tbl VALUES (1,'x',10), (2,'y',20), (3,'z',NULL)")
+    try {
+      // k=3's predicate b < 15 is NULL (b is NULL) → row must stay put
+      gs.sql(s"UPDATE $tbl SET a = 'p,q', b = b + 1 WHERE b < 15")
+      val rows = spark.table(tbl).orderBy("k").collect()
+        .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2)))
+      assert(rows.toSeq == Seq((1, "p,q", 11), (2, "y", 20), (3, "z", -1)))
+      // no WHERE: every row updates
+      gs.sql(s"UPDATE $tbl SET b = 0")
+      assert(spark.table(tbl).collect().forall(r => r.getInt(2) == 0))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
