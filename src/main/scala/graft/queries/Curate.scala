@@ -274,5 +274,98 @@ object Curate {
 
   val pack: QueryDef = QueryDef.sqlBacked("pipeline_pack", packOracle)(packSequences(_, _))
 
-  val all: Seq[QueryDef] = Seq(curate, sample, decontam, mix, pack)
+  // --- document chunking (fixed token window + overlap) -------------------
+  // The retrieval/context-window twin of sequence packing: split each
+  // document into 64-token chunks on a 48-token stride (16-token overlap),
+  // the standard RAG/embedding-index layout. Pure per-row work: the chunk
+  // index is a generated sequence (explode — no shuffle), the slice is
+  // array arithmetic inside the same codegen span, and the only exchange
+  // is the presentation sort — so chunking 100 TB costs one scan. A chunk
+  // is emitted only when it adds tokens beyond the previous chunk's end
+  // (`(k-1)·stride + size < n`), so short documents yield exactly one.
+  private val chunkSize = 64
+  private val chunkStride = 48
+
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      s"""SELECT doc_id, CAST(k AS INT) AS chunk_id,
+         |  CAST(k * $chunkStride AS INT) AS start_tok,
+         |  CAST(least(k * $chunkStride + $chunkSize, n) - k * $chunkStride AS INT) AS n_tok,
+         |  array_join(slice(t, k * $chunkStride + 1,
+         |    least($chunkSize, n - k * $chunkStride)), ' ') AS chunk_text
+         |FROM (
+         |  SELECT doc_id, t, n,
+         |    explode(sequence(0, CAST(floor((n - 1) / $chunkStride) AS BIGINT))) AS k
+         |  FROM (
+         |    SELECT doc_id, regexp_extract_all(text, '\\\\S+', 0) AS t,
+         |      size(regexp_extract_all(text, '\\\\S+', 0)) AS n
+         |    FROM documents) base
+         |  WHERE n > 0) idx
+         |WHERE k = 0 OR (k - 1) * $chunkStride + $chunkSize < n
+         |ORDER BY doc_id, chunk_id""".stripMargin)
+  }
+
+  private val chunkOracle =
+    s"""SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       |  CAST(k * $chunkStride AS INT) AS start_tok,
+       |  CAST(least(k * $chunkStride + $chunkSize, n) - k * $chunkStride AS INT) AS n_tok,
+       |  array_to_string(list_slice(t, k * $chunkStride + 1,
+       |    least(k * $chunkStride + $chunkSize, n)), ' ') AS chunk_text
+       |FROM (
+       |  SELECT doc_id, t, n,
+       |    unnest(generate_series(0, CAST(floor((n - 1) / $chunkStride) AS BIGINT))) AS k
+       |  FROM (
+       |    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t,
+       |      len(regexp_extract_all(text, '\\S+')) AS n
+       |    FROM documents) base
+       |  WHERE n > 0) idx
+       |WHERE k = 0 OR (k - 1) * $chunkStride + $chunkSize < n
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  val chunk: QueryDef = QueryDef.sqlBacked("pipeline_chunk", chunkOracle)(chunkDocuments(_, _))
+
+  // --- corpus summary statistics (the "dataset card" aggregate) -----------
+  // One pass, one global aggregation with map-side partial combine — the
+  // numbers every curation run reports: document/token/char totals,
+  // per-language share, and mean document length. Every ratio is a single
+  // double division of exact integer totals, so the result is bit-stable
+  // across engines and partitionings.
+  private val statsSpark =
+    """SELECT
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(count(DISTINCT lang) AS INT) AS n_langs,
+      |  CAST(count(DISTINCT source) AS INT) AS n_sources,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS en_share,
+      |  CAST(sum(n_tok) AS DOUBLE) / count(*) AS mean_tokens,
+      |  CAST(min(n_tok) AS BIGINT) AS min_tokens,
+      |  CAST(max(n_tok) AS BIGINT) AS max_tokens
+      |FROM (SELECT doc_id, lang, source, length(text) AS n_chars,
+      |        size(regexp_extract_all(text, '\\S+', 0)) AS n_tok
+      |      FROM documents)""".stripMargin
+
+  private val statsOracle =
+    """SELECT
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(count(DISTINCT lang) AS INT) AS n_langs,
+      |  CAST(count(DISTINCT source) AS INT) AS n_sources,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS en_share,
+      |  CAST(sum(n_tok) AS DOUBLE) / count(*) AS mean_tokens,
+      |  CAST(min(n_tok) AS BIGINT) AS min_tokens,
+      |  CAST(max(n_tok) AS BIGINT) AS max_tokens
+      |FROM (SELECT doc_id, lang, source, length(text) AS n_chars,
+      |        len(regexp_extract_all(text, '\S+')) AS n_tok
+      |      FROM documents) t""".stripMargin
+
+  val stats: QueryDef = QueryDef.sqlBacked("pipeline_stats", statsOracle) {
+    (spark, dir) =>
+      Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+      spark.sql(statsSpark)
+  }
+
+  val all: Seq[QueryDef] = Seq(curate, sample, decontam, mix, pack, chunk, stats)
 }

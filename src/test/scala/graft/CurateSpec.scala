@@ -103,6 +103,37 @@ class CurateSpec extends AnyFunSuite {
       "packing window is not partitioned by the hash bucket")
   }
 
+  test("chunking covers every token exactly once outside the 16-token overlaps") {
+    val chunks = queries.Curate.chunkDocuments(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val docs = Engine.table(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("doc_id", "size(regexp_extract_all(text, '\\\\S+', 0)) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk k starts at k*stride; sizes match the emitted text
+      sorted.foreach { case (_, k, start, n, text) =>
+        assert(start == k * 48)
+        assert(text.split(" ").length == n)
+        assert(n >= 1 && n <= 64)
+      }
+      // coverage: last chunk reaches the document's end, consecutive
+      // chunks overlap by exactly size - stride (= 16) except a shorter
+      // final chunk; every chunk past the first adds new tokens
+      val total = docs(doc)
+      val last = sorted.last
+      assert(last._3 + last._4 == total, s"doc $doc not covered to its end")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._3 + 48)
+          assert(a._3 + a._4 > b._3, "consecutive chunks must overlap")
+        case _ => ()
+      }
+    }
+    assert(chunks.map(_._1).toSet == docs.keySet)
+  }
+
   test("cross-database view inlining (tests/views/mod.rs:3-31)") {
     val gs = new graft.sql.GraftSession(spark)
     spark.sql("DROP DATABASE IF EXISTS graft_vdb CASCADE")
