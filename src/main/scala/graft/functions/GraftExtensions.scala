@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => DotProduct(exprs(0), exprs(1))),
       ("argmax_dot", "index of the matrix row with the max dot product against a vector (ties -> lowest)",
         exprs => ArgmaxDot(exprs(0), exprs(1))),
+      ("zorder64", "64-bit Morton interleave of two keys' low 32 bits (multi-dim layout clustering)",
+        exprs => ZOrder64(exprs(0), exprs(1))),
       ("quant_stats", "[scale, max_err, mse] of symmetric int8 quantization of a float/double vector",
         exprs => QuantStats(exprs.head)),
       ("rep_stats", "[n_tokens, n_3grams, n_distinct_3grams, top_token_count] of a token array",

@@ -213,6 +213,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "argmax_dot", exprs => ArgmaxDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "zorder64", exprs => ZOrder64(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "quant_stats", exprs => QuantStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "rep_stats", exprs => RepStats(exprs.head), "built-in")
