@@ -518,6 +518,30 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  // --- ORC sink + source roundtrip (columnar format beyond parquet) -------
+  // Same contract as op_roundtrip_json for Spark's other built-in columnar
+  // format: write ORC, read it back (schema pinned), hash-match the
+  // direct query. ORC carries its own min/max stripe stats, so the
+  // pushdown story (PushedFilters at the scan) holds there too.
+  val roundtripOrc: QueryDef = QueryDef.sqlBacked(
+    "op_roundtrip_orc",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_orc_sink_").resolve("orders_orc").toString
+    Engine.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").orc(out)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType))))
+      .orc(out)
+      .filter(col("o_orderkey") < 500)
+      .orderBy(col("o_orderkey"))
+  }
+
   // --- Views: registered, inlined at plan time (resolve_tables.rs:35-58) --
   val view: QueryDef = QueryDef.sqlBacked(
     "op_view",
@@ -625,6 +649,6 @@ object Relational {
     joinNonEqui, joinNullKeys, joinCross,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
     unionAll, delete, update, insert, multisetFreq, multisetCompact, fileScan,
-    roundtripJson, view, distinct,
+    roundtripJson, roundtripOrc, view, distinct,
     rollup, pivot, intersect, except)
 }
