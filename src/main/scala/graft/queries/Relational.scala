@@ -518,6 +518,27 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  // --- salted skew join (operators/SkewJoin — SCALE.md "Joins") -----------
+  // The static hot-key answer when AQE's runtime skew split isn't enough:
+  // probe rows spread across 8 salt sub-keys, build side replicated 8
+  // ways, so one hot key occupies 8 tasks instead of one straggler. The
+  // oracle is the plain inner join — salting must be invisible in the
+  // result, which is exactly what the hash match proves.
+  val skewJoin: QueryDef = QueryDef.sqlBacked(
+    "op_skew_join",
+    """SELECT l_orderkey, l_linenumber, s_name FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE l_orderkey < 300
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (spark, dir) =>
+    val li = Engine.table(spark, dir, "lineitem").filter(col("l_orderkey") < 300)
+    val supp = Engine.table(spark, dir, "supplier")
+    graft.operators.SkewJoin
+      .saltedInnerJoin(li, supp, "l_suppkey", "s_suppkey", salt = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   // --- ORC sink + source roundtrip (columnar format beyond parquet) -------
   // Same contract as op_roundtrip_json for Spark's other built-in columnar
   // format: write ORC, read it back (schema pinned), hash-match the
@@ -646,7 +667,7 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     single, values, scan, project, filter, limit, sort,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
-    joinNonEqui, joinNullKeys, joinCross,
+    joinNonEqui, joinNullKeys, joinCross, skewJoin,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
     unionAll, delete, update, insert, multisetFreq, multisetCompact, fileScan,
     roundtripJson, roundtripOrc, view, distinct,
