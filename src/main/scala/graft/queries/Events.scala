@@ -241,30 +241,35 @@ object Events {
   }
 
   // --- time-series gap filling + forward fill -----------------------------
-  // Densify each user's hourly series over [min, max] (sequence+explode —
-  // the grid is generated, never shuffled), left-join the real hourly
-  // aggregate back, and forward-fill misses with last_value IGNORE NULLS.
-  // Values go through floor(value·100) cents (order-independent integer
-  // sums). One shuffle for the hourly aggregate, one window pass per
-  // user — grid generation is a per-row flatMap over the tiny bounds
-  // table, so the dense timeline never costs a corpus-wide exchange.
+  // Densify each user's hourly series over [min, max] and forward-fill
+  // misses. Values go through floor(value·100) cents (order-independent
+  // integer sums). The scalable shape runs every expensive operator on
+  // the SPARSE series, not the dense grid: one shuffle for the hourly
+  // aggregate, one lead() window over |agg| rows to find each present
+  // hour's gap run, then a per-row explode emits the run carrying the
+  // fill value with it. No grid join, no second window pass — at 100 TB
+  // the dense timeline exists only inside the generate, between the
+  // window and the sink. (The oracle states the declarative grid-join +
+  // last_value IGNORE NULLS semantics this plan must reproduce.)
   private val gapfillSpark =
-    """WITH agg AS (
-      |  SELECT user_id, date_trunc('hour', ts) AS hour_start,
-      |    sum(CAST(floor(value * 100) AS BIGINT)) AS cents
-      |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
-      |bounds AS (SELECT user_id, min(hour_start) AS lo, max(hour_start) AS hi
-      |           FROM agg GROUP BY user_id),
-      |grid AS (SELECT user_id, explode(sequence(lo, hi, interval 1 hour)) AS hour_start
-      |         FROM bounds)
-      |SELECT g.user_id, g.hour_start,
-      |  coalesce(a.cents, 0) AS cents,
-      |  (a.cents IS NULL) AS gap,
-      |  last_value(a.cents) IGNORE NULLS OVER
-      |    (PARTITION BY g.user_id ORDER BY g.hour_start) AS cents_ff
-      |FROM grid g LEFT JOIN agg a
-      |  ON g.user_id = a.user_id AND g.hour_start = a.hour_start
-      |ORDER BY g.user_id, g.hour_start""".stripMargin
+    """SELECT user_id, hour_start, cents, gap, cents_ff FROM (
+      |  SELECT user_id, h AS hour_start,
+      |    CASE WHEN h = src THEN c ELSE 0 END AS cents,
+      |    (h <> src) AS gap,
+      |    c AS cents_ff
+      |  FROM (
+      |    SELECT user_id, src, c,
+      |      explode(sequence(src, coalesce(nxt - interval 1 hour, src),
+      |                       interval 1 hour)) AS h
+      |    FROM (
+      |      SELECT user_id, hour_start AS src, cents AS c,
+      |        lead(hour_start) OVER
+      |          (PARTITION BY user_id ORDER BY hour_start) AS nxt
+      |      FROM (
+      |        SELECT user_id, date_trunc('hour', ts) AS hour_start,
+      |          sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      |        FROM events GROUP BY user_id, date_trunc('hour', ts)) agg) led) runs)
+      |ORDER BY user_id, hour_start""".stripMargin
 
   private val gapfillOracle =
     """WITH agg AS (
