@@ -64,10 +64,11 @@ object MultisetStore {
       java.nio.file.Paths.get(versionDir(path, v), deltaMarker))
 
   /** The snapshot-plus-deltas suffix of the version chain that defines
-    * current state: everything from the last snapshot on (or every delta,
-    * if no snapshot has been written yet). */
-  private def chain(path: String): Seq[Int] = {
-    val vs = versionsOf(path)
+    * state as of version `upTo` (current state when unbounded): everything
+    * from the last snapshot at-or-before `upTo` on (or every delta up to
+    * it, if no snapshot precedes it). */
+  private def chain(path: String, upTo: Int = Int.MaxValue): Seq[Int] = {
+    val vs = versionsOf(path).filter(_ <= upTo)
     val lastSnap = vs.filterNot(isDelta(path, _)).lastOption
     lastSnap match {
       case Some(s) => vs.filter(_ >= s)
@@ -87,8 +88,9 @@ object MultisetStore {
     * pending deltas on the fly. Single-snapshot chains skip the merge —
     * the common shape after compaction — so steady-state reads are a
     * plain parquet scan. */
-  private def state(spark: SparkSession, path: String): Option[DataFrame] =
-    chain(path) match {
+  private def state(spark: SparkSession, path: String,
+      upTo: Int = Int.MaxValue): Option[DataFrame] =
+    chain(path, upTo) match {
       case Seq() => None
       case Seq(v) if !isDelta(path, v) =>
         Some(spark.read.parquet(versionDir(path, v)))
@@ -200,8 +202,10 @@ object MultisetStore {
   }
 
   /** The multiset expanded back to rows: `__freq` copies per tuple. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val snap = snapshot(spark, path)
+  def read(spark: SparkSession, path: String): DataFrame =
+    expand(snapshot(spark, path))
+
+  private def expand(snap: DataFrame): DataFrame = {
     val dataCols = snap.columns.filter(_ != freqCol).toIndexedSeq
     snap.filter(col(freqCol) > 0L)
       .withColumn("__copy", explode(expr(s"sequence(1, $freqCol)")))
@@ -213,4 +217,24 @@ object MultisetStore {
   def snapshot(spark: SparkSession, path: String): DataFrame =
     state(spark, path).getOrElse(
       throw new IllegalStateException(s"no multiset snapshot at $path"))
+
+  /** All version ids currently on disk, oldest first. */
+  def versions(path: String): Seq[Int] = versionsOf(path)
+
+  /** Time travel: the logical state AS OF `version` (inclusive) — every
+    * write (append, appendDelta, compact) is one immutable version, and
+    * the chain keeps old versions until [[vacuum]], so any retained
+    * version reconstructs exactly. The LSM layout makes this free: state
+    * at v = last snapshot ≤ v plus the deltas in between, the same merge
+    * the current-state read does. (The reference's RocksDB storage holds
+    * the analogous property internally via sequence numbers; here it is
+    * surfaced as a first-class read API.) */
+  def snapshotAt(spark: SparkSession, path: String, version: Int): DataFrame =
+    state(spark, path, version).getOrElse(
+      throw new IllegalStateException(s"no multiset version <= $version at $path"))
+
+  /** [[read]] against the state as of `version`: `__freq` copies per
+    * surviving tuple at that point in the history. */
+  def readAt(spark: SparkSession, path: String, version: Int): DataFrame =
+    expand(snapshotAt(spark, path, version))
 }

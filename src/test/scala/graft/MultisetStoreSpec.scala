@@ -105,6 +105,33 @@ class MultisetStoreSpec extends AnyFunSuite {
     assert(MultisetStore.read(spark, p).count() == 2)
   }
 
+  test("time travel: every retained version reconstructs its exact state") {
+    val p = tmp()
+    MultisetStore.append(spark, p, Seq((1, "a"), (2, "b")).toDF("k", "v")) // v0
+    MultisetStore.appendDelta(spark, p, Seq((1, "a"), (3, "c")).toDF("k", "v")) // v1
+    MultisetStore.appendDelta(spark, p,
+      Seq((2, "b")).toDF("k", "v"), freq = -1L) // v2: delete b
+    MultisetStore.compact(spark, p) // v3: snapshot
+    val vs = MultisetStore.versions(p)
+    assert(vs == Seq(0, 1, 2, 3))
+
+    def stateAt(v: Int) = MultisetStore.snapshotAt(spark, p, v)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(stateAt(0) == Map((1, "a") -> 1L, (2, "b") -> 1L))
+    assert(stateAt(1) == Map((1, "a") -> 2L, (2, "b") -> 1L, (3, "c") -> 1L))
+    assert(stateAt(2) == Map((1, "a") -> 2L, (3, "c") -> 1L))
+    // post-compaction state is identical to the pre-compaction merge
+    assert(stateAt(3) == stateAt(2))
+    assert(MultisetStore.readAt(spark, p, 1).count() == 4)
+    // vacuum keeps only the latest snapshot: history before it is gone,
+    // current state unchanged
+    val current = stateAt(3)
+    MultisetStore.vacuum(p)
+    assert(MultisetStore.versions(p) == Seq(3))
+    assert(stateAt(3) == current)
+    intercept[IllegalStateException](MultisetStore.snapshotAt(spark, p, 2))
+  }
+
   test("auto-compaction folds the chain once the delta trigger is reached") {
     val p = tmp()
     (1 to MultisetStore.autoCompactDeltas).foreach { i =>
