@@ -209,6 +209,65 @@ object Similarity {
 
   val ivf: QueryDef = QueryDef.sqlBacked("ann_ivf_topk", ivfOracle)(ivfTopK(_, _))
 
+  // --- IVF with a MATERIALIZED cell-partitioned index ---------------------
+  // The write-time half of the IVF promise ("the centroid assignment
+  // becomes the partition key"): the corpus is written ONCE, partitioned
+  // by cell, and a probe reads back only its cells. Pruning is Catalyst's
+  // dynamic partition pruning — the probes relation (nQueries×nProbe rows,
+  // broadcast) joins the index on its partition column, so the scan plans
+  // a dynamicpruning subquery and skips every unprobed cell's files at
+  // runtime. No driver-side cell math, no literal IN lists: declare the
+  // join, let the optimizer prune — at 100 TB a probe touches nProbe/C of
+  // the files, and that fraction is visible in the plan
+  // (AnnIndexSpec pins the dynamicpruningexpression + result equality
+  // with the index-free path). Same oracle as ann_ivf_topk: the index is
+  // a layout change, invisible in the result.
+
+  /** Write the cell-partitioned IVF index: one pass, assignment is the
+    * shuffle-free argmax_dot projection, cell is the partition dir. */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    emb(spark, dir)
+    spark.sql(
+      s"""SELECT vec_id AS cand_id, v AS cv, argmax_dot(v, $centroidMatrixSql) AS cell
+         |FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings)""".stripMargin)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+  }
+
+  def ivfIndexedTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index_").resolve("index").toString
+    buildIvfIndex(spark, dir, idx)
+    spark.read.parquet(idx).createOrReplaceTempView("ivf_index")
+    spark.sql(
+      s"""WITH cent AS ($centroidSql),
+         |queries AS (
+         |  SELECT vec_id AS query_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < $nQueries
+         |),
+         |probes AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, cent.cid AS cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        dot_product(q.qv, cent.cv) DESC, cent.cid) AS pr
+         |    FROM queries q CROSS JOIN cent) t
+         |  WHERE pr <= $nProbe
+         |)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id,
+         |    dot_product(p.qv, c.cv) AS score,
+         |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |      dot_product(p.qv, c.cv) DESC, c.cand_id) AS rnk
+         |  FROM probes p JOIN ivf_index c
+         |    ON p.cell = c.cell AND p.query_id <> c.cand_id) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  val ivfIndexed: QueryDef =
+    QueryDef.sqlBacked("ann_ivf_indexed", ivfOracle)(ivfIndexedTopK(_, _))
+
   // --- int8 symmetric quantization (storage/compression path) -------------
   // The standard embedding-compression step before writing an index:
   // per-vector symmetric int8 quantization (scale = max|x| / 127, value
@@ -327,5 +386,5 @@ object Similarity {
   val semantic: QueryDef =
     QueryDef.sqlBacked("dedup_semantic", semanticOracle)(semanticDedup(_, _))
 
-  val all: Seq[QueryDef] = Seq(bruteForce, ivf, quantized, semantic)
+  val all: Seq[QueryDef] = Seq(bruteForce, ivf, ivfIndexed, quantized, semantic)
 }
