@@ -36,11 +36,13 @@ object Bench {
     val pipeline = Seq(
       queries.Dedup.minhash, queries.Dedup.clusters,
       queries.Similarity.bruteForce, queries.Similarity.ivf,
+      queries.Similarity.ivfIndexed,
       queries.Similarity.quantized, queries.Similarity.semantic,
       queries.TextAnalysis.tfidf, queries.TextAnalysis.repetition,
       queries.TextAnalysis.pii, queries.TextAnalysis.boilerplate,
       queries.Curate.curate, queries.Curate.sample,
       queries.Curate.decontam, queries.Curate.mix, queries.Curate.pack,
+      queries.Curate.chunk,
       queries.TextAnalysis.heavyHitters, queries.Events.gapfill)
       .map(q => q.name -> timeOnce(spark)(q))
 

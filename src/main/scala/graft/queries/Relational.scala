@@ -518,6 +518,30 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  // --- multiset change-data feed (CDC over the LSM version chain) ---------
+  // History: v0 = region; v1 = +1 for keys<3; v2 = −2 for keys<2 (net
+  // deletes). The feed between v0 and v2 surfaces inserts AND deletes as
+  // signed freq deltas; the oracle states the net change per key
+  // directly. Cost shape: one merge aggregation over two retained states
+  // — no log replay, no per-version scan chain.
+  val multisetChanges: QueryDef = QueryDef.sqlBacked(
+    "op_multiset_changes",
+    """SELECT r_regionkey, r_name,
+      |  CAST(CASE WHEN r_regionkey < 2 THEN -1 ELSE 1 END AS BIGINT) AS __freq
+      |FROM region WHERE r_regionkey < 3 ORDER BY r_regionkey""".stripMargin
+  ) { (spark, dir) =>
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_multiset_cdc_").resolve("region_ms").toString
+    val r = Engine.table(spark, dir, "region")
+    graft.sources.MultisetStore.append(spark, path, r)                        // v0
+    graft.sources.MultisetStore.appendDelta(spark, path,
+      r.filter(col("r_regionkey") < 3))                                       // v1
+    graft.sources.MultisetStore.appendDelta(spark, path,
+      r.filter(col("r_regionkey") < 2), freq = -2L)                           // v2
+    graft.sources.MultisetStore.changes(spark, path, 0, 2)
+      .orderBy(col("r_regionkey"))
+  }
+
   // --- salted skew join (operators/SkewJoin — SCALE.md "Joins") -----------
   // The static hot-key answer when AQE's runtime skew split isn't enough:
   // probe rows spread across 8 salt sub-keys, build side replicated 8
@@ -669,7 +693,8 @@ object Relational {
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinNonEqui, joinNullKeys, joinCross, skewJoin,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
-    unionAll, delete, update, insert, multisetFreq, multisetCompact, fileScan,
+    unionAll, delete, update, insert, multisetFreq, multisetCompact,
+    multisetChanges, fileScan,
     roundtripJson, roundtripOrc, view, distinct,
     rollup, pivot, intersect, except)
 }

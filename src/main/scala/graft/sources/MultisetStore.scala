@@ -237,4 +237,26 @@ object MultisetStore {
     * surviving tuple at that point in the history. */
   def readAt(spark: SparkSession, path: String, version: Int): DataFrame =
     expand(snapshotAt(spark, path, version))
+
+  /** Change-data feed: the net per-tuple `__freq` delta between two
+    * retained versions (positive = net inserts, negative = net deletes;
+    * unchanged tuples are absent). Computed as state(to) ⊎ −state(from)
+    * through the same single-aggregation merge every read uses, so it is
+    * correct across BOTH write paths — a compaction version between the
+    * two endpoints contributes nothing, because compaction changes layout,
+    * not state (MultisetStoreSpec pins that, plus the reconciliation law
+    * state(from) ⊎ changes = state(to)). `fromVersion = -1` reads the
+    * feed from the beginning of history. */
+  def changes(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes needs fromVersion < toVersion, got [$fromVersion, $toVersion]")
+    val to = state(spark, path, toVersion).getOrElse(
+      throw new IllegalStateException(s"no multiset version <= $toVersion at $path"))
+    state(spark, path, fromVersion) match {
+      case None => to
+      case Some(from) =>
+        mergeFreq(Seq(to, from.withColumn(freqCol, -col(freqCol))))
+    }
+  }
 }

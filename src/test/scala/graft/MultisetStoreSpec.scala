@@ -132,6 +132,31 @@ class MultisetStoreSpec extends AnyFunSuite {
     intercept[IllegalStateException](MultisetStore.snapshotAt(spark, p, 2))
   }
 
+  test("change feed: net deltas between versions; compaction contributes nothing") {
+    val p = tmp()
+    MultisetStore.append(spark, p, Seq((1, "a"), (2, "b")).toDF("k", "v")) // v0
+    MultisetStore.appendDelta(spark, p, Seq((1, "a"), (3, "c")).toDF("k", "v")) // v1
+    MultisetStore.compact(spark, p) // v2 — layout only
+    MultisetStore.appendDelta(spark, p,
+      Seq((2, "b")).toDF("k", "v"), freq = -1L) // v3
+
+    def feed(from: Int, to: Int) = MultisetStore.changes(spark, p, from, to)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(feed(0, 1) == Map((1, "a") -> 1L, (3, "c") -> 1L))
+    assert(feed(1, 2) == Map.empty, "compaction must be invisible in the feed")
+    assert(feed(0, 3) == Map((1, "a") -> 1L, (2, "b") -> -1L, (3, "c") -> 1L))
+    assert(feed(-1, 0) == Map((1, "a") -> 1L, (2, "b") -> 1L))
+    // reconciliation law: state(from) ⊎ changes = state(to)
+    val reconstructed = MultisetStore.snapshotAt(spark, p, 0)
+      .unionByName(MultisetStore.changes(spark, p, 0, 3))
+      .groupBy("k", "v").sum(MultisetStore.freqCol)
+      .collect().filter(_.getLong(2) != 0L)
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val target = MultisetStore.snapshotAt(spark, p, 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(reconstructed == target)
+  }
+
   test("auto-compaction folds the chain once the delta trigger is reached") {
     val p = tmp()
     (1 to MultisetStore.autoCompactDeltas).foreach { i =>
