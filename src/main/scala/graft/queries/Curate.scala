@@ -117,6 +117,50 @@ object Curate {
   val sample: QueryDef =
     QueryDef.sqlBacked("pipeline_sample", sampleOracle)(stratifiedSample(_, _))
 
+  // --- exact-k per-stratum sampling ---------------------------------------
+  // The fixed-budget twin of the Bernoulli sampler: exactly k documents
+  // per stratum, chosen as the k smallest portable hashes (ties broken by
+  // doc_id) — a deterministic reservoir. The `rn <= k` predicate over the
+  // window triggers WindowGroupLimit: each map task forwards only its
+  // local top-k per stratum, so the exchange carries O(k·strata) rows no
+  // matter the corpus size — the same partial top-k shape as q3/q10 and
+  // the ANN queries.
+  private val sampleK = 25
+
+  def sampleExactK(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      s"""SELECT doc_id, bucket, CAST(rn AS INT) AS rn FROM (
+         |  SELECT doc_id, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN length(text) < 200 THEN 'short'
+         |           WHEN length(text) < 1000 THEN 'medium'
+         |           ELSE 'long' END AS bucket,
+         |      ${Dedup.hash60SparkSql("CAST(doc_id AS STRING)")} AS h
+         |    FROM documents) t) w
+         |WHERE rn <= $sampleK
+         |ORDER BY bucket, rn""".stripMargin)
+  }
+
+  private val sampleKOracle =
+    s"""SELECT doc_id, bucket, CAST(rn AS INT) AS rn FROM (
+       |  SELECT doc_id, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN length(text) < 200 THEN 'short'
+       |           WHEN length(text) < 1000 THEN 'medium'
+       |           ELSE 'long' END AS bucket,
+       |      ${Dedup.hash60DuckSql("CAST(doc_id AS VARCHAR)")} AS h
+       |    FROM documents) t) w
+       |WHERE rn <= $sampleK
+       |ORDER BY bucket, rn""".stripMargin
+
+  val sampleExact: QueryDef =
+    QueryDef.sqlBacked("pipeline_sample_k", sampleKOracle)(sampleExactK(_, _))
+
   // --- benchmark decontamination ------------------------------------------
   // GPT-3-style eval-set decontamination (Brown et al. 2020 §C): a train
   // document is contaminated when it shares a word-5-gram with any held-out
@@ -367,5 +411,6 @@ object Curate {
       spark.sql(statsSpark)
   }
 
-  val all: Seq[QueryDef] = Seq(curate, sample, decontam, mix, pack, chunk, stats)
+  val all: Seq[QueryDef] =
+    Seq(curate, sample, sampleExact, decontam, mix, pack, chunk, stats)
 }

@@ -103,6 +103,29 @@ class CurateSpec extends AnyFunSuite {
       "packing window is not partitioned by the hash bucket")
   }
 
+  test("exact-k sample: k rows per populated stratum through WindowGroupLimit") {
+    val df = queries.Curate.sampleExactK(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rn <= k lost its partial top-k")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val strata = Engine.table(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr(
+        """CASE WHEN length(text) < 200 THEN 'short'
+          |     WHEN length(text) < 1000 THEN 'medium'
+          |     ELSE 'long' END AS bucket""".stripMargin)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (bucket, rs) =>
+      assert(rs.length == math.min(25L, strata(bucket)),
+        s"stratum $bucket sampled ${rs.length} of ${strata(bucket)}")
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    // deterministic: a second run returns the identical sample
+    val again = queries.Curate.sampleExactK(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("chunking covers every token exactly once outside the 16-token overlaps") {
     val chunks = queries.Curate.chunkDocuments(spark, "/root/testdata/sf0.001")
       .collect()
