@@ -183,7 +183,41 @@ object Analytic {
       spark.sql(graft.sql.GraftSession.rewriteQualify(qualifySql))
   }
 
+  // --- per-column profiling (the data-quality "describe" operator) --------
+  // One scan computes every column's row/null/distinct counts in a single
+  // aggregation; the per-column rows are then unpivoted with stack() — a
+  // zero-cost projection of the 1-row aggregate. The multi-column exact
+  // count(DISTINCT) forces Catalyst's Expand (rows × #cols before the
+  // combine); at 100 TB swap in approx_count_distinct per column to keep
+  // the pass at pure map-side-combine cost — the query shape (agg →
+  // stack) is unchanged, which is why it is written this way. The oracle
+  // states the same numbers as one UNION ALL branch per column (DuckDB
+  // may scan per branch; correctness only).
+  private val profileCols = Seq("p_partkey", "p_name", "p_brand", "p_type",
+    "p_size", "p_retailprice")
+
+  private val profileSpark = {
+    val aggs = profileCols.map(c =>
+      s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c").mkString(", ")
+    val stacked = profileCols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    s"""SELECT column_name, n_rows, n_rows - n_nonnull AS n_nulls, n_distinct
+       |FROM (
+       |  SELECT n_rows, stack(${profileCols.size}, $stacked)
+       |    AS (column_name, n_nonnull, n_distinct)
+       |  FROM (SELECT count(*) AS n_rows, $aggs FROM part) agg) t
+       |ORDER BY column_name""".stripMargin
+  }
+
+  private val profileOracle = profileCols.map(c =>
+    s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct
+       |FROM part""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  val profile: QueryDef = QueryDef.sqlBacked("op_profile", profileOracle) {
+    (spark, dir) => reg(spark, dir, "part"); spark.sql(profileSpark)
+  }
+
   val all: Seq[QueryDef] =
     Seq(subqueryIn, subqueryNotIn, subqueryExists, subqueryScalar,
-      groupingSets, cube, unnest, lateralJoin, qualify)
+      groupingSets, cube, unnest, lateralJoin, qualify, profile)
 }
