@@ -153,6 +153,58 @@ object Dedup {
   val minhash: QueryDef =
     QueryDef.sqlBacked("dedup_minhash_lsh", minhashOracle)(minhashPairs(_, _))
 
+  // --- incremental near-dup: a DELTA probed against an INDEXED corpus -----
+  // The production dedup shape: the corpus is already signature-indexed
+  // (band table persisted at ingest); each new batch computes ONLY its
+  // own signatures and probes the index — never corpus × corpus again.
+  // Here the delta is the doc_id % 10 = 0 slice standing in for a new
+  // crawl batch. Scale shape: delta bands are batch-sized (broadcast
+  // hint), the index band table streams through the probe join, the
+  // exact-Jaccard verification touches candidates only — so admitting a
+  // 1 GB batch against a 100 TB index costs one index scan, zero
+  // corpus-wide shuffles. The oracle is the exact delta × index Jaccard
+  // ≥ 0.5 relation: banding must lose no pair (recall 1.0), asymmetric
+  // probe included.
+  def incrementalPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    cachedShingles(spark, dir)
+    spark.sql(
+      s"""WITH sig AS (
+         |  SELECT doc_id, shingles,
+         |    minhash64(transform(shingles, x -> xxhash64(x))) AS minhash
+         |  FROM dedup_sh WHERE size(shingles) > 0
+         |),
+         |bands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    xxhash64(concat_ws(',', slice(minhash, b * 4 + 1, 4))) AS band_sig
+         |  FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b
+         |),
+         |cand AS (
+         |  SELECT /*+ BROADCAST(d) */ DISTINCT d.doc_id AS delta_id, i.doc_id AS index_id
+         |  FROM (SELECT * FROM bands WHERE doc_id % 10 = 0) d
+         |  JOIN (SELECT * FROM bands WHERE doc_id % 10 <> 0) i
+         |    ON d.band_idx = i.band_idx AND d.band_sig = i.band_sig
+         |)
+         |SELECT c.delta_id, c.index_id,
+         |  jaccard_sorted(sd.shingles, si.shingles) AS jaccard
+         |FROM cand c
+         |JOIN dedup_sh sd ON c.delta_id = sd.doc_id
+         |JOIN dedup_sh si ON c.index_id = si.doc_id
+         |WHERE jaccard_sorted(sd.shingles, si.shingles) >= $threshold
+         |ORDER BY delta_id, index_id""".stripMargin)
+  }
+
+  private val incrementalOracle =
+    s"""WITH sh AS ($shingleDuck)
+       |SELECT d.doc_id AS delta_id, i.doc_id AS index_id,
+       |  ${jaccardDuck("d.shingles", "i.shingles")} AS jaccard
+       |FROM sh d JOIN sh i ON d.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+       |WHERE ${jaccardDuck("d.shingles", "i.shingles")} >= 0.5
+       |ORDER BY delta_id, index_id""".stripMargin
+
+  val incremental: QueryDef =
+    QueryDef.sqlBacked("dedup_incremental", incrementalOracle)(incrementalPairs(_, _))
+
   // --- SimHash near-dup pairs ---------------------------------------------
   // 60-bit simhash per doc from portableHash60 token hashes (60, not 64:
   // DuckDB's checked shift overflows at 1<<63, and bits beyond the hash
@@ -570,5 +622,6 @@ object Dedup {
   private[queries] def dotDuckSql(a: String, b: String): String = dotDuck(a, b)
 
   val all: Seq[QueryDef] =
-    Seq(exact, exactHash, minhash, simhash, ngramJaccard, embeddingCosine, clusters)
+    Seq(exact, exactHash, minhash, incremental, simhash, ngramJaccard,
+      embeddingCosine, clusters)
 }
