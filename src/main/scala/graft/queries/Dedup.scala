@@ -153,6 +153,29 @@ object Dedup {
   val minhash: QueryDef =
     QueryDef.sqlBacked("dedup_minhash_lsh", minhashOracle)(minhashPairs(_, _))
 
+  /** Stream-safe banded-signature transform: (doc_id, text) → one row per
+    * (doc, band) with the band signature AND the sorted shingle set
+    * carried along. Pure stateless projections + one generate, so the
+    * identical transform runs on a readStream frame — the basis of
+    * [[graft.streaming.Streams.nearDupProbe]]'s streaming admission
+    * control. Carrying shingles through the 16-way band explode trades
+    * memory for avoiding a second (stream-stream) join back to the
+    * shingle relation, which streaming cannot do without watermark
+    * gymnastics; the batch path (minhashPairs) keeps the lean
+    * join-back shape instead. */
+  private[graft] def bandedShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS tokens")
+      .where("size(tokens) >= 3")
+      .selectExpr("doc_id",
+        """sort_array(array_distinct(transform(sequence(0, size(tokens)-3),
+          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))) AS shingles""".stripMargin)
+      .selectExpr("doc_id", "shingles",
+        "minhash64(transform(shingles, x -> xxhash64(x))) AS minhash")
+      .selectExpr("doc_id", "shingles",
+        "explode(sequence(0, 15)) AS band_idx", "minhash")
+      .selectExpr("doc_id", "shingles", "band_idx",
+        "xxhash64(concat_ws(',', slice(minhash, band_idx * 4 + 1, 4))) AS band_sig")
+
   // --- incremental near-dup: a DELTA probed against an INDEXED corpus -----
   // The production dedup shape: the corpus is already signature-indexed
   // (band table persisted at ingest); each new batch computes ONLY its

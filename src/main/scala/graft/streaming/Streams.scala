@@ -83,6 +83,35 @@ object Streams {
     * operator a streaming engine would hand-roll. Batch-callable for
     * testing: in batch mode each group sees all its events at once.
     */
+  /** Streaming admission control: each incoming document is probed
+    * against a STATIC near-dup index (the signature side of
+    * `dedup_incremental`) and emitted once per near-duplicate it has
+    * there — the gate a production ingest runs before admitting a crawl
+    * batch. Composition is entirely stream-legal: the banded-signature
+    * transform is stateless (queries.Dedup.bandedShingles), the probe is
+    * ONE stream-static equi-join on (band_idx, band_sig), and the exact
+    * Jaccard verification is a projection over the carried shingle sets.
+    * The final per-pair dedup (a doc matching the same index doc in
+    * several bands) is the one stateful step; at production rates bound
+    * it with a watermark on the ingest timestamp
+    * (dropDuplicatesWithinWatermark), exactly like dedupByFingerprint.
+    * Batch-callable for the stream ≡ batch proof. */
+  def nearDupProbe(newDocs: DataFrame, indexDocs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val delta = graft.queries.Dedup.bandedShingles(newDocs)
+      .select(col("doc_id").as("delta_id"), col("shingles").as("delta_sh"),
+        col("band_idx"), col("band_sig"))
+    val index = graft.queries.Dedup.bandedShingles(indexDocs)
+      .select(col("doc_id").as("index_id"), col("shingles").as("index_sh"),
+        col("band_idx").as("i_idx"), col("band_sig").as("i_sig"))
+    delta
+      .join(index, col("band_idx") === col("i_idx") && col("band_sig") === col("i_sig"))
+      .filter(expr(s"jaccard_sorted(delta_sh, index_sh) >= $threshold"))
+      .selectExpr("delta_id", "index_id",
+        "jaccard_sorted(delta_sh, index_sh) AS jaccard")
+      .dropDuplicates("delta_id", "index_id")
+  }
+
   def sessionize(events: Dataset[Evt], gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L

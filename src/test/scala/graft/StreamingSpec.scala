@@ -190,4 +190,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.length < docs.count())
     } finally q.stop()
   }
+
+  test("streaming near-dup probe against a static index equals batch") {
+    val docs = Engine.table(spark, sf, "documents").select("doc_id", "text")
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val indexDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val expected = Streams.nearDupProbe(newDocs, indexDocs)
+      .collect().map(key).sorted
+    assert(expected.nonEmpty, "probe corpus has no near-dups — test is vacuous")
+    // cross-check against the oracle-gated batch operator's pair set
+    val viaQuery = queries.Dedup.incrementalPairs(spark, sf)
+      .collect().map(key).sorted
+    assert(expected.sameElements(viaQuery))
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_probe_src_").toString
+    newDocs.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = Streams.nearDupProbe(stream, indexDocs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("probe_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("probe_out").collect().map(key).sorted
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
 }
