@@ -210,6 +210,64 @@ object Functions {
       .orderBy(col("event_id")).limit(200)
   }
 
+  // --- higher-order array functions (Spark-native extension) --------------
+  // The lambda surface the pipeline operators build on (transform/filter/
+  // aggregate/zip_with), pinned as scalar outputs (the driver compare
+  // cannot hold arrays): integer folds are order-defined and exact, the
+  // string join pins sort_array ≡ list_sort. DuckDB spells the fold as
+  // list_reduce over a 0-prepended list and zip_with as an index
+  // transform — different surface syntax, identical defined semantics,
+  // which is what the hash match proves.
+  private val arraySpark =
+    """SELECT p_partkey,
+      |  aggregate(arr, 0L, (a, x) -> a + x) AS arr_sum,
+      |  CAST(size(filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
+      |  exists(arr, x -> x > 20) AS any_big,
+      |  aggregate(zip_with(arr, arr, (a, b) -> a * b), 0L, (a, x) -> a + x) AS dot_self,
+      |  array_join(sort_array(transform(arr, x -> CAST(x AS STRING))), '-') AS joined
+      |FROM (SELECT p_partkey,
+      |        array(CAST(p_size AS BIGINT), CAST(length(p_name) AS BIGINT),
+      |              CAST(length(p_type) AS BIGINT)) AS arr
+      |      FROM part) t
+      |ORDER BY p_partkey""".stripMargin
+
+  private val arrayOracle =
+    """SELECT p_partkey,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), arr), (a, b) -> a + b) AS arr_sum,
+      |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
+      |  len(list_filter(arr, x -> x > 20)) > 0 AS any_big,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, 4), i -> arr[i] * arr[i])), (a, b) -> a + b) AS dot_self,
+      |  array_to_string(list_sort(list_transform(arr, x -> CAST(x AS VARCHAR))), '-') AS joined
+      |FROM (SELECT p_partkey,
+      |        [CAST(p_size AS BIGINT), CAST(length(p_name) AS BIGINT),
+      |         CAST(length(p_type) AS BIGINT)] AS arr
+      |      FROM part) t
+      |ORDER BY p_partkey""".stripMargin
+
+  val arrayFns: QueryDef = QueryDef.sqlBacked("fn_array", arrayOracle) {
+    (spark, dir) =>
+      Engine.table(spark, dir, "part").createOrReplaceTempView("part")
+      spark.sql(arraySpark)
+  }
+
+  // --- edit distance (fuzzy-matching building block) ----------------------
+  // levenshtein is the standard unit-cost edit distance in both engines;
+  // the parity pin is what makes it usable as a portable fuzzy-join
+  // residual predicate (block candidates by length/prefix, verify with
+  // the distance — same candidates-then-verify shape as the dedup family).
+  private val editSql =
+    """SELECT s_suppkey,
+      |  CAST(levenshtein(s_name, 'Supplier#000000001') AS INT) AS d_ref,
+      |  CAST(levenshtein(lower(s_name), lower(s_name)) AS INT) AS d_self
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  val editDist: QueryDef = QueryDef.sqlBacked("fn_editdist", editSql) {
+    (spark, dir) =>
+      Engine.table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+      spark.sql(editSql)
+  }
+
   // --- type_of (scalar/casts/type_of.rs) — Spark type names, pinned -------
   val typeOf: QueryDef = QueryDef.sqlBacked(
     "fn_typeof",
@@ -448,5 +506,6 @@ object Functions {
 
   val all: Seq[QueryDef] = Seq(
     compare, bool3vl, arith, cond, casts, datetime, strings, json, typeOf,
-    aggregates, approx, registry, percentile, stats, bitwise, stringAgg)
+    aggregates, approx, registry, percentile, stats, bitwise, stringAgg,
+    arrayFns, editDist)
 }
