@@ -67,6 +67,19 @@ object Demo {
     showDf("pipeline_decontaminate", SparkEntry.queries("pipeline_decontaminate")(spark, sfDir))
     showDf("pipeline_mix (weighted sources)", SparkEntry.queries("pipeline_mix")(spark, sfDir))
     showDf("ivm_pipeline (join ΔV → agg view)", SparkEntry.queries("ivm_pipeline")(spark, sfDir))
+    // round-4 surface: QUALIFY + UPDATE dialect, chunking, CDC, layout
+    show(
+      """SELECT o_custkey, o_orderkey FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_custkey LIMIT 3""".stripMargin)
+    showDf("pipeline_chunk (64-tok windows, 16 overlap)",
+      SparkEntry.queries("pipeline_chunk")(spark, sfDir))
+    showDf("pipeline_stats (dataset card)", SparkEntry.queries("pipeline_stats")(spark, sfDir))
+    showDf("op_profile (per-column profile)", SparkEntry.queries("op_profile")(spark, sfDir))
+    showDf("op_multiset_changes (CDC feed)", SparkEntry.queries("op_multiset_changes")(spark, sfDir))
+    showDf("dedup_incremental (delta vs index)", SparkEntry.queries("dedup_incremental")(spark, sfDir))
+    showDf("op_zorder (layout clustering key)", SparkEntry.queries("op_zorder")(spark, sfDir))
     // reference-format EXPLAIN (4-column logical tree); Spark's physical
     // plan remains under EXPLAIN FORMATTED
     show("EXPLAIN SELECT count(*) FROM lineitem WHERE l_quantity < 10", limit = 12)
