@@ -63,6 +63,24 @@ final class IncrementalExtremaView(
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as(s"n_distinct_$valCol"))
 
+  /** Current top-k DISTINCT values per key, largest first — the natural
+    * generalization of [[current]]: the same multiset state that makes
+    * extrema retractable makes any order statistic retractable, because
+    * retracting the rank-1 value simply uncovers rank 2. The state holds
+    * one row per distinct (key, value), so ranks are well-defined and
+    * the `rnk <= k` window predicate plans as WindowGroupLimit — each
+    * scan task forwards k rows per key, O(k·keys) through the exchange
+    * regardless of state size. */
+  def topK(k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(valCol).desc)
+    MultisetStore.snapshot(spark, statePath)
+      .filter(col(freqCol) > 0L)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select((keyCols.map(col) :+ col(valCol) :+ col("rnk").cast("int").as("rnk")): _*)
+  }
+
   /** Streaming maintenance: drain a freq-annotated delta stream into the
     * multiset state, one merge per micro-batch — same contract as
     * [[IncrementalAggView.maintainFrom]]. */

@@ -152,6 +152,53 @@ object Ivm {
     view.distinctCounts().orderBy(col("o_orderstatus"))
   }
 
+  /** Retractable TOP-K view over the same change scenario — the order
+    * statistic the multiset state buys beyond min/max: retracting the
+    * rank-1 value uncovers rank 2, with no rescan of the base table. The
+    * oracle recomputes the surviving multiset from scratch and ranks the
+    * freq-positive values per key. */
+  val topk: QueryDef = QueryDef.sqlBacked(
+    "ivm_topk",
+    """WITH changes AS (
+      |  SELECT o_orderstatus, o_totalprice, 1 AS freq FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice, -1 AS freq FROM orders
+      |  WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice * 2, 1 AS freq FROM orders
+      |  WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 0
+      |),
+      |ms AS (
+      |  SELECT o_orderstatus, o_totalprice, sum(freq) AS f
+      |  FROM changes GROUP BY o_orderstatus, o_totalprice
+      |)
+      |SELECT o_orderstatus, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
+      |  SELECT o_orderstatus, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice DESC) AS rnk
+      |  FROM ms WHERE f > 0) t
+      |WHERE rnk <= 3
+      |ORDER BY o_orderstatus, rnk""".stripMargin
+  ) { (spark, dir) =>
+    val orders = Engine.table(spark, dir, "orders")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_ivm_topk_").resolve("state").toString
+    val view = new graft.ivm.IncrementalExtremaView(
+      spark, Seq("o_orderstatus"), "o_totalprice", statePath)
+    view.initialize(orders.select(col("o_orderstatus"), col("o_totalprice")))
+
+    view.applyDelta(orders
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 0)
+      .select(col("o_orderstatus"), col("o_totalprice"), lit(-1L).as(view.freqCol)))
+
+    view.applyDelta(orders
+      .filter(col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0)
+      .select(col("o_orderstatus"), (col("o_totalprice") * 2).as("o_totalprice"),
+        lit(1L).as(view.freqCol)))
+
+    view.topK(3).orderBy(col("o_orderstatus"), col("rnk"))
+  }
+
   /** Incrementally maintained orders ⋈ customer view under the same
     * deterministic change scenario on the orders side plus a customer-side
     * insert wave (duplicate every c_custkey % 13 = 0 customer — the join
@@ -296,5 +343,5 @@ object Ivm {
       .orderBy(col("c_mktsegment"))
   }
 
-  val all: Seq[QueryDef] = Seq(refresh, extrema, distinct, join, pipeline)
+  val all: Seq[QueryDef] = Seq(refresh, extrema, distinct, topk, join, pipeline)
 }
