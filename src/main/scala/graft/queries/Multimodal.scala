@@ -177,5 +177,62 @@ object Multimodal {
 
   val resizeDef: QueryDef = QueryDef.sqlBacked("mm_resize", resizeOracle)(resize(_, _))
 
-  val all: Seq[QueryDef] = Seq(meta, decode, resizeDef)
+  /** One sampled frame emitted by the frame-sampling stage. */
+  final case class SampledFrame(
+      media_id: Long, frame_idx: Int, frame_off: Int, frame_len: Int,
+      frame_sum: Long)
+
+  // --- video path: temporal frame sampling --------------------------------
+  // The payload is treated as a frame sequence (fixed 256-byte "frames"
+  // standing in for encoded video frames) and sampled on a temporal
+  // stride (every 4th frame) — the standard decimation step before
+  // per-frame feature extraction. Shape notes for 100 TB: the stage is a
+  // per-partition flatMap (one input row → its sampled frames), so the
+  // fan-out happens inside the scan stage with no shuffle; a real
+  // demuxer/codec initializes once per partition exactly like the decode
+  // stub. Frame checksums stand in for per-frame features.
+  def frameSample(spark: SparkSession, dir: String,
+      frameSize: Int = 256, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    val media = mediaFrame(spark, dir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    media.mapPartitions { rows =>
+      // A real implementation would initialize the demuxer once here.
+      rows.flatMap { case (id, payload) =>
+        val n = payload.length
+        val nFrames = (n + frameSize - 1) / frameSize
+        Iterator.range(0, nFrames, stride).map { f =>
+          val off = f * frameSize
+          val len = math.min(frameSize, n - off)
+          var sum = 0L
+          var i = off
+          while (i < off + len) { sum += payload(i) & 0xff; i += 1 }
+          SampledFrame(id, f, off, len, sum)
+        }
+      }
+    }.toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** DuckDB replay of the frame sampler (ASCII byte ≡ code-point identity
+    * again; frames at every 4·256-byte offset, per-frame byte sums). */
+  private val frameOracle =
+    """SELECT doc_id AS media_id,
+      |  CAST(f AS INT) AS frame_idx,
+      |  CAST(f * 256 AS INT) AS frame_off,
+      |  CAST(least(256, length(text) - f * 256) AS INT) AS frame_len,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(f * 256 + 1, f * 256 + least(256, length(text) - f * 256) + 1),
+      |      i -> CAST(unicode(text[i]) AS BIGINT))),
+      |    (a, b) -> a + b) AS frame_sum
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, (length(text) + 255) // 256, 4)) AS f
+      |  FROM documents WHERE length(text) > 0) t
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  val frames: QueryDef = QueryDef.sqlBacked("mm_framesample", frameOracle)(frameSample(_, _))
+
+  val all: Seq[QueryDef] = Seq(meta, decode, resizeDef, frames)
 }
