@@ -42,7 +42,7 @@ object Bench {
       queries.TextAnalysis.pii, queries.TextAnalysis.boilerplate,
       queries.Curate.curate, queries.Curate.sample,
       queries.Curate.decontam, queries.Curate.mix, queries.Curate.pack,
-      queries.Curate.chunk,
+      queries.Curate.chunk, queries.Curate.rag,
       queries.TextAnalysis.heavyHitters, queries.Events.gapfill)
       .map(q => q.name -> timeOnce(spark)(q))
 

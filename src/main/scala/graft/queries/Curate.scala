@@ -411,6 +411,101 @@ object Curate {
       spark.sql(statsSpark)
   }
 
+  // --- composed RAG-index build -------------------------------------------
+  // The round's operators chained into the second flagship pipeline: the
+  // retrieval-index half of a training stack. documents → 64/48-token
+  // chunks → quality gate (full-window chunks only) → exact chunk dedup
+  // (16-byte fingerprint shuffle, keep-lowest) → deterministic embed stub
+  // (portable-hash dims standing in for a model, as the centroids already
+  // do) → shuffle-free IVF cell assignment (codegen argmax_dot against
+  // the plan-time-constant centroid matrix) → int8 quantization scale
+  // (codegen quant_stats). Everything after the dedup shuffle is a pure
+  // projection, so the whole build costs one scan + one fingerprint
+  // exchange; the write-time continuation is buildIvfIndex's
+  // partitionBy(cell). The oracle replays every stage bit for bit.
+  def ragIndex(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH chunks AS (
+         |  SELECT doc_id, CAST(k AS INT) AS chunk_id,
+         |    CAST(least(k * $chunkStride + $chunkSize, n) - k * $chunkStride AS INT) AS n_tok,
+         |    array_join(slice(t, k * $chunkStride + 1,
+         |      least($chunkSize, n - k * $chunkStride)), ' ') AS chunk_text
+         |  FROM (
+         |    SELECT doc_id, t, n,
+         |      explode(sequence(0, CAST(floor((n - 1) / $chunkStride) AS BIGINT))) AS k
+         |    FROM (
+         |      SELECT doc_id, regexp_extract_all(text, '\\\\S+', 0) AS t,
+         |        size(regexp_extract_all(text, '\\\\S+', 0)) AS n
+         |      FROM documents) base
+         |    WHERE n > 0) idx
+         |  WHERE k = 0 OR (k - 1) * $chunkStride + $chunkSize < n
+         |),
+         |uniq AS (
+         |  SELECT doc_id, chunk_id, fp FROM (
+         |    SELECT doc_id, chunk_id, md5(chunk_text) AS fp,
+         |      row_number() OVER (PARTITION BY md5(chunk_text)
+         |        ORDER BY doc_id, chunk_id) AS rn
+         |    FROM chunks WHERE n_tok >= 32) d
+         |  WHERE rn = 1
+         |),
+         |emb AS (
+         |  SELECT doc_id, chunk_id,
+         |    transform(sequence(0, 63), d -> ${Dedup.planeSparkSql("fp", "d")}) AS v
+         |  FROM uniq
+         |)
+         |SELECT doc_id, chunk_id,
+         |  CAST(argmax_dot(v, ${Similarity.centroidMatrixSql}) AS INT) AS cell,
+         |  quant_stats(v)[0] AS scale
+         |FROM emb
+         |ORDER BY doc_id, chunk_id""".stripMargin)
+  }
+
+  private val ragOracle =
+    s"""WITH cent AS (${Similarity.centroidDuck}),
+       |chunks AS (
+       |  SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       |    CAST(least(k * $chunkStride + $chunkSize, n) - k * $chunkStride AS INT) AS n_tok,
+       |    array_to_string(list_slice(t, k * $chunkStride + 1,
+       |      least(k * $chunkStride + $chunkSize, n)), ' ') AS chunk_text
+       |  FROM (
+       |    SELECT doc_id, t, n,
+       |      unnest(generate_series(0, CAST(floor((n - 1) / $chunkStride) AS BIGINT))) AS k
+       |    FROM (
+       |      SELECT doc_id, regexp_extract_all(text, '\\S+') AS t,
+       |        len(regexp_extract_all(text, '\\S+')) AS n
+       |      FROM documents) base
+       |    WHERE n > 0) idx
+       |  WHERE k = 0 OR (k - 1) * $chunkStride + $chunkSize < n
+       |),
+       |uniq AS (
+       |  SELECT doc_id, chunk_id, fp FROM (
+       |    SELECT doc_id, chunk_id, md5(chunk_text) AS fp,
+       |      row_number() OVER (PARTITION BY md5(chunk_text)
+       |        ORDER BY doc_id, chunk_id) AS rn
+       |    FROM chunks WHERE n_tok >= 32) d
+       |  WHERE rn = 1
+       |),
+       |emb AS (
+       |  SELECT doc_id, chunk_id,
+       |    list_transform(range(0, 64), d -> ${Dedup.planeDuckSql("fp", "d")}) AS v
+       |  FROM uniq
+       |),
+       |assigned AS (
+       |  SELECT doc_id, chunk_id, v, cid AS cell FROM (
+       |    SELECT e.doc_id, e.chunk_id, e.v, cent.cid,
+       |      row_number() OVER (PARTITION BY e.doc_id, e.chunk_id ORDER BY
+       |        ${Dedup.dotDuckSql("e.v", "cent.cv")} DESC, cent.cid) AS rn
+       |    FROM emb e CROSS JOIN cent) t
+       |  WHERE rn = 1
+       |)
+       |SELECT doc_id, chunk_id, CAST(cell AS INT) AS cell,
+       |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |FROM assigned
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  val rag: QueryDef = QueryDef.sqlBacked("pipeline_rag", ragOracle)(ragIndex(_, _))
+
   val all: Seq[QueryDef] =
-    Seq(curate, sample, sampleExact, decontam, mix, pack, chunk, stats)
+    Seq(curate, sample, sampleExact, decontam, mix, pack, chunk, stats, rag)
 }

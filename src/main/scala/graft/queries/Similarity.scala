@@ -66,7 +66,7 @@ object Similarity {
     s"array(${rows.mkString(",\n  ")})"
   }
 
-  private val centroidDuck =
+  private[queries] val centroidDuck =
     s"""SELECT c AS cid,
        |  list_transform(range(0, 64), d ->
        |    ${Dedup.planeDuckSql("c", "d")}) AS cv
