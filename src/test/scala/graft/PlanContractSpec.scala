@@ -125,4 +125,43 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "boilerplate-gram set no longer broadcasts against the doc grams")
   }
+
+  test("pipeline_chunk: chunking is generate-only — no hash shuffle of the corpus") {
+    val p = plan("pipeline_chunk")
+    assert(p.contains("Generate"), "the chunk-index explode disappeared")
+    assert(!p.contains("hashpartitioning"),
+      "chunking introduced a hash shuffle — no longer scan-speed")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"chunking reads unneeded columns: $read")
+  }
+
+  test("evt_gapfill: every exchange is keyed on user_id — the dense grid never shuffles") {
+    val p = plan("evt_gapfill")
+    // sparse-series shape: the hourly aggregate and the lead() window
+    // exchange on user-keyed partitions; the explode of gap runs comes
+    // AFTER the window, so no exchange is keyed on the dense hour grid
+    assert(p.contains("Generate"), "gap runs are no longer exploded from the sparse series")
+    assert(p.contains("hashpartitioning(user_id#"),
+      "the sparse aggregate/window lost its user-keyed exchange")
+    assert(!p.contains("hashpartitioning(hour_start"),
+      "an exchange is keyed on the dense grid")
+    // no join anywhere: the grid-join spelling costs an extra corpus shuffle
+    assert(!p.contains("Join"), "gapfill regressed to the grid-join plan")
+  }
+
+  test("pipeline_rag: one fingerprint exchange, then projections to the index row") {
+    val p = plan("pipeline_rag")
+    assert(p.contains("argmax_dot") && p.contains("quant_stats"),
+      "embed/assign/quantize stages lost their codegen kernels")
+    // the only hashpartitioning exchanges are the md5-fingerprint dedup
+    // window; nothing re-shuffles the corpus on doc or chunk ids afterward
+    assert(!p.contains("hashpartitioning(doc_id"),
+      "a corpus-wide exchange on doc_id appeared in the index build")
+  }
+
+  test("pipeline_sample_k: per-stratum top-k runs as WindowGroupLimit partial top-k") {
+    val p = plan("pipeline_sample_k")
+    assert(p.contains("WindowGroupLimit"), "rn <= k lost its partial top-k")
+  }
 }
