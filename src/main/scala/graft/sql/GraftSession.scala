@@ -408,6 +408,34 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     out.toString
   }
 
+  /** Execute a `;`-separated statement script (the paste-a-.sql-file path
+    * a user migrating off the reference's mysql client expects), returning
+    * the last statement's result. Splitting is quote-aware, so literals
+    * containing `;` survive; empty statements (trailing `;`, blank lines)
+    * are skipped. */
+  def script(text: String): DataFrame = {
+    var last: DataFrame = spark.emptyDataFrame
+    var start = 0
+    var i = 0
+    var quote: Char = 0
+    def runSegment(upTo: Int): Unit = {
+      val stmt = text.substring(start, upTo).trim
+      if (stmt.nonEmpty) last = sql(stmt)
+      start = upTo + 1
+    }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\') i += 1
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == ';') runSegment(i)
+      i += 1
+    }
+    runSegment(text.length)
+    last
+  }
+
   def sql(text: String): DataFrame = {
     syncContextViews()
     syncViewNamespace()

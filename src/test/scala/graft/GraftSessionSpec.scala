@@ -182,6 +182,20 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r.getString(0) == "qualify me")
   }
 
+  test("script(): multi-statement execution, semicolons in literals survive") {
+    val tbl = s"graft_script_${System.nanoTime()}"
+    try {
+      val out = gs.script(
+        s"""CREATE TABLE $tbl (k INT, v TEXT);
+           |INSERT INTO $tbl VALUES (1, 'a;b'), (2, 'c');
+           |UPDATE $tbl SET v = upper(v) WHERE k = 1;
+           |
+           |SELECT k, v FROM $tbl ORDER BY k;""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(out.toSeq == Seq((1, "A;B"), (2, "c")))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("UPDATE: multi-column SET, comma in a literal, NULL predicate skips") {
     val tbl = s"graft_upd_spec_${System.nanoTime()}"
     spark.sql(s"CREATE TABLE $tbl (k INT, a STRING, b INT) USING PARQUET")
