@@ -349,7 +349,47 @@ object Events {
       spark.sql(windowRowsSql)
   }
 
+  // --- cohort retention (product-analytics staple) ------------------------
+  // Users are cohorted by first-seen hour; each later active hour counts
+  // them at its offset. Two keyed aggregations (first-seen per user,
+  // distinct user-hours) and one join on user_id — every exchange is
+  // user-keyed, the cohort matrix itself is aggregate-sized. Offsets are
+  // exact epoch-second arithmetic, identical integers on both engines.
+  private val retentionSpark =
+    """WITH first_seen AS (
+      |  SELECT user_id, min(date_trunc('hour', ts)) AS cohort_hour
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS act_hour FROM events)
+      |SELECT CAST(f.cohort_hour AS TIMESTAMP) AS cohort_hour,
+      |  CAST((unix_timestamp(a.act_hour) - unix_timestamp(f.cohort_hour)) / 3600 AS INT) AS offset_h,
+      |  count(*) AS active_users
+      |FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+      |GROUP BY f.cohort_hour,
+      |  CAST((unix_timestamp(a.act_hour) - unix_timestamp(f.cohort_hour)) / 3600 AS INT)
+      |ORDER BY cohort_hour, offset_h""".stripMargin
+
+  private val retentionOracle =
+    """WITH first_seen AS (
+      |  SELECT user_id, min(date_trunc('hour', ts)) AS cohort_hour
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS act_hour FROM events)
+      |SELECT CAST(f.cohort_hour AS TIMESTAMP) AS cohort_hour,
+      |  CAST((epoch(a.act_hour) - epoch(f.cohort_hour)) / 3600 AS INT) AS offset_h,
+      |  count(*) AS active_users
+      |FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+      |GROUP BY f.cohort_hour,
+      |  CAST((epoch(a.act_hour) - epoch(f.cohort_hour)) / 3600 AS INT)
+      |ORDER BY cohort_hour, offset_h""".stripMargin
+
+  val retention: QueryDef = QueryDef.sqlBacked("evt_retention", retentionOracle) {
+    (spark, dir) =>
+      Engine.table(spark, dir, "events").createOrReplaceTempView("events")
+      spark.sql(retentionSpark)
+  }
+
   val all: Seq[QueryDef] =
     Seq(windowAgg, windowRank, windowRange, windowDist, windowRows,
-      sessionize, asofJoin, rangeJoin, funnel, gapfill)
+      sessionize, asofJoin, rangeJoin, funnel, gapfill, retention)
 }

@@ -177,6 +177,24 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r(0).getLong(1) != r(1).getLong(1))
   }
 
+  test("QUALIFY composes with DISTINCT (filter evaluated before the dedup)") {
+    Engine.registerAll(spark, "/root/testdata/sf0.001")
+    // distinct statuses that own at least one top-3-priced order — the
+    // extended-tuple rewrite dedups (sel, pred) then filters, which is
+    // equivalent to filtering rows then DISTINCT over sel
+    val r = gs.sql(
+      """select distinct o_orderstatus from orders
+        |qualify row_number() over (order by o_totalprice desc, o_orderkey) <= 3
+        |order by o_orderstatus""".stripMargin).collect().map(_.getString(0))
+    val expected = spark.sql(
+      """select distinct o_orderstatus from (
+        |  select o_orderstatus, row_number() over
+        |    (order by o_totalprice desc, o_orderkey) as rn from orders) t
+        |where rn <= 3 order by o_orderstatus""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(r.sameElements(expected) && r.nonEmpty)
+  }
+
   test("QUALIFY inside a string literal is untouched") {
     val r = gs.sql("select 'qualify me' as s").collect()(0)
     assert(r.getString(0) == "qualify me")
