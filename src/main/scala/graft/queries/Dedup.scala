@@ -361,6 +361,62 @@ object Dedup {
   val ngramJaccard: QueryDef =
     QueryDef.sqlBacked("dedup_ngram_jaccard", ngramOracle)(ngramJaccardPairs(_, _))
 
+  // --- containment near-dup (asymmetric: one doc mostly inside another) ---
+  // Jaccard misses the "B is a chunk of A" case: a 40-shingle doc fully
+  // inside a 400-shingle doc has J ≈ 0.1 but containment C(B→A) = 1.0 —
+  // the overlap class RefinedWeb/MassiveText-style dedup treats as a dup.
+  // Candidates come from the same rare-shingle inverted index as
+  // dedup_ngram_jaccard (a contained doc shares ALL its shingles, rare
+  // ones included, so the index cannot miss it); verification is exact:
+  // |A∩B| via array_intersect (exact integer), containment per direction
+  // as one double division — the pair reports both directions and keeps
+  // max ≥ threshold. Oracle = exact all-pairs, so the candidate filter is
+  // again proven lossless on this corpus.
+  def containmentPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxDf: Int = 10): DataFrame = {
+    cachedShingles(spark, dir)
+    spark.sql(
+      s"""WITH inv AS (
+         |  SELECT xxhash64(shingle) AS sid, doc_id
+         |  FROM dedup_sh LATERAL VIEW explode(shingles) t AS shingle
+         |),
+         |rare AS (
+         |  SELECT sid FROM inv GROUP BY sid HAVING count(*) <= $maxDf
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM inv a JOIN rare r ON a.sid = r.sid
+         |             JOIN inv b ON a.sid = b.sid
+         |  WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, c_ab, c_ba FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / size(sa.shingles) AS c_ab,
+         |    CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / size(sb.shingles) AS c_ba
+         |  FROM cand c
+         |  JOIN dedup_sh sa ON c.id_a = sa.doc_id
+         |  JOIN dedup_sh sb ON c.id_b = sb.doc_id) v
+         |WHERE greatest(c_ab, c_ba) >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  private val containmentOracle =
+    s"""WITH sh AS ($shingleDuck)
+       |SELECT id_a, id_b, c_ab, c_ba FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |      / len(a.shingles) AS c_ab,
+       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |      / len(b.shingles) AS c_ba
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) v
+       |WHERE greatest(c_ab, c_ba) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val containment: QueryDef =
+    QueryDef.sqlBacked("dedup_containment", containmentOracle)(containmentPairs(_, _))
+
   // --- embedding-cosine near-dup via random-hyperplane LSH ----------------
   // Embeddings are L2-normalized (TESTDATA) so dot = cosine. Hyperplane
   // components derive deterministically from portableHash60(p||'_'||d);
@@ -646,5 +702,5 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, exactHash, minhash, incremental, simhash, ngramJaccard,
-      embeddingCosine, clusters)
+      containment, embeddingCosine, clusters)
 }
