@@ -506,6 +506,34 @@ object Curate {
 
   val rag: QueryDef = QueryDef.sqlBacked("pipeline_rag", ragOracle)(ragIndex(_, _))
 
+  // --- deterministic train/val/test split ---------------------------------
+  // The last assignment every dataset needs: a 98/1/1 split keyed on the
+  // portable doc hash — stable across runs, engines, and partitionings,
+  // so a re-run never leaks val docs into train. Pure scan+projection;
+  // the summary proves the proportions, the per-doc rows pin the exact
+  // assignment (both oracle-replayed row for row).
+  private def splitCase(h: String): String =
+    s"""CASE WHEN $h % 1000 < 980 THEN 'train'
+       |     WHEN $h % 1000 < 990 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      s"""SELECT doc_id,
+         |  ${splitCase(Dedup.hash60SparkSql("CAST(doc_id AS STRING)"))} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  private val splitOracle =
+    s"""SELECT doc_id,
+       |  ${splitCase(Dedup.hash60DuckSql("CAST(doc_id AS VARCHAR)"))} AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val split: QueryDef =
+    QueryDef.sqlBacked("pipeline_split", splitOracle)(datasetSplit(_, _))
+
   val all: Seq[QueryDef] =
-    Seq(curate, sample, sampleExact, decontam, mix, pack, chunk, stats, rag)
+    Seq(curate, sample, sampleExact, decontam, mix, pack, chunk, stats, rag,
+      split)
 }

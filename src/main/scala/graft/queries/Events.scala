@@ -389,7 +389,47 @@ object Events {
       spark.sql(retentionSpark)
   }
 
+  // --- z-score anomaly detection over hourly series -----------------------
+  // Classic monitoring operator: each user's hourly totals scored against
+  // that user's own mean/stddev, |z| ≥ 3 flagged. Moments come from one
+  // keyed aggregation over exact integer sums (count, Σcents, Σcents² —
+  // order-independent, so AQE can repartition freely); the z expression
+  // is a fixed double tree ending in sqrt, which IEEE 754 requires to be
+  // correctly rounded — the one transcendental-looking function that IS
+  // bit-portable, hence usable under the hash-compare contract (log/exp
+  // are not; see ta_tfidf's rational idf). Two user-keyed exchanges
+  // total: the hourly aggregate and the moments join back.
+  private def anomalySql(sumBig: String => String): String =
+    s"""WITH agg AS (
+       |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       |    ${sumBig("CAST(floor(value * 100) AS BIGINT)")} AS cents
+       |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+       |stats AS (
+       |  SELECT user_id, count(*) AS n,
+       |    ${sumBig("cents")} AS s,
+       |    ${sumBig("cents * cents")} AS ss
+       |  FROM agg GROUP BY user_id)
+       |SELECT user_id, hour_start, cents, z, abs(z) >= 3.0 AS anomaly FROM (
+       |  SELECT a.user_id, a.hour_start, a.cents,
+       |    CASE WHEN st.n < 2 OR (CAST(st.ss AS DOUBLE)
+       |            - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n) / st.n <= 0.0
+       |         THEN 0.0
+       |         ELSE (CAST(a.cents AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+       |           / sqrt((CAST(st.ss AS DOUBLE)
+       |               - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n) / st.n)
+       |    END AS z
+       |  FROM agg a JOIN stats st ON a.user_id = st.user_id) t
+       |ORDER BY user_id, hour_start""".stripMargin
+
+  val anomaly: QueryDef = QueryDef.sqlBacked(
+    "evt_anomaly",
+    anomalySql(e => s"CAST(sum($e) AS BIGINT)")
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(anomalySql(e => s"sum($e)"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(windowAgg, windowRank, windowRange, windowDist, windowRows,
-      sessionize, asofJoin, rangeJoin, funnel, gapfill, retention)
+      sessionize, asofJoin, rangeJoin, funnel, gapfill, retention, anomaly)
 }
