@@ -34,7 +34,8 @@ object Bench {
     // LLM-pipeline throughput evidence (single pass, not part of the
     // headline metric): dedup, clustering, ANN, curation at the same SF.
     val pipeline = Seq(
-      queries.Dedup.minhash, queries.Dedup.clusters,
+      queries.Dedup.minhash, queries.Dedup.incremental,
+      queries.Dedup.containment, queries.Dedup.clusters,
       queries.Similarity.bruteForce, queries.Similarity.ivf,
       queries.Similarity.ivfIndexed,
       queries.Similarity.quantized, queries.Similarity.semantic,
