@@ -59,8 +59,10 @@ object GraftSession {
   // parenthesized subquery is left for that subquery's own rewrite pass
   // (GraftSession.sql rewrites recursively only via view definitions).
 
-  /** Index of the first of `words` appearing OUTSIDE quotes at paren depth
-    * 0 as a whole word, scanning from `from`; -1 if none. */
+  /** Index of the first of `words` appearing OUTSIDE quotes (single,
+    * double, or backtick-identifier) at paren depth 0 as a whole word,
+    * scanning from `from`; -1 if none — so a column named `` `qualify` ``
+    * can never trigger the rewrite. */
   private def findTopLevelWord(s: String, words: Seq[String], from: Int): Int = {
     var i = from
     var quote: Char = 0
@@ -70,8 +72,8 @@ object GraftSession {
       val c = s.charAt(i)
       if (quote != 0) {
         if (c == quote) quote = 0
-        else if (c == '\\') i += 1
-      } else if (c == '\'' || c == '"') quote = c
+        else if (c == '\\' && quote != '`') i += 1
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
       else if (c == '(') depth += 1
       else if (c == ')') depth -= 1
       else if (depth == 0 && (i == 0 || !isWordChar(s.charAt(i - 1)))) {

@@ -200,6 +200,11 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r.getString(0) == "qualify me")
   }
 
+  test("a backtick-quoted identifier named qualify is not a QUALIFY clause") {
+    val r = gs.sql("select 5 as `qualify` order by `qualify`").collect()(0)
+    assert(r.getInt(0) == 5)
+  }
+
   test("script(): multi-statement execution, semicolons in literals survive") {
     val tbl = s"graft_script_${System.nanoTime()}"
     try {
