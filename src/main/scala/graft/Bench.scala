@@ -55,7 +55,12 @@ object Bench {
     spark.stop()
     val fewCpus = math.max(4, cpus.toInt / 4)
     val sparkFew = Engine.build(master = s"local[$fewCpus]", shufflePartitions = fewCpus)
-    val scaled = queries.Tpch.benchmark.map { q =>
+    // pipeline representatives ride along: shuffle-heavy (minhash),
+    // explode+agg (tfidf), and window/generate (gapfill) shapes must all
+    // degrade roughly with cores, like the TPC-H set
+    val scaledSet = queries.Tpch.benchmark ++
+      Seq(queries.Dedup.minhash, queries.TextAnalysis.tfidf, queries.Events.gapfill)
+    val scaled = scaledSet.map { q =>
       q.name -> math.min(timeOnce(sparkFew)(q), timeOnce(sparkFew)(q))
     }
 
