@@ -112,6 +112,26 @@ object Streams {
       .dropDuplicates("delta_id", "index_id")
   }
 
+  /** Declarative sessionization: Spark's native `session_window` — the
+    * same gap-merge semantics as [[sessionize]]'s explicit state machine,
+    * but as a one-line groupBy the optimizer owns (and the watermark
+    * expires in streaming mode). Kept alongside the
+    * flatMapGroupsWithState form deliberately: session ids are a running
+    * count only the explicit state machine can number, so the two
+    * operators return the same SESSIONS (bounds + event counts; pinned
+    * against each other in StreamingSpec) while serving different needs —
+    * use this one unless you need custom per-session state. */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int,
+      streaming: Boolean): DataFrame = {
+    val ts = events.withColumn("ts", col("ts").cast(TimestampType))
+    val withWm = if (streaming) ts.withWatermark("ts", "1 hour") else ts
+    withWm
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"))
+  }
+
   def sessionize(events: Dataset[Evt], gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L

@@ -64,6 +64,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful == sql)
   }
 
+  test("native session_window returns the same sessions as the state machine") {
+    import spark.implicits._
+    val events = Engine.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    def key(u: Long, n: Int, s: java.sql.Timestamp, e: java.sql.Timestamp) =
+      (u, n, s.getTime, e.getTime)
+    val native = Streams.sessionizeNative(events, gapMinutes = 30, streaming = false)
+      .collect()
+      .map(r => key(r.getLong(0), r.getInt(1), r.getTimestamp(2), r.getTimestamp(3)))
+      .sorted
+    val stateful = Streams.sessionize(events.as[Streams.Evt], gapMinutes = 30)
+      .collect().map(s => key(s.user_id, s.n_events, s.start_ts, s.end_ts)).sorted
+    assert(native.nonEmpty && native.sameElements(stateful))
+
+    // and the streaming run produces the identical closed sessions
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sess_src_").toString
+    events.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = Streams.sessionizeNative(stream, gapMinutes = 30, streaming = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_native_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_native_out")
+        .collect()
+        .map(r => key(r.getLong(0), r.getInt(1), r.getTimestamp(2), r.getTimestamp(3)))
+        .sorted
+      // append mode emits only watermark-closed sessions; on a finite file
+      // source everything before the final watermark closes — sessions at
+      // the very end of the data may be withheld, so compare as a subset
+      // plus a floor to keep the test meaningful
+      assert(got.length >= native.length / 2, "streaming emitted too few sessions")
+      assert(got.toSet.subsetOf(native.toSet))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch join") {
     val events = Engine.table(spark, sf, "events")
       .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"),
