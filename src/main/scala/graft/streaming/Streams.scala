@@ -112,6 +112,29 @@ object Streams {
       .dropDuplicates("delta_id", "index_id")
   }
 
+  /** Streaming per-window top-k (most active event types per hour).
+    * Rank-over-aggregate cannot run inside one append-mode streaming
+    * query — a window's ranks keep changing until it closes — so the
+    * production idiom is: stream the WATERMARKED windowed aggregate
+    * (append mode emits each window exactly once, when the watermark
+    * closes it, and every row of that window lands in the same
+    * micro-batch), then rank within foreachBatch. State stays bounded by
+    * the watermark; the rank is exact because it only ever runs over
+    * closed windows. `sink` receives each ranked micro-batch — a table
+    * append in production, a collector in tests. */
+  def hourlyTopTypes(events: DataFrame, k: Int)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_start")).orderBy(col("n").desc, col("event_type"))
+    hourlyByType(events, streaming = true)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(batch.withColumn("rnk", row_number().over(w).cast(IntegerType))
+          .filter(col("rnk") <= k))
+      }
+      .start()
+  }
+
   /** Declarative sessionization: Spark's native `session_window` — the
     * same gap-merge semantics as [[sessionize]]'s explicit state machine,
     * but as a one-line groupBy the optimizer owns (and the watermark

@@ -102,6 +102,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hourly top-k ranks each closed window once, exactly") {
+    val events = Engine.table(spark, sf, "events")
+    // batch expectation: top-2 types per hour over the full data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_start")).orderBy(col("n").desc, col("event_type"))
+    val expected = Streams.hourlyByType(events, streaming = false)
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getInt(4)))
+      .toSet
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_topk_src_").toString
+    events.select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Int)]
+    val q = Streams.hourlyTopTypes(stream, k = 2) { ranked =>
+      got ++= ranked.collect().map(r =>
+        (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getInt(4)))
+    }
+    try {
+      q.processAllAvailable()
+      // append emits only watermark-closed windows; everything emitted
+      // must match the batch ranks exactly, and each window exactly once
+      assert(got.nonEmpty && got.size == got.toSet.size, "a window was ranked twice")
+      assert(got.toSet.subsetOf(expected))
+      assert(got.size >= expected.size / 2, "streaming emitted too few windows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch join") {
     val events = Engine.table(spark, sf, "events")
       .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"),
