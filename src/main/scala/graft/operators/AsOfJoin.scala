@@ -35,6 +35,11 @@ object AsOfJoin {
     require(payloadCols.nonEmpty, "right side has no payload columns")
     val collisions = payloadCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"rename right payload columns colliding with left: $collisions")
+    val reserved = Set("__t", "__side", "__l", "__p", "__pf")
+    require(!(left.columns ++ right.columns).exists(reserved),
+      s"column names ${reserved.mkString(", ")} are reserved by asOf")
+    require(rightTieBreak.forall(c => payloadCols.contains(c)),
+      "rightTieBreak columns must be right-side payload columns")
 
     val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val payloadStruct = struct(payloadCols.map(col): _*)
