@@ -394,6 +394,38 @@ object Relational {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  // --- MERGE statement (upsert; Spark-native DML extension) ---------------
+  // Runs the REAL statement via GraftSession's join-based rewrite against
+  // a scratch table seeded from region: matched keys (< 2) update,
+  // the unmatched source row (99) inserts. The oracle states the upsert
+  // semantics as CASE + UNION ALL.
+  val merge: QueryDef = QueryDef.sqlBacked(
+    "op_merge",
+    """SELECT r_regionkey, r_name FROM (
+      |  SELECT r_regionkey,
+      |    CASE WHEN r_regionkey < 2 THEN upper(r_name) ELSE r_name END AS r_name
+      |  FROM region
+      |  UNION ALL SELECT 99, 'NEWREGION') t
+      |ORDER BY r_regionkey""".stripMargin
+  ) { (spark, dir) =>
+    val tbl = s"graft_mrg_${System.nanoTime()}"
+    val gs = new graft.sql.GraftSession(spark)
+    Engine.table(spark, dir, "region").write.saveAsTable(tbl)
+    try {
+      gs.sql(
+        s"""MERGE INTO $tbl USING (
+           |  SELECT r_regionkey AS k, upper(r_name) AS nm FROM $tbl WHERE r_regionkey < 2
+           |  UNION ALL SELECT 99, 'NEWREGION') src
+           |ON $tbl.r_regionkey = src.k
+           |WHEN MATCHED THEN UPDATE SET r_name = src.nm
+           |WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name) VALUES (src.k, src.nm)""".stripMargin)
+      val merged = spark.table(tbl)
+        .select(col("r_regionkey"), col("r_name")).orderBy(col("r_regionkey"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(merged.collect(): _*), merged.schema)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   // --- TableInsert: multiset append — duplicate inserts survive -----------
   // (table_insert.rs:22-55; a user table is a bag). Writes region twice to
   // a scratch parquet table, reads it back, counts per key.
@@ -693,7 +725,7 @@ object Relational {
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinNonEqui, joinNullKeys, joinCross, skewJoin,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
-    unionAll, delete, update, insert, multisetFreq, multisetCompact,
+    unionAll, delete, update, merge, insert, multisetFreq, multisetCompact,
     multisetChanges, fileScan,
     roundtripJson, roundtripOrc, view, distinct,
     rollup, pivot, intersect, except)

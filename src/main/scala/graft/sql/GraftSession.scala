@@ -320,6 +320,12 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     """(?is)^\s*delete\s+from\s+([\w.`]+)(?:\s+where\s+(.+?))?(?:\s+limit\s+(\d+))?\s*;?\s*$""".r
   private val updateRe =
     """(?is)^\s*update\s+([\w.`]+)\s+set\s+(.+?)(?:\s+where\s+(.+?))?\s*;?\s*$""".r
+  private val mergeRe =
+    """(?is)^\s*merge\s+into\s+([\w.`]+)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+using\s+([\w.`]+|\(.+?\))(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+on\s+(.+?)\s+(when\s+(?:not\s+)?matched\s+.+?)\s*;?\s*$""".r
+  private val mergeMatchedRe =
+    """(?is)when\s+matched\s+then\s+update\s+set\s+(.+?)(?=\s+when\s+not\s+matched|$)""".r
+  private val mergeNotMatchedRe =
+    """(?is)when\s+not\s+matched\s+then\s+insert\s+(\*|\(([^)]*)\)\s*values\s*\((.*)\))\s*$""".r
 
   /** While the session database is `incresql`, the reference resolves
     * bare `tables` / `databases` to its system tables
@@ -537,6 +543,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       delete(table, Option(whereOpt), Option(limitOpt).map(_.toInt))
     case updateRe(table, setList, whereOpt) =>
       update(table, setList, Option(whereOpt))
+    case mergeRe(table, tAlias, source, sAlias, onCond, whenClauses) =>
+      merge(table, Option(tAlias), source, Option(sAlias), onCond, whenClauses)
     case explainRe(body) if body.matches("(?is)^formatted\\s+.*") =>
       // EXPLAIN FORMATTED: Spark's physical plan, for auditing pushdown /
       // broadcast / codegen — the Catalyst-native view.
@@ -620,6 +628,100 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     }: _*)
     val tmp = java.nio.file.Files.createTempDirectory("graft_update_").toString
     projected.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").insertInto(table)
+    spark.emptyDataFrame
+  }
+
+  /** MERGE INTO t USING s ON cond WHEN MATCHED THEN UPDATE SET ...
+    * [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)] — the upsert
+    * statement (Spark-native DML extension; OSS Spark reserves MERGE for
+    * table formats). Planned as one whole-table rewrite:
+    *
+    *   kept+updated = t LEFT JOIN s ON cond, each column
+    *     CASE WHEN matched THEN update-expr ELSE t.col END;
+    *   inserted    = s LEFT ANTI JOIN t ON cond, projected to t's schema
+    *     (INSERT * maps source columns by name; unlisted columns NULL);
+    *   new t = kept+updated UNION ALL inserted, staged then overwritten.
+    *
+    * ANSI cardinality rule enforced: a target row matching MORE THAN ONE
+    * source row is an error (checked with one count — a multi-match would
+    * otherwise silently duplicate target rows through the join).
+    * Supported source forms: a table/view name, or a parenthesized
+    * subquery without nested parens (register a view for anything deeper).
+    * Update/insert expressions may reference both aliases; they pass
+    * through the dialect rewriter, so `->`/`->>` work here too.
+    */
+  private def merge(table: String, tAliasOpt: Option[String], source: String,
+      sAliasOpt: Option[String], onCond: String, whenClauses: String): DataFrame = {
+    // ANSI lets unaliased relations be referenced by their bare name
+    val tA = tAliasOpt.getOrElse(stripTicks(table).split('.').last)
+    require(sAliasOpt.nonEmpty || !source.startsWith("("),
+      "a MERGE subquery source needs an alias")
+    val sA = sAliasOpt.getOrElse(stripTicks(source).split('.').last)
+    val tgt = spark.table(table).alias(tA)
+    val srcDf = (if (source.startsWith("(")) spark.sql(rewriteQuery(
+        source.stripPrefix("(").stripSuffix(")")))
+      else spark.table(source)).alias(sA)
+    val cond = expr(rewriteQuery(onCond))
+
+    val updateSet: Map[String, org.apache.spark.sql.Column] =
+      mergeMatchedRe.findFirstMatchIn(whenClauses).map { m =>
+        splitTopLevel(m.group(1)).map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"malformed MERGE SET assignment: $a")
+          val target = stripTicks(a.substring(0, eq).trim).split('.').last.toLowerCase
+          (target, expr(rewriteQuery(a.substring(eq + 1).trim)))
+        }.toMap
+      }.getOrElse(Map.empty)
+    val insertSpec = mergeNotMatchedRe.findFirstMatchIn(whenClauses)
+    require(updateSet.nonEmpty || insertSpec.nonEmpty,
+      "MERGE needs at least one WHEN MATCHED / WHEN NOT MATCHED clause")
+    val targetCols = spark.table(table).columns.toIndexedSeq
+    updateSet.keys.foreach(k => require(targetCols.exists(_.toLowerCase == k),
+      s"MERGE update target column $k not in $table"))
+
+    // ANSI: each target row may match at most one source row
+    val joined = tgt.join(srcDf, cond, "left_outer")
+    val tgtCount = spark.table(table).count()
+    require(joined.count() == tgtCount,
+      s"MERGE source matches multiple rows of $table for some target row")
+
+    val keptUpdated = joined.select(targetCols.map { c =>
+      updateSet.get(c.toLowerCase) match {
+        case Some(e) =>
+          // matched ⟺ the join found a source row; probe via the join
+          // condition itself being satisfiable — a NULL-extended source
+          // side leaves cond NULL/false
+          when(coalesce(cond, lit(false)), e).otherwise(col(s"$tA.$c")).as(c)
+        case None => col(s"$tA.$c").as(c)
+      }
+    }: _*)
+
+    val inserted = insertSpec.map { m =>
+      val anti = srcDf.join(tgt, cond, "left_anti")
+      if (m.group(1).trim == "*") {
+        val srcCols = anti.columns.map(_.toLowerCase).toSet
+        anti.select(targetCols.map { c =>
+          if (srcCols.contains(c.toLowerCase)) col(c).as(c)
+          else lit(null).cast(spark.table(table).schema(c).dataType).as(c)
+        }: _*)
+      } else {
+        val cols = m.group(2).split(',').map(c => stripTicks(c.trim).toLowerCase)
+        val exprs = splitTopLevel(m.group(3)).map(e => expr(rewriteQuery(e.trim)))
+        require(cols.length == exprs.length,
+          "MERGE INSERT column list and VALUES arity differ")
+        val byCol = cols.zip(exprs).toMap
+        anti.select(targetCols.map { c =>
+          byCol.get(c.toLowerCase) match {
+            case Some(e) => e.cast(spark.table(table).schema(c).dataType).as(c)
+            case None => lit(null).cast(spark.table(table).schema(c).dataType).as(c)
+          }
+        }: _*)
+      }
+    }
+    val result = inserted.map(keptUpdated.unionByName(_)).getOrElse(keptUpdated)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge_").toString
+    result.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").insertInto(table)
     spark.emptyDataFrame
   }

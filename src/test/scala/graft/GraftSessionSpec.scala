@@ -219,6 +219,55 @@ class GraftSessionSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("MERGE: upsert updates matches, inserts the rest, errors on multi-match") {
+    val t = s"graft_merge_t_${System.nanoTime()}"
+    val s = s"graft_merge_s_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $t (k INT, v STRING, n INT) USING PARQUET")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',10), (2,'b',20), (3,'c',30)")
+    spark.sql(s"CREATE TABLE $s (k INT, v STRING) USING PARQUET")
+    spark.sql(s"INSERT INTO $s VALUES (2,'B'), (4,'D')")
+    try {
+      gs.sql(
+        s"""MERGE INTO $t USING $s src ON $t.k = src.k
+           |WHEN MATCHED THEN UPDATE SET v = upper(src.v), n = $t.n + 1
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)""".stripMargin)
+      val rows = spark.table(t).orderBy("k").collect()
+        .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2)))
+      assert(rows.toSeq == Seq((1, "a", 10), (2, "B", 21), (3, "c", 30), (4, "D", -1)))
+
+      // update-only form leaves unmatched source rows out
+      gs.sql(s"MERGE INTO $t USING $s src ON $t.k = src.k " +
+        s"WHEN MATCHED THEN UPDATE SET n = 0")
+      assert(spark.table(t).filter("k = 2").collect()(0).getInt(2) == 0)
+      assert(spark.table(t).count() == 4)
+
+      // a second source row for k=2 must be rejected, table unchanged
+      spark.sql(s"INSERT INTO $s VALUES (2,'dup')")
+      val before = spark.table(t).collect().map(_.toSeq).toSet
+      val err = intercept[Exception](gs.sql(
+        s"MERGE INTO $t USING $s src ON $t.k = src.k WHEN MATCHED THEN UPDATE SET v = src.v"))
+      assert(err.getMessage.contains("multiple"))
+      assert(spark.table(t).collect().map(_.toSeq).toSet == before)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    }
+  }
+
+  test("MERGE: INSERT * maps source columns by name; subquery source works") {
+    val t = s"graft_merge2_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $t (k INT, v STRING) USING PARQUET")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a')")
+    try {
+      gs.sql(
+        s"""MERGE INTO $t USING (SELECT 2 AS k, 'z' AS v) nw ON $t.k = nw.k
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val rows = spark.table(t).orderBy("k").collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1, "a"), (2, "z")))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("UPDATE: multi-column SET, comma in a literal, NULL predicate skips") {
     val tbl = s"graft_upd_spec_${System.nanoTime()}"
     spark.sql(s"CREATE TABLE $tbl (k INT, a STRING, b INT) USING PARQUET")
