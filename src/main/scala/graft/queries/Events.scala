@@ -429,7 +429,47 @@ object Events {
     spark.sql(anomalySql(e => s"sum($e)"))
   }
 
+  // --- SCD temporal dimension join (operators/AsOfJoin as a query) --------
+  // The slowly-changing-dimension read: each fact row joins the dimension
+  // VERSION valid at its timestamp. The dimension here is derived
+  // deterministically from the data itself — each user's purchases, in
+  // time order, define tier versions 1..n — and every view event picks
+  // up the tier in force when it happened (NULL before the first
+  // purchase). Runs through the generic AsOfJoin combinator (union + one
+  // window pass, single user-keyed shuffle); the oracle states the
+  // textbook LATERAL top-1 semantics directly.
+  private val scdOracle =
+    """WITH dim AS (
+      |  SELECT user_id, ts,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS tier
+      |  FROM events WHERE event_type = 'purchase'),
+      |facts AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT f.event_id, f.user_id, x.tier
+      |FROM facts f LEFT JOIN LATERAL (
+      |  SELECT d.tier FROM dim d
+      |  WHERE d.user_id = f.user_id AND d.ts <= f.ts
+      |  ORDER BY d.ts DESC, d.tier DESC LIMIT 1) x ON true
+      |ORDER BY f.event_id""".stripMargin
+
+  val scdJoin: QueryDef = QueryDef.sqlBacked("evt_scd_join", scdOracle) {
+    (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val events = Engine.table(spark, dir, "events")
+      val dim = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))).cast("int").as("tier"))
+      val facts = events.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin
+        .asOf(facts, dim, Seq("user_id"), "ts", "ts", rightTieBreak = Seq("tier"))
+        .select(col("event_id"), col("user_id"), col("tier"))
+        .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(windowAgg, windowRank, windowRange, windowDist, windowRows,
-      sessionize, asofJoin, rangeJoin, funnel, gapfill, retention, anomaly)
+      sessionize, asofJoin, rangeJoin, funnel, gapfill, retention, anomaly,
+      scdJoin)
 }
