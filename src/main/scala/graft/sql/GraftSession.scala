@@ -324,6 +324,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     """(?is)^\s*merge\s+into\s+([\w.`]+)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+using\s+([\w.`]+|\(.+?\))(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+on\s+(.+?)\s+(when\s+(?:not\s+)?matched\s+.+?)\s*;?\s*$""".r
   private val mergeMatchedRe =
     """(?is)when\s+matched\s+then\s+update\s+set\s+(.+?)(?=\s+when\s+not\s+matched|$)""".r
+  private val mergeDeleteRe =
+    """(?is)when\s+matched\s+then\s+delete\b""".r
   private val mergeNotMatchedRe =
     """(?is)when\s+not\s+matched\s+then\s+insert\s+(\*|\(([^)]*)\)\s*values\s*\((.*)\))\s*$""".r
 
@@ -632,7 +634,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     spark.emptyDataFrame
   }
 
-  /** MERGE INTO t USING s ON cond WHEN MATCHED THEN UPDATE SET ...
+  /** MERGE INTO t USING s ON cond
+    * WHEN MATCHED THEN UPDATE SET ... | WHEN MATCHED THEN DELETE
     * [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)] — the upsert
     * statement (Spark-native DML extension; OSS Spark reserves MERGE for
     * table formats). Planned as one whole-table rewrite:
@@ -673,8 +676,11 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
           (target, expr(rewriteQuery(a.substring(eq + 1).trim)))
         }.toMap
       }.getOrElse(Map.empty)
+    val deleteMatched = mergeDeleteRe.findFirstIn(whenClauses).nonEmpty
+    require(!(deleteMatched && updateSet.nonEmpty),
+      "MERGE supports WHEN MATCHED THEN UPDATE or THEN DELETE, not both")
     val insertSpec = mergeNotMatchedRe.findFirstMatchIn(whenClauses)
-    require(updateSet.nonEmpty || insertSpec.nonEmpty,
+    require(updateSet.nonEmpty || deleteMatched || insertSpec.nonEmpty,
       "MERGE needs at least one WHEN MATCHED / WHEN NOT MATCHED clause")
     val targetCols = spark.table(table).columns.toIndexedSeq
     updateSet.keys.foreach(k => require(targetCols.exists(_.toLowerCase == k),
@@ -686,16 +692,20 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     require(joined.count() == tgtCount,
       s"MERGE source matches multiple rows of $table for some target row")
 
-    val keptUpdated = joined.select(targetCols.map { c =>
-      updateSet.get(c.toLowerCase) match {
-        case Some(e) =>
-          // matched ⟺ the join found a source row; probe via the join
-          // condition itself being satisfiable — a NULL-extended source
-          // side leaves cond NULL/false
-          when(coalesce(cond, lit(false)), e).otherwise(col(s"$tA.$c")).as(c)
-        case None => col(s"$tA.$c").as(c)
-      }
-    }: _*)
+    // matched ⟺ the join found a source row; probe via the join condition
+    // itself being satisfiable — a NULL-extended source side leaves cond
+    // NULL/false
+    val keptUpdated =
+      if (deleteMatched)
+        joined.filter(!coalesce(cond, lit(false)))
+          .select(targetCols.map(c => col(s"$tA.$c").as(c)): _*)
+      else joined.select(targetCols.map { c =>
+        updateSet.get(c.toLowerCase) match {
+          case Some(e) =>
+            when(coalesce(cond, lit(false)), e).otherwise(col(s"$tA.$c")).as(c)
+          case None => col(s"$tA.$c").as(c)
+        }
+      }: _*)
 
     val inserted = insertSpec.map { m =>
       val anti = srcDf.join(tgt, cond, "left_anti")

@@ -254,6 +254,23 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE: WHEN MATCHED THEN DELETE removes matches, keeps the rest") {
+    val t = s"graft_merge3_${System.nanoTime()}"
+    val s = s"graft_merge3s_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $t (k INT, v STRING) USING PARQUET")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql(s"CREATE TABLE $s (k INT) USING PARQUET")
+    spark.sql(s"INSERT INTO $s VALUES (2), (9)")
+    try {
+      gs.sql(s"MERGE INTO $t USING $s src ON $t.k = src.k WHEN MATCHED THEN DELETE")
+      val rows = spark.table(t).orderBy("k").collect().map(_.getInt(0))
+      assert(rows.toSeq == Seq(1, 3))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS $s")
+    }
+  }
+
   test("MERGE: INSERT * maps source columns by name; subquery source works") {
     val t = s"graft_merge2_${System.nanoTime()}"
     spark.sql(s"CREATE TABLE $t (k INT, v STRING) USING PARQUET")
