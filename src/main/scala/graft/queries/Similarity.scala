@@ -223,23 +223,34 @@ object Similarity {
   // with the index-free path). Same oracle as ann_ivf_topk: the index is
   // a layout change, invisible in the result.
 
-  /** Write the cell-partitioned IVF index: one pass, assignment is the
-    * shuffle-free argmax_dot projection, cell is the partition dir. */
+  /** Write (or extend) the cell-partitioned IVF index from a vector
+    * relation `(vec_id, v: array<double>)`: one pass, assignment is the
+    * shuffle-free argmax_dot projection, cell is the partition dir. With
+    * mode = "append" this is INCREMENTAL index maintenance — new batches
+    * land as extra files inside their cells' partitions; centroids are
+    * deterministic constants, so old and new rows agree on cell
+    * boundaries and a probe over the grown index is indistinguishable
+    * from a full rebuild (AnnIndexSpec pins append ≡ rebuild). */
+  def writeIvfIndex(vectors: DataFrame, indexPath: String,
+      mode: String = "overwrite"): Unit =
+    vectors.selectExpr("vec_id AS cand_id", "v AS cv",
+        s"argmax_dot(v, $centroidMatrixSql) AS cell")
+      .write.mode(mode).partitionBy("cell").parquet(indexPath)
+
+  /** Build the index over the full embeddings table. */
   def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
     emb(spark, dir)
-    spark.sql(
-      s"""SELECT vec_id AS cand_id, v AS cv, argmax_dot(v, $centroidMatrixSql) AS cell
-         |FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |      FROM embeddings)""".stripMargin)
-      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    writeIvfIndex(spark.sql(
+      """SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings""".stripMargin), indexPath)
   }
 
-  def ivfIndexedTopK(spark: SparkSession, dir: String,
+  /** Probe an existing index: the same query/probe/top-k SQL as
+    * [[ivfIndexedTopK]], over whatever the index path holds. */
+  def probeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
       nQueries: Int = 8, k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_ivf_index_").resolve("index").toString
-    buildIvfIndex(spark, dir, idx)
-    spark.read.parquet(idx).createOrReplaceTempView("ivf_index")
+    emb(spark, dir)
+    spark.read.parquet(indexPath).createOrReplaceTempView("ivf_index")
     spark.sql(
       s"""WITH cent AS ($centroidSql),
          |queries AS (
@@ -263,6 +274,14 @@ object Similarity {
          |    ON p.cell = c.cell AND p.query_id <> c.cand_id) t
          |WHERE rnk <= $k
          |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  def ivfIndexedTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index_").resolve("index").toString
+    buildIvfIndex(spark, dir, idx)
+    probeIvfIndex(spark, dir, idx, nQueries, k, nProbe)
   }
 
   val ivfIndexed: QueryDef =

@@ -20,6 +20,25 @@ class AnnIndexSpec extends AnyFunSuite {
     indexed.zip(plain).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("incremental index append is indistinguishable from a full rebuild") {
+    import org.apache.spark.sql.functions._
+    val vectors = Engine.table(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_ivf_full_").resolve("index").toString
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft_ivf_inc_").resolve("index").toString
+    queries.Similarity.writeIvfIndex(vectors, full)
+    // incremental: 90% at build time, the rest appended as a new batch
+    queries.Similarity.writeIvfIndex(vectors.filter(col("vec_id") % 10 =!= 0), inc)
+    queries.Similarity.writeIvfIndex(
+      vectors.filter(col("vec_id") % 10 === 0), inc, mode = "append")
+    val a = queries.Similarity.probeIvfIndex(spark, dir, full).collect()
+    val b = queries.Similarity.probeIvfIndex(spark, dir, inc).collect()
+    assert(a.nonEmpty && a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("the probe join dynamically prunes index partitions") {
     val df = queries.Similarity.ivfIndexedTopK(spark, dir)
     val physical = df.queryExecution.executedPlan.toString
