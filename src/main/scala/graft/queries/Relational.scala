@@ -665,6 +665,39 @@ object Relational {
     c.except(s).orderBy(col("nk"))
   }
 
+  // --- INTERSECT ALL / EXCEPT ALL: the bag variants -----------------------
+  // The multiset-correct set ops (min/monus of multiplicities) — the
+  // algebra the freq-annotated storage model lives on, surfaced as query
+  // operators. Aggregated to (key, copies) so the multiplicity math is
+  // the thing the hash match proves.
+  val intersectAll: QueryDef = QueryDef.sqlBacked(
+    "op_intersect_all",
+    """SELECT nk, count(*) AS copies FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  INTERSECT ALL
+      |  SELECT s_nationkey FROM supplier) t
+      |GROUP BY nk ORDER BY nk""".stripMargin
+  ) { (spark, dir) =>
+    val c = Engine.table(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+    val s = Engine.table(spark, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.intersectAll(s).groupBy(col("nk")).agg(count(lit(1)).as("copies"))
+      .orderBy(col("nk"))
+  }
+
+  val exceptAll: QueryDef = QueryDef.sqlBacked(
+    "op_except_all",
+    """SELECT nk, count(*) AS copies FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  EXCEPT ALL
+      |  SELECT s_nationkey FROM supplier) t
+      |GROUP BY nk ORDER BY nk""".stripMargin
+  ) { (spark, dir) =>
+    val c = Engine.table(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+    val s = Engine.table(spark, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.exceptAll(s).groupBy(col("nk")).agg(count(lit(1)).as("copies"))
+      .orderBy(col("nk"))
+  }
+
   // --- ROLLUP (Spark-native extension; absent from the reference parser) --
   // Subtotal hierarchy over (returnflag, linestatus) with grouping()
   // indicators pinned to INT on both engines (NULL-valued keys in
@@ -728,5 +761,5 @@ object Relational {
     unionAll, delete, update, merge, insert, multisetFreq, multisetCompact,
     multisetChanges, fileScan,
     roundtripJson, roundtripOrc, view, distinct,
-    rollup, pivot, intersect, except)
+    rollup, pivot, intersect, except, intersectAll, exceptAll)
 }
