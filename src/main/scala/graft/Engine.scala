@@ -80,6 +80,31 @@ object Engine {
       }
     })
 
+  // (session, key) → the ONE cached relation currently alive under that
+  // key. Pipelines that materialize an intermediate (shingle sets, LSH
+  // signatures, cell assignments) register it here instead of calling
+  // cache() directly: re-invocation with the SAME plan reuses the live
+  // cache (no "already cached" warning, no recompute), while a NEW plan
+  // (another scale dir, changed parameters) unpersists the previous epoch
+  // before caching — so repeated invocations can never accumulate stale
+  // cached relations in executor memory.
+  private val swapCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Cache `df` under `key`, releasing whatever the key cached before
+    * (unless it is the same logical plan, which stays live and is
+    * reused). Returns the DataFrame whose cache is now live. */
+  def cacheSwap(key: String, df: DataFrame): DataFrame =
+    swapCache.compute((df.sparkSession, key), { (_, prev) =>
+      if (prev != null &&
+          prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
+        prev
+      } else {
+        if (prev != null) prev.unpersist(blocking = false)
+        df.cache()
+      }
+    })
+
   /** Register every table as a temp view so `spark.sql` works naturally —
     * the Spark analog of the reference's `resolve_tables` catalog pass
     * (/root/reference/src/planner/src/p1_validation/resolve_tables.rs:8-66).

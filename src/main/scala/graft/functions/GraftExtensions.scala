@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => HyperplaneSig(exprs(0), exprs(1))),
       ("jaccard_sorted", "exact Jaccard of two sorted distinct string arrays (merge walk)",
         exprs => JaccardSorted(exprs(0), exprs(1))),
+      ("containment_stats", "[|a∩b|/|a|, |a∩b|/|b|] of two sorted distinct string arrays (merge walk)",
+        exprs => ContainmentStats(exprs(0), exprs(1))),
       ("dot_product", "dot product of two double arrays, index-order fold from 0.0",
         exprs => DotProduct(exprs(0), exprs(1))),
       ("argmax_dot", "index of the matrix row with the max dot product against a vector (ties -> lowest)",

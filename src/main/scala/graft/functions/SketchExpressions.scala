@@ -153,6 +153,84 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Directional containment of two SORTED distinct string arrays via the
+  * same merge walk as [[JaccardSorted]]: returns
+  * `[|a∩b|/|a|, |a∩b|/|b|, max(of the two)]`. The ratios use the
+  * identical int→double operands as the SQL
+  * `CAST(size(array_intersect(a,b)) AS DOUBLE) / size(a)` spelling, so
+  * results are bit-identical while the intersection is computed ONCE per
+  * pair in O(|a|+|b|) generated code — replacing per-direction
+  * `array_intersect` calls that each built a hash set per candidate pair.
+  * The pre-folded max exists for the threshold predicate: a filter on
+  * `greatest(cs[0], cs[1])` would carry TWO kernel calls after predicate
+  * pushdown substitutes the alias into the join condition (join
+  * conditions get no subexpression elimination), where `cs[2]` carries
+  * exactly one. NULL when either side is empty (the SQL spelling's
+  * x/0 → NULL under non-ANSI division). */
+case class ContainmentStats(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, StringType}
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "containment_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"containment_stats needs (array<string>, array<string>), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    if (na == 0 || nb == 0) return null
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val cab = inter.toDouble / na
+    val cba = inter.toDouble / nb
+    new GenericArrayData(Array[Any](cab, cba, math.max(cab, cba)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val cab = ctx.freshName("cab"); val cba = ctx.freshName("cba")
+      val out = ctx.freshName("out")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |if ($na == 0 || $nb == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = 0, $j = 0, $inter = 0;
+         |  while ($i < $na && $j < $nb) {
+         |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($c == 0) { $inter++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; } else { $j++; }
+         |  }
+         |  double $cab = (double) $inter / $na;
+         |  double $cba = (double) $inter / $nb;
+         |  double[] $out = new double[]{$cab, $cba, Math.max($cab, $cba)};
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Dot product of two double arrays, folded in index order from 0.0 —
   * the same IEEE sequence as `aggregate(zip_with(a, b, *), 0.0, +)` and
   * the DuckDB oracles' list_reduce, so cosine scores stay bit-identical

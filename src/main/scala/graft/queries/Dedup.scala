@@ -92,15 +92,18 @@ object Dedup {
   /** Shingle relation, materialized once: Spark inlines WITH CTEs, so a
     * self-joining pipeline would re-tokenize the corpus once per branch.
     * Caching is the local stand-in for what a 100 TB run does anyway —
-    * write the signature/shingle table out and join against it. */
+    * write the signature/shingle table out and join against it. Goes
+    * through [[Engine.cacheSwap]] so repeated invocations (bench loops,
+    * another scale dir) reuse or replace the ONE live cached epoch
+    * instead of leaking a new cached relation per call. */
   private def cachedShingles(spark: SparkSession, dir: String): Unit = {
     docs(spark, dir)
     // Sorted shingle sets: Jaccard verification then merge-walks two
     // sorted arrays in the codegen'd jaccard_sorted kernel (set semantics
     // are order-insensitive, so every consumer — minhash lanes, inverted
     // index, the oracles' set ops — is unaffected by the sort).
-    val sh = spark.sql(shingleSql).selectExpr("doc_id", "sort_array(shingles) AS shingles")
-    sh.cache()
+    val sh = Engine.cacheSwap("dedup_sh",
+      spark.sql(shingleSql).selectExpr("doc_id", "sort_array(shingles) AS shingles"))
     sh.createOrReplaceTempView("dedup_sh")
   }
 
@@ -368,10 +371,13 @@ object Dedup {
   // Candidates come from the same rare-shingle inverted index as
   // dedup_ngram_jaccard (a contained doc shares ALL its shingles, rare
   // ones included, so the index cannot miss it); verification is exact:
-  // |A∩B| via array_intersect (exact integer), containment per direction
-  // as one double division — the pair reports both directions and keeps
-  // max ≥ threshold. Oracle = exact all-pairs, so the candidate filter is
-  // again proven lossless on this corpus.
+  // the codegen'd containment_stats merge-walk kernel (see
+  // functions/SketchExpressions.scala) computes |A∩B| ONCE per pair in
+  // O(|a|+|b|) and derives both direction ratios — replacing the
+  // interpreted per-direction array_intersect calls that each built a
+  // hash set per candidate (the prior 4×-slowest pipeline op). The pair
+  // reports both directions and keeps max ≥ threshold. Oracle = exact
+  // all-pairs, so the candidate filter is again proven lossless.
   def containmentPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxDf: Int = 10): DataFrame = {
     cachedShingles(spark, dir)
@@ -389,16 +395,13 @@ object Dedup {
          |             JOIN inv b ON a.sid = b.sid
          |  WHERE a.doc_id < b.doc_id
          |)
-         |SELECT id_a, id_b, c_ab, c_ba FROM (
+         |SELECT id_a, id_b, cs[0] AS c_ab, cs[1] AS c_ba FROM (
          |  SELECT c.id_a, c.id_b,
-         |    CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |      / size(sa.shingles) AS c_ab,
-         |    CAST(size(array_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |      / size(sb.shingles) AS c_ba
+         |    containment_stats(sa.shingles, sb.shingles) AS cs
          |  FROM cand c
          |  JOIN dedup_sh sa ON c.id_a = sa.doc_id
          |  JOIN dedup_sh sb ON c.id_b = sb.doc_id) v
-         |WHERE greatest(c_ab, c_ba) >= $threshold
+         |WHERE cs[2] >= $threshold
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
@@ -439,7 +442,7 @@ object Dedup {
     // and the signature relation is cached so the band self-join doesn't
     // recompute every signature per branch (the 100 TB shape materializes
     // the signature table before candidate generation).
-    val sig = spark.sql(
+    val sig = graft.Engine.cacheSwap("emb_sig", spark.sql(
       s"""WITH planes AS (
          |  SELECT transform(sequence(0, 15), p ->
          |    transform(sequence(0, 63), d -> ${planeSpark("p", "d")})) AS pm
@@ -449,8 +452,7 @@ object Dedup {
          |  FROM embeddings
          |)
          |SELECT vec_id, v, hyperplane_sig(v, pm) AS lsh
-         |FROM e CROSS JOIN planes""".stripMargin)
-    sig.cache()
+         |FROM e CROSS JOIN planes""".stripMargin))
     sig.createOrReplaceTempView("emb_sig")
     // Candidate dedup shuffles ONLY (id_a, id_b) pairs — never the 64-dim
     // vectors; vectors rejoin from the cached signature relation for the

@@ -359,11 +359,10 @@ object Similarity {
     // Materialize the cell assignment once (the 100 TB shape writes it
     // with cell as partition key); otherwise each of the three references
     // below would re-run the argmax projection over the scan.
-    val corpus = spark.sql(
+    val corpus = Engine.cacheSwap("sem_corpus", spark.sql(
       s"""SELECT vec_id, v, argmax_dot(v, $centroidMatrixSql) AS cell
          |FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |      FROM embeddings)""".stripMargin)
-    corpus.cache()
+         |      FROM embeddings)""".stripMargin))
     corpus.createOrReplaceTempView("sem_corpus")
     spark.sql(
       s"""WITH losers AS (

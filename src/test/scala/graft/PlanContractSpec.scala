@@ -82,6 +82,23 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "probe join shuffled the corpus")
   }
 
+  test("dedup_containment: verification is the merge-walk kernel, computed once per site") {
+    val p = plan("dedup_containment")
+    // The interpreted per-direction array_intersect (which built a hash
+    // set per candidate pair, twice) must never come back...
+    assert(!p.contains("array_intersect"),
+      "containment verification regressed to interpreted array_intersect")
+    // ...and the kernel appears exactly twice: once in the pushed-down
+    // join condition (cs[2] keeps it to ONE call there — join conditions
+    // get no subexpression elimination) and once in the survivor
+    // projection. More occurrences = an optimizer rewrite started
+    // duplicating the O(|a|+|b|) walk per direction again.
+    val kernelCalls = "containment_stats".r.findAllIn(p).size
+    assert(kernelCalls <= 2,
+      s"containment_stats duplicated in the plan ($kernelCalls occurrences)")
+    assert(kernelCalls >= 1, "containment_stats kernel missing from the plan")
+  }
+
   test("pipeline_sample: hash-Bernoulli sampling is a shuffle-free scan+filter") {
     val p = plan("pipeline_sample")
     // the only exchange permitted is the final presentation sort's range

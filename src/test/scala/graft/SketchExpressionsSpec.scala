@@ -69,6 +69,33 @@ class SketchExpressionsSpec extends AnyFunSuite {
     assert(rows(0) == 0.5 && rows(1) == 0.0 && rows(2) == 1.0)
   }
 
+  test("containment_stats equals the array_intersect SQL spelling bit for bit") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d", "e")), // |∩|=2: 2/3, 2/4
+      (Seq("a"), Seq("b")),                          // disjoint: 0, 0
+      (Seq("x", "y"), Seq("x", "y")),                // identical: 1, 1
+      (Seq("p"), Seq("p", "q", "r"))                 // contained: 1, 1/3
+    ).toDF("a", "b")
+    val kernel = df.selectExpr(
+      "containment_stats(a, b)[0] AS cab", "containment_stats(a, b)[1] AS cba",
+      "containment_stats(a, b)[2] AS cmax").as[(Double, Double, Double)].collect()
+    val sql = df.selectExpr(
+      "CAST(size(array_intersect(a, b)) AS DOUBLE) / size(a) AS cab",
+      "CAST(size(array_intersect(a, b)) AS DOUBLE) / size(b) AS cba",
+      """greatest(CAST(size(array_intersect(a, b)) AS DOUBLE) / size(a),
+        |         CAST(size(array_intersect(a, b)) AS DOUBLE) / size(b)) AS cmax""".stripMargin)
+      .as[(Double, Double, Double)].collect()
+    kernel.zip(sql).foreach { case (k, s) =>
+      assert(java.lang.Double.doubleToRawLongBits(k._1) == java.lang.Double.doubleToRawLongBits(s._1))
+      assert(java.lang.Double.doubleToRawLongBits(k._2) == java.lang.Double.doubleToRawLongBits(s._2))
+      assert(java.lang.Double.doubleToRawLongBits(k._3) == java.lang.Double.doubleToRawLongBits(s._3))
+    }
+    // empty side → NULL, like the SQL spelling's x/0 under non-ANSI division
+    val empty = Seq((Seq.empty[String], Seq("a"))).toDF("a", "b")
+      .selectExpr("containment_stats(a, b) AS cs").collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("dot_product folds in index order from 0.0 (matches the SQL aggregate spelling)") {
     val df = Seq((Seq(1.5, -2.5, 3.25), Seq(2.0, 4.0, -1.0))).toDF("a", "b")
     val kernel = df.selectExpr("dot_product(a, b) AS d").as[Double].head()
