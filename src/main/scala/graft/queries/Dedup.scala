@@ -36,16 +36,19 @@ object Dedup {
   private def portableHash60Duck(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
-  /** Shared tokenization: whitespace split, empties dropped. */
+  /** Shared tokenization: whitespace split, empties dropped. The Spark
+    * side also carries `fp = md5(text)` — the exact-duplicate group key
+    * the banded paths collapse on (hot-bucket guard) — which the oracles
+    * never need (they verify all pairs directly). */
   private val tokSql =
-    "SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS tokens FROM documents"
+    "SELECT doc_id, md5(text) AS fp, filter(split(text, ' '), x -> x <> '') AS tokens FROM documents"
   private val tokDuck =
     "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens FROM documents"
 
   /** Distinct word-3-gram shingles per doc (arrays are 0-based in Spark,
     * 1-based in DuckDB — the two forms enumerate identical shingles). */
   private val shingleSql =
-    s"""SELECT doc_id, array_distinct(transform(sequence(0, size(tokens)-3),
+    s"""SELECT doc_id, fp, array_distinct(transform(sequence(0, size(tokens)-3),
        |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))) AS shingles
        |FROM ($tokSql) WHERE size(tokens) >= 3""".stripMargin
   private val shingleDuck =
@@ -103,41 +106,87 @@ object Dedup {
     // are order-insensitive, so every consumer — minhash lanes, inverted
     // index, the oracles' set ops — is unaffected by the sort).
     val sh = Engine.cacheSwap("dedup_sh",
-      spark.sql(shingleSql).selectExpr("doc_id", "sort_array(shingles) AS shingles"))
+      spark.sql(shingleSql).selectExpr("doc_id", "fp", "sort_array(shingles) AS shingles"))
     sh.createOrReplaceTempView("dedup_sh")
+  }
+
+  /** Hot-bucket guard, shared by the banded self-join paths: the corpus
+    * dedup exists FOR is exactly the one that breaks a band self-join — a
+    * crawl with thousands of byte-identical copies puts every copy in the
+    * same `(band_idx, band_sig)` bucket and the join goes quadratic in
+    * copies BEFORE the DISTINCT can dedup pairs (and it does so × 16
+    * bands). The guard collapses each exact-duplicate group (`fp =
+    * md5(text)`) to its min-doc_id representative BEFORE banding, so
+    * bucket sizes scale with DISTINCT texts; verified rep pairs are then
+    * re-expanded through the group table (`rep_groups` CTE below), and
+    * within-group pairs are emitted directly with the score two identical
+    * texts provably have (Jaccard exactly 1.0 / Hamming 0 — the same
+    * bits the kernel computes on identical arrays, so the exact-oracle
+    * hash compare is unaffected). Candidate work is now ∝ groups², never
+    * copies² (pinned by HotBucketSpec); the output pair set is unchanged
+    * because cross-group similarity depends only on the texts, which
+    * every group member shares with its representative. */
+  private def repsCte: String =
+    """reps AS (
+      |  SELECT min(doc_id) AS doc_id, fp FROM dedup_sh GROUP BY fp
+      |)""".stripMargin
+
+  // One xxhash64 per shingle, then the 64 per-lane minima run inside the
+  // codegen'd MinHash64 kernel — not 64 interpreted lambda folds.
+  // The band signature is re-hashed to ONE BIGINT before the candidate
+  // self-join: the shuffle key shrinks ~10× vs the 4-minima string, and
+  // a hash collision can only ADD a candidate pair, which the exact
+  // jaccard_sorted verification below then discards — recall unaffected.
+  // Banding runs over REPRESENTATIVES only (see [[repsCte]]).
+  private def minhashCandSql: String =
+    s"""WITH $repsCte,
+       |sig AS (
+       |  SELECT s.doc_id, s.fp, s.shingles,
+       |    minhash64(transform(s.shingles, x -> xxhash64(x))) AS minhash
+       |  FROM dedup_sh s JOIN reps r ON s.doc_id = r.doc_id
+       |  WHERE size(s.shingles) > 0
+       |),
+       |bands AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    xxhash64(concat_ws(',', slice(minhash, b * 4 + 1, 4))) AS band_sig
+       |  FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       |   AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  /** The banded candidate pairs over exact-dup representatives — the
+    * relation whose size the hot-bucket guard bounds (HotBucketSpec pins
+    * it ∝ distinct texts, not copies²). */
+  private[graft] def minhashRepCandidates(spark: SparkSession, dir: String): DataFrame = {
+    cachedShingles(spark, dir)
+    spark.sql(s"$minhashCandSql SELECT id_a, id_b FROM cand")
   }
 
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     cachedShingles(spark, dir)
-    // One xxhash64 per shingle, then the 64 per-lane minima run inside the
-    // codegen'd MinHash64 kernel — not 64 interpreted lambda folds.
-    // The band signature is re-hashed to ONE BIGINT before the candidate
-    // self-join: the shuffle key shrinks ~10× vs the 4-minima string, and
-    // a hash collision can only ADD a candidate pair, which the exact
-    // jaccard_sorted verification below then discards — recall unaffected.
     spark.sql(
-      s"""WITH sig AS (
-         |  SELECT doc_id, shingles,
-         |    minhash64(transform(shingles, x -> xxhash64(x))) AS minhash
-         |  FROM dedup_sh WHERE size(shingles) > 0
-         |),
-         |bands AS (
-         |  SELECT doc_id, b AS band_idx,
-         |    xxhash64(concat_ws(',', slice(minhash, b * 4 + 1, 4))) AS band_sig
-         |  FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-         |   AND a.doc_id < b.doc_id
+      s"""$minhashCandSql,
+         |rpairs AS (
+         |  SELECT c.id_a, c.id_b, sa.fp AS fp_a, sb.fp AS fp_b,
+         |    jaccard_sorted(sa.shingles, sb.shingles) AS jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON c.id_a = sa.doc_id
+         |  JOIN sig sb ON c.id_b = sb.doc_id
+         |  WHERE jaccard_sorted(sa.shingles, sb.shingles) >= $threshold
          |)
-         |SELECT c.id_a, c.id_b,
-         |  jaccard_sorted(sa.shingles, sb.shingles) AS jaccard
-         |FROM cand c
-         |JOIN dedup_sh sa ON c.id_a = sa.doc_id
-         |JOIN dedup_sh sb ON c.id_b = sb.doc_id
-         |WHERE jaccard_sorted(sa.shingles, sb.shingles) >= $threshold
+         |SELECT least(ga.doc_id, gb.doc_id) AS id_a,
+         |       greatest(ga.doc_id, gb.doc_id) AS id_b, r.jaccard
+         |FROM rpairs r
+         |JOIN dedup_sh ga ON ga.fp = r.fp_a
+         |JOIN dedup_sh gb ON gb.fp = r.fp_b
+         |UNION ALL
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+         |FROM dedup_sh a JOIN dedup_sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |WHERE CAST(1.0 AS DOUBLE) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
@@ -242,20 +291,29 @@ object Dedup {
     // Portable md5 hash once per token; the 60-bit vote fold runs in the
     // codegen'd SimHash60 kernel (identical arithmetic to the oracle's
     // nested list_reduce, ~1000x fewer interpreted lambda calls).
+    // Same hot-bucket guard as the minhash path: identical texts have
+    // identical simhashes, so every copy of a duplicated doc lands in the
+    // same band bucket — band only the min-doc_id representative per
+    // md5(text) group, re-expand verified rep pairs through the group
+    // table, and emit within-group pairs directly with Hamming 0 (the
+    // exact bits identical token arrays produce).
     spark.sql(
       s"""WITH tok AS ($tokSql),
          |th AS (
-         |  SELECT doc_id, transform(tokens, t -> ${portableHash60Spark("t")}) AS hs
+         |  SELECT doc_id, fp, transform(tokens, t -> ${portableHash60Spark("t")}) AS hs
          |  FROM tok WHERE size(tokens) > 0
          |),
-         |fp AS (
-         |  SELECT doc_id, simhash60(hs) AS simhash
-         |  FROM th
+         |reps AS (
+         |  SELECT min(doc_id) AS doc_id, fp FROM th GROUP BY fp
+         |),
+         |sh AS (
+         |  SELECT t.doc_id, t.fp, simhash60(t.hs) AS simhash
+         |  FROM th t JOIN reps r ON t.doc_id = r.doc_id
          |),
          |bands AS (
          |  SELECT doc_id, simhash, b AS band_idx,
          |    shiftright(simhash, b * 15) & 32767 AS band_val
-         |  FROM fp LATERAL VIEW explode(sequence(0, 3)) t AS b
+         |  FROM sh LATERAL VIEW explode(sequence(0, 3)) t AS b
          |),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -263,9 +321,23 @@ object Dedup {
          |  FROM bands a JOIN bands b
          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |   AND a.doc_id < b.doc_id
+         |),
+         |rpairs AS (
+         |  SELECT c.id_a, c.id_b, sa.fp AS fp_a, sb.fp AS fp_b,
+         |    bit_count(c.sh_a ^ c.sh_b) AS hamming
+         |  FROM cand c
+         |  JOIN sh sa ON c.id_a = sa.doc_id
+         |  JOIN sh sb ON c.id_b = sb.doc_id
+         |  WHERE bit_count(c.sh_a ^ c.sh_b) <= $maxHamming
          |)
-         |SELECT id_a, id_b, bit_count(sh_a ^ sh_b) AS hamming
-         |FROM cand WHERE bit_count(sh_a ^ sh_b) <= $maxHamming
+         |SELECT least(ga.doc_id, gb.doc_id) AS id_a,
+         |       greatest(ga.doc_id, gb.doc_id) AS id_b, r.hamming
+         |FROM rpairs r
+         |JOIN th ga ON ga.fp = r.fp_a
+         |JOIN th gb ON gb.fp = r.fp_b
+         |UNION ALL
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+         |FROM th a JOIN th b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin)
   }
 

@@ -1,0 +1,73 @@
+package graft
+
+import graft.queries.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hot-bucket guard pins: a corpus that is mostly byte-identical copies —
+  * the exact input dedup exists for — must NOT make the banded self-joins
+  * quadratic in copies. The guard collapses md5(text) groups to one
+  * representative before banding, so the candidate relation scales with
+  * DISTINCT texts; the output pair set is still every duplicate pair.
+  */
+class HotBucketSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Write a documents table (driver schema) into a fresh temp dir. */
+  private def corpus(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotbucket_").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'test' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val textX = "the quick brown fox jumps over the lazy dog again and again"
+  private val textY = "the quick brown fox jumps over the lazy dog again and again today"
+  private val textZ = "completely different content about spark catalyst optimizer internals"
+
+  test("banded candidates scale with distinct texts, not copies squared") {
+    // 300 identical copies of X + 2 unrelated texts: without the guard the
+    // (band_idx, band_sig) bucket for X holds 300 rows × 16 bands and the
+    // self-join emits ~16·C(300,2) ≈ 718k rows before DISTINCT. With it,
+    // banding sees 3 representatives.
+    val dir = corpus((0L until 300L).map(i => (i, textX)) :+ (300L -> textY) :+ (301L -> textZ))
+    val cands = Dedup.minhashRepCandidates(spark, dir).collect()
+    // X and Y are near-dup (they share almost all shingles) so their reps
+    // MAY collide in a band; Z shares nothing. The candidate relation is
+    // at most all rep pairs — never copies².
+    assert(cands.length <= 3, s"rep candidates exploded: ${cands.length}")
+
+    // ...while the OUTPUT still contains every duplicate pair: C(300,2)
+    // within the X group at Jaccard exactly 1.0, plus the X~Y cross-group
+    // pairs (301 × 1) if banding surfaced them.
+    val pairs = Dedup.minhashPairs(spark, dir).collect()
+    val exact = pairs.filter(_.getDouble(2) == 1.0)
+    assert(exact.length == 300 * 299 / 2, s"within-group pairs: ${exact.length}")
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)), "pair order broken")
+  }
+
+  test("mixed duplicate groups: cross-group pairs expand through representatives") {
+    // 40 copies of X and 40 copies of Y (near-dups of each other): one rep
+    // pair must expand to all 40×40 cross pairs with the REP pair's exact
+    // Jaccard, plus 2·C(40,2) within-group pairs at 1.0.
+    val dir = corpus((0L until 40L).map(i => (i, textX)) ++ (40L until 80L).map(i => (i, textY)))
+    val pairs = Dedup.minhashPairs(spark, dir).collect()
+    val within = pairs.filter(_.getDouble(2) == 1.0)
+    val cross = pairs.filter(_.getDouble(2) < 1.0)
+    assert(within.length == 2 * (40 * 39 / 2), s"within: ${within.length}")
+    assert(cross.length == 40 * 40, s"cross: ${cross.length}")
+    // every cross pair carries the identical verified score
+    assert(cross.map(_.getDouble(2)).distinct.length == 1)
+    assert(cross.forall(r => r.getDouble(2) >= 0.5))
+  }
+
+  test("simhash path: identical copies emit Hamming-0 pairs without banding copies") {
+    val dir = corpus((0L until 120L).map(i => (i, textX)) :+ (120L -> textZ))
+    val pairs = Dedup.simhashPairs(spark, dir).collect()
+    assert(pairs.count(_.getInt(2) == 0) >= 120 * 119 / 2,
+      s"missing within-group Hamming-0 pairs: ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+}
