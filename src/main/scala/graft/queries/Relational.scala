@@ -574,6 +574,55 @@ object Relational {
       .orderBy(col("r_regionkey"))
   }
 
+  // --- multiset storage through the SQL front door ------------------------
+  // The reference's user-table DML semantics end to end over GraftSession:
+  // CREATE MULTISET TABLE binds a name to the freq-merging LSM store;
+  // INSERT appends +1 deltas (table_insert.rs:22-55), DELETE appends
+  // negated frequencies (delete.rs:56-60), COMPACT TABLE folds the chain.
+  // The oracle states the surviving multiset directly: (2,'b') is
+  // inserted twice, fully deleted (both copies — DELETE negates the whole
+  // frequency), then re-inserted once.
+  private def freshGraftSession(spark: SparkSession): graft.sql.GraftSession =
+    new graft.sql.GraftSession(spark,
+      viewCatalogDir = java.nio.file.Files
+        .createTempDirectory("graft_sql_views_").toString,
+      multisetCatalogDir = java.nio.file.Files
+        .createTempDirectory("graft_sql_ms_").toString)
+
+  val multisetSql: QueryDef = QueryDef.sqlBacked(
+    "op_multiset_sql",
+    """SELECT id, name FROM (VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')) t(id, name)
+      |ORDER BY id""".stripMargin
+  ) { (spark, _) =>
+    freshGraftSession(spark).script(
+      """CREATE MULTISET TABLE ms_demo (id INTEGER, name TEXT);
+        |INSERT INTO ms_demo VALUES (1, 'a'), (2, 'b'), (2, 'b'), (3, 'c');
+        |INSERT INTO ms_demo SELECT 4, 'd';
+        |DELETE FROM ms_demo WHERE id = 2;
+        |INSERT INTO ms_demo VALUES (2, 'b');
+        |COMPACT TABLE ms_demo;
+        |SELECT id, name FROM ms_demo ORDER BY id""".stripMargin)
+  }
+
+  // Time travel over the retained version chain: v0 = CREATE (empty),
+  // v1 = 4-row insert, v2 = +1 row, v3 = delete, v4 = re-insert,
+  // v5 = compact. AS OF VERSION 2 reconstructs the pre-delete bag —
+  // including BOTH copies of (2,'b'), which proves the read replays
+  // frequencies, not just distinct tuples.
+  val multisetAsOf: QueryDef = QueryDef.sqlBacked(
+    "op_multiset_asof",
+    """SELECT id, name FROM (VALUES (1,'a'),(2,'b'),(2,'b'),(3,'c'),(4,'d')) t(id, name)
+      |ORDER BY id, name""".stripMargin
+  ) { (spark, _) =>
+    freshGraftSession(spark).script(
+      """CREATE MULTISET TABLE ms_hist (id INTEGER, name TEXT);
+        |INSERT INTO ms_hist VALUES (1, 'a'), (2, 'b'), (2, 'b'), (3, 'c');
+        |INSERT INTO ms_hist SELECT 4, 'd';
+        |DELETE FROM ms_hist WHERE id = 2;
+        |COMPACT TABLE ms_hist;
+        |SELECT id, name FROM ms_hist AS OF VERSION 2 ORDER BY id, name""".stripMargin)
+  }
+
   // --- salted skew join (operators/SkewJoin — SCALE.md "Joins") -----------
   // The static hot-key answer when AQE's runtime skew split isn't enough:
   // probe rows spread across 8 salt sub-keys, build side replicated 8
@@ -759,7 +808,7 @@ object Relational {
     joinNonEqui, joinNullKeys, joinCross, skewJoin,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
     unionAll, delete, update, merge, insert, multisetFreq, multisetCompact,
-    multisetChanges, fileScan,
+    multisetChanges, multisetSql, multisetAsOf, fileScan,
     roundtripJson, roundtripOrc, view, distinct,
     rollup, pivot, intersect, except, intersectAll, exceptAll)
 }

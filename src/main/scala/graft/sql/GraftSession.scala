@@ -125,7 +125,8 @@ object GraftSession {
   }
 }
 
-final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null) {
+final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null,
+    multisetCatalogDir: String = null) {
 
   GraftFunctions.register(spark)
   private val dirCounter = new AtomicInteger(0)
@@ -248,6 +249,108 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
 
   private def stripTicks(name: String): String = name.replace("`", "")
 
+  // --- multiset tables: the reference's ACTUAL storage semantics over SQL --
+  // The reference routes every user-table INSERT/DELETE through the
+  // freq-merging store (storage/src/table.rs:309-347; DELETE =
+  // TableInsert(NegateFreq(...)), parser/src/delete.rs:56-60). Plain
+  // `CREATE TABLE` here maps to a physical-row parquet table (right
+  // answers, Spark-native storage); `CREATE MULTISET TABLE` instead binds
+  // the name to a [[graft.sources.MultisetStore]] chain, and the
+  // statement surface routes through it faithfully:
+  //
+  //   INSERT INTO t ...            → appendDelta(+1 per source row)
+  //   DELETE FROM t [WHERE p]      → appendDelta(matching state, −freq)
+  //   DELETE FROM t [WHERE p] LIMIT n → appendDelta(first n expanded rows, −1)
+  //                                  (splits within a freq>1 tuple, like
+  //                                   the reference's freq-aware limit)
+  //   COMPACT TABLE t              → MultisetStore.compact (fold LSM chain)
+  //   SELECT ... FROM t            → read() (freq copies materialized)
+  //   SELECT ... FROM t AS OF VERSION n → readAt(n) (time travel)
+  //
+  // Catalog model mirrors the view catalog: each table is a directory
+  // `<db>.<name>` under `<warehouse>/_graft_multisets` (or the
+  // constructor override), discovered at session start, so multiset
+  // tables are durable across sessions like the reference's catalog.
+  private val msDir = java.nio.file.Paths.get(
+    Option(multisetCatalogDir).getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = if (wh.contains(":")) java.nio.file.Paths.get(new java.net.URI(wh)).toString else wh
+      p.stripSuffix("/") + "/_graft_multisets"
+    })
+  // (database, name) → storage path; discovered + in-session creations
+  private var multisets: Map[(String, String), String] = {
+    if (java.nio.file.Files.isDirectory(msDir)) {
+      val s = java.nio.file.Files.list(msDir)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .map(_.getFileName.toString).filter(_.contains('.'))
+        .map { stem =>
+          val Array(db, name) = stem.split("\\.", 2)
+          ((db, name), msDir.resolve(stem).toString)
+        }.toMap
+      finally s.close()
+    } else Map.empty
+  }
+  private val msAsOfCounter = new AtomicInteger(0)
+  // bare temp views registered for the CURRENT database's multiset tables
+  private var bareMsNames = Set.empty[String]
+
+  private def msMangled(db: String, name: String) = s"graft_ms_${db}__$name"
+  private def isMultiset(raw: String): Boolean = multisets.contains(viewKeyOf(raw))
+  private def msPath(raw: String): String = multisets(viewKeyOf(raw))
+
+  /** Re-register the session temp views over each multiset table's
+    * CURRENT state (reads are lazy, but the version chain is resolved at
+    * registration, so every statement sees the latest committed
+    * version). Bare names resolve only while the owning database is
+    * current, like the reference's unqualified resolution. */
+  private def syncMultisetViews(): Unit = {
+    val cur = spark.catalog.currentDatabase
+    multisets.foreach { case ((db, name), path) =>
+      val df = graft.sources.MultisetStore.read(spark, path)
+      df.createOrReplaceTempView(msMangled(db, name))
+      if (db == cur) df.createOrReplaceTempView(name)
+    }
+    val want = multisets.keys.collect { case (db, n) if db == cur => n }.toSet
+    (bareMsNames -- want).foreach(spark.catalog.dropTempView)
+    bareMsNames = want
+  }
+
+  /** Qualified `db.name` multiset references → mangled temp views (same
+    * textual pass as scoped views; bare names resolve natively through
+    * the synced temp views). */
+  private def rewriteMultisetRefs(q: String): String = {
+    var out = q
+    multisets.keys.foreach { case (db, name) =>
+      val qn = java.util.regex.Pattern.quote(s"$db.$name")
+      val aliasTail = """(\s+(?:[Aa][Ss]\s+)?([A-Za-z_]\w*))?"""
+      val re = ("(?i)(?<![\\w.`])" + qn + "\\b(?!\\s*\\.)" + aliasTail).r
+      out = re.replaceAllIn(out, mm => Regex.quoteReplacement(
+        aliasedRef(msMangled(db, name), name, Option(mm.group(1)).getOrElse(""),
+          Option(mm.group(2)))))
+      out = ("(?i)(?<![\\w.`])" + qn + "(?=\\s*\\.)").r
+        .replaceAllIn(out, _ => Regex.quoteReplacement(name))
+    }
+    out
+  }
+
+  // `FROM t AS OF VERSION n` — time travel over the retained LSM chain
+  private val asOfRe: Regex =
+    """(?i)(?<![\w.`])([\w.`]+)\s+as\s+of\s+version\s+(\d+)(\s+(?:as\s+)?([A-Za-z_]\w*))?""".r
+
+  private def rewriteAsOf(q: String): String =
+    asOfRe.replaceAllIn(q, m => {
+      val raw = m.group(1)
+      require(isMultiset(raw),
+        s"AS OF VERSION is only valid on multiset tables, got: $raw")
+      val (db, name) = viewKeyOf(raw)
+      val v = m.group(2).toInt
+      val view = s"graft_ms_asof_${msAsOfCounter.incrementAndGet()}"
+      graft.sources.MultisetStore.readAt(spark, multisets((db, name)), v)
+        .createOrReplaceTempView(view)
+      Regex.quoteReplacement(aliasedRef(view, name,
+        Option(m.group(3)).getOrElse(""), Option(m.group(4))))
+    })
+
   // the reference's tables catalog stores sql_context — the database the
   // view was created under, restored when its text is re-resolved
   // (catalog/src/lib.rs tables_table schema; resolve_tables.rs). Stored
@@ -305,6 +408,10 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
   private val dropDbRe =
     """(?is)^\s*drop\s+database\s+(if\s+exists\s+)?([\w`]+)(\s+cascade)?\s*;?\s*$""".r
   private val createTableRe = """(?is)^\s*create\s+table\s+([\w.`]+)\s*\((.*)\)\s*;?\s*$""".r
+  private val createMultisetRe =
+    """(?is)^\s*create\s+multiset\s+table\s+([\w.`]+)\s*\((.*)\)\s*;?\s*$""".r
+  private val insertRe =
+    """(?is)^\s*insert\s+into\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s+((?:values|select)\s+.*)$""".r
   private val dropTableRe = """(?is)^\s*drop\s+table\s+([\w.`]+)\s*;?\s*$""".r
   // OR REPLACE / IF EXISTS variants are intercepted too: letting them
   // fall through to raw Spark would create a metastore view beside the
@@ -449,6 +556,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
   def sql(text: String): DataFrame = {
     syncContextViews()
     syncViewNamespace()
+    syncMultisetViews()
     val dbBefore = spark.catalog.currentDatabase
     val out = dispatch(text)
     // a USE statement changes the resolution context mid-statement: sync
@@ -501,13 +609,46 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
       }
       spark.sql(s"DROP DATABASE ${Option(ifExists).getOrElse("")} $db " +
         Option(cascade).getOrElse(""))
+    case createMultisetRe(name, cols) =>
+      val mapped = splitTopLevel(cols).map { colDef =>
+        val parts = colDef.trim.split("\\s+", 2)
+        s"${parts(0)} ${mapType(parts.lift(1).getOrElse("STRING"))}"
+      }.mkString(", ")
+      val (db, bare) = viewKeyOf(name)
+      require(!multisets.contains((db, bare)), s"multiset table $db.$bare already exists")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(mapped)
+      val path = msDir.resolve(s"$db.$bare").toString
+      // v0 = an empty snapshot carrying the schema (+ __freq), so the
+      // table is queryable before its first insert
+      graft.sources.MultisetStore.append(spark, path,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      multisets += ((db, bare) -> path)
+      syncMultisetViews()
+      spark.emptyDataFrame
     case createTableRe(name, cols) =>
       val mapped = splitTopLevel(cols).map { colDef =>
         val parts = colDef.trim.split("\\s+", 2)
         s"${parts(0)} ${mapType(parts.lift(1).getOrElse("STRING"))}"
       }.mkString(", ")
       spark.sql(s"CREATE TABLE $name ($mapped) USING PARQUET")
+    case dropTableRe(name) if isMultiset(name) =>
+      val (db, bare) = viewKeyOf(name)
+      val path = java.nio.file.Paths.get(multisets((db, bare)))
+      multisets -= ((db, bare))
+      spark.catalog.dropTempView(msMangled(db, bare))
+      if (bareMsNames.contains(bare)) { spark.catalog.dropTempView(bare); bareMsNames -= bare }
+      // delete the chain
+      if (java.nio.file.Files.exists(path)) {
+        val s = java.nio.file.Files.walk(path)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toVector.reverse.foreach(java.nio.file.Files.delete)
+        } finally s.close()
+      }
+      spark.emptyDataFrame
     case dropTableRe(name) => spark.sql(s"DROP TABLE $name")
+    case insertRe(name, colList, source) if isMultiset(name) =>
+      multisetInsert(name, Option(colList), source)
     case createViewRe(name, body) =>
       // `create view db.name` owns the view to db; bare names own to the
       // current database (tests/views/mod.rs creates default.test_view
@@ -536,11 +677,18 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
           val ie = if (ifExists == null) "" else "IF EXISTS "
           spark.sql(s"DROP VIEW $ie${stripTicks(name).split('.').last}")
       }
+    case compactRe(name) if isMultiset(name) =>
+      // the real thing for multiset tables: fold the snapshot+delta chain
+      // into one fresh snapshot (older versions stay for AS OF readers)
+      graft.sources.MultisetStore.compact(spark, msPath(name))
+      spark.emptyDataFrame
     case compactRe(name) =>
       // Parquet/Spark analog of RocksDB compaction (connection.rs:113-126):
       // refresh + recompute stats so subsequent plans see the table fresh.
       spark.catalog.refreshTable(name)
       spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    case deleteRe(table, whereOpt, limitOpt) if isMultiset(table) =>
+      multisetDelete(table, Option(whereOpt), Option(limitOpt).map(_.toInt))
     case deleteRe(table, whereOpt, limitOpt) =>
       delete(table, Option(whereOpt), Option(limitOpt).map(_.toInt))
     case updateRe(table, setList, whereOpt) =>
@@ -597,6 +745,77 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     val tmp = java.nio.file.Files.createTempDirectory("graft_delete_").toString
     remaining.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").insertInto(table)
+    spark.emptyDataFrame
+  }
+
+  /** INSERT INTO a multiset table: the reference's TableInsert — +1 freq
+    * per source row, persisted as an O(|delta|) LSM delta append
+    * (table_insert.rs:22-55 over storage/src/table.rs:309-347). Source is
+    * either `VALUES (...)...` or any SELECT (both through the dialect
+    * rewriter); an optional column list maps source columns positionally,
+    * unlisted columns are NULL. Values cast to the declared column types
+    * (non-ANSI: unparseable → NULL, the reference's cast semantics). */
+  private def multisetInsert(table: String, colList: Option[String],
+      source: String): DataFrame = {
+    val path = msPath(table)
+    val snap = graft.sources.MultisetStore.snapshot(spark, path)
+    val dataCols = snap.columns.filterNot(_ == graft.sources.MultisetStore.freqCol).toIndexedSeq
+    val srcSql =
+      if (source.trim.toLowerCase.startsWith("values")) s"SELECT * FROM ($source)"
+      else source
+    val src = spark.sql(rewriteQuery(srcSql))
+    val listed = colList match {
+      case Some(cs) => cs.split(',').map(c => stripTicks(c.trim).toLowerCase).toIndexedSeq
+      case None => dataCols.map(_.toLowerCase)
+    }
+    require(src.columns.length == listed.length,
+      s"INSERT column count ${listed.length} != source arity ${src.columns.length}")
+    listed.foreach(c => require(dataCols.exists(_.toLowerCase == c),
+      s"INSERT target column $c not in $table"))
+    val byName = src.columns.zip(listed).map { case (s, t) => (t, col(s)) }.toMap
+    val aligned = src.select(dataCols.map { c =>
+      byName.get(c.toLowerCase) match {
+        case Some(e) => e.cast(snap.schema(c).dataType).as(c)
+        case None => lit(null).cast(snap.schema(c).dataType).as(c)
+      }
+    }: _*)
+    graft.sources.MultisetStore.appendDelta(spark, path, aligned)
+    spark.emptyDataFrame
+  }
+
+  /** DELETE FROM a multiset table — the reference's
+    * TableInsert(NegateFreq(Filter(Scan t))) (delete.rs:12-62):
+    *
+    *   - no LIMIT: every matching tuple's full frequency is negated in
+    *     one O(|matching state|) delta (no expansion needed — negating
+    *     the snapshot freq ≡ −1 per materialized copy);
+    *   - LIMIT n: the first n EXPANDED rows in scan order get −1 each,
+    *     so the limit splits within a freq>1 tuple exactly like the
+    *     reference's freq-aware limit (limit.rs:27-45) — deterministic
+    *     for a fixed chain layout, same storage-order contract as the
+    *     physical-table path's [[delete]].
+    *
+    * Rows where the predicate is NULL stay, per 3VL filter semantics. */
+  private def multisetDelete(table: String, where: Option[String],
+      limit: Option[Int]): DataFrame = {
+    val path = msPath(table)
+    val bare = viewKeyOf(table)._2
+    val pred = where.map(w => expr(rewriteQuery(w))).getOrElse(lit(true))
+    val freqCol = graft.sources.MultisetStore.freqCol
+    limit match {
+      case None =>
+        val doomed = graft.sources.MultisetStore.snapshot(spark, path)
+          .alias(bare) // so qualified refs like `t1.b` resolve, as in the reference test
+          .filter(coalesce(pred, lit(false)))
+          .withColumn(freqCol, -col(freqCol))
+        graft.sources.MultisetStore.appendDelta(spark, path, doomed)
+      case Some(n) =>
+        val doomed = graft.sources.MultisetStore.read(spark, path)
+          .alias(bare)
+          .filter(coalesce(pred, lit(false)))
+          .limit(n)
+        graft.sources.MultisetStore.appendDelta(spark, path, doomed, freq = -1L)
+    }
     spark.emptyDataFrame
   }
 
@@ -804,6 +1023,10 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
           // resolver plumbing too — the view lists once, under its
           // owning database, via the registry rows below
           .filterNot(t => t.isTemporary && bareViewNames.contains(t.name))
+          // multiset plumbing views likewise: the table lists once,
+          // under its owning database, via the multiset rows below
+          .filterNot(t => t.isTemporary &&
+            (t.name.startsWith("graft_ms_") || bareMsNames.contains(t.name)))
           .map { t =>
             val db = Option(t.database).getOrElse("default")
             val typ = if (t.tableType == "VIEW" || t.isTemporary) "view" else "table"
@@ -816,11 +1039,15 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
         val scoped = viewRegistry.values.map(m =>
           SysTableRow(m.db, m.name, "view", Some(m.body), Some(m.ctx),
             None, None, system = false)).toSeq
+        // multiset tables list as plain tables under their owning db
+        val msRows = multisets.keys.map { case (db, name) =>
+          SysTableRow(db, name, "table", None, None, None, None, system = false)
+        }.toSeq
         val sys = Seq( // ids fixed by the reference bootstrap
           SysTableRow("incresql", "prefix_tables", "table", None, None, Some(0L), None, system = true),
           SysTableRow("incresql", "databases", "table", None, None, Some(2L), None, system = true),
           SysTableRow("incresql", "tables", "table", None, None, Some(4L), None, system = true))
-        (user ++ scoped ++ sys).sortBy(r => (r.database_name, r.name)) // pk order
+        (user ++ scoped ++ msRows ++ sys).sortBy(r => (r.database_name, r.name)) // pk order
           .toSeq.toDF().createOrReplaceTempView("incresql_tables")
     }
   }
@@ -946,10 +1173,15 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     // Text-level rewrites run only OUTSIDE string literals, so
     // `SELECT 'incresql.tables'` / `'database()'` stay untouched.
     out = mapOutsideQuotes(out) { seg =>
+      // multiset time travel FIRST: `t AS OF VERSION n` must resolve
+      // before any pass could mistake `AS OF` for an alias
+      var s = rewriteAsOf(seg)
       // incresql.databases / incresql.tables system catalog tables
-      var s = rewriteSystemTables(seg)
+      s = rewriteSystemTables(s)
       // database-scoped view references → mangled session temp views
       s = rewriteViewRefs(s)
+      // qualified multiset table references → mangled session temp views
+      s = rewriteMultisetRefs(s)
       // MySQL @@ magic variables → constants
       // (p1_validation/sub_in_special_vars.rs:7-32)
       s = s.replaceAll("(?i)@@max_allowed_packet", "16777215")
@@ -1065,6 +1297,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null)
     ("'" + s.substring(i + 1, j).replace("'", "\\'") + "'", j + 1)
   }
 
-  // last statement of the constructor: every val above is initialized
+  // last statements of the constructor: every val above is initialized.
+  // Multiset views first — persisted views may reference multiset tables.
+  syncMultisetViews()
   replayPersistedViews()
 }

@@ -205,6 +205,58 @@ class GoldenSpec extends AnyFunSuite {
     } finally gs.sql("drop table if exists golden_t1")
   }
 
+  // tests/insert/mod.rs + tests/delete/mod.rs through the MULTISET
+  // storage path — the reference's ACTUAL write semantics: every INSERT
+  // is a +1 freq delta (table_insert.rs:22-55), DELETE appends negated
+  // frequencies (delete.rs:56-60), and the freq-aware LIMIT splits
+  // within a freq>1 tuple (limit.rs:27-45).
+  test("reference insert/delete goldens through the multiset storage path") {
+    val gms = new GraftSession(spark,
+      viewCatalogDir = java.nio.file.Files
+        .createTempDirectory("golden_ms_views_").toString,
+      multisetCatalogDir = java.nio.file.Files
+        .createTempDirectory("golden_ms_cat_").toString)
+    def qm(sql: String, expected: String): Unit = Golden.check(gms, sql, expected)
+    try {
+      // tests/insert/mod.rs test_insert_from_select (incl. the qualified
+      // `default.t2` target) + test_insert_from_values
+      gms.sql("CREATE MULTISET TABLE t1 (a INT, b TEXT)")
+      gms.sql("""INSERT INTO t1 SELECT 1, "abc"""")
+      gms.sql("""INSERT INTO t1 SELECT 2, "def"""")
+      qm("SELECT * FROM t1 ORDER BY a", "|1|abc|\n|2|def|")
+      gms.sql("CREATE MULTISET TABLE t2 (a INT, b TEXT)")
+      gms.sql("INSERT INTO default.t2 SELECT * FROM t1")
+      qm("SELECT * FROM t2 ORDER BY a", "|1|abc|\n|2|def|")
+      gms.sql("""INSERT INTO t2 VALUES (7, "xyz"), (8, "zyx")""")
+      qm("SELECT * FROM t2 ORDER BY a", "|1|abc|\n|2|def|\n|7|xyz|\n|8|zyx|")
+
+      // tests/delete/mod.rs test_delete, replayed verbatim
+      gms.sql("CREATE MULTISET TABLE t3 (a INT, b TEXT)")
+      Seq("1, \"abc\"", "1, \"abc\"", "2, \"def\"", "3, \"ghi\"")
+        .foreach(v => gms.sql(s"INSERT INTO t3 SELECT $v"))
+      qm("SELECT * FROM t3 ORDER BY a", "|1|abc|\n|1|abc|\n|2|def|\n|3|ghi|")
+      gms.sql("""DELETE FROM t3 WHERE t3.b="def"""")
+      qm("SELECT * FROM t3 ORDER BY a", "|1|abc|\n|1|abc|\n|3|ghi|")
+      // "Check to see that the limit will actually split within a
+      // tuple/freq": exactly ONE of the two (1,abc) copies goes
+      gms.sql("DELETE FROM t3 WHERE a = 1 LIMIT 1")
+      qm("SELECT * FROM t3 ORDER BY a", "|1|abc|\n|3|ghi|")
+
+      // storage shape: COMPACT folds the chain; AS OF replays history
+      // (v0 create, v1..v4 inserts, v5 where-delete, v6 limit-delete)
+      gms.sql("COMPACT TABLE t3")
+      qm("SELECT * FROM t3 ORDER BY a", "|1|abc|\n|3|ghi|")
+      qm("SELECT * FROM t3 AS OF VERSION 4 ORDER BY a",
+        "|1|abc|\n|1|abc|\n|2|def|\n|3|ghi|")
+      qm("SELECT count(*) FROM t3 AS OF VERSION 5", "|3|")
+
+      // catalog surface: multiset tables list as tables
+      qm("SELECT type FROM incresql.tables WHERE name = 't3'", "|table|")
+    } finally {
+      Seq("t1", "t2", "t3").foreach(t => gms.sql(s"DROP TABLE $t"))
+    }
+  }
+
   // the reference's benchmark load path: DIRECTORY csv → ->> + CAST →
   // INSERT (benchmarking/_tpch/incresql_runner.rs:182-350)
   test("csv load path: directory scan, json extraction, typed insert") {
