@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic sf1 bench-data generator: scales the driver-provided
+  * sf0.1 tables by an integer factor (default 10×) with key offsets that
+  * preserve every join relationship, so the headline queries measure the
+  * same plan shapes on 10× the rows. Round 5 proved the sf0.1 bench sits
+  * on the scheduling floor (−18% "improvement" with byte-identical code);
+  * sf1 restores a signal.
+  *
+  *   runMain graft.GenData [inDir] [outDir] [factor]
+  *
+  * Replication is NOT naive copying where that would distort the
+  * workload:
+  *   - TPC-H tables replicate with per-replica key offsets (orderkey /
+  *     custkey / partkey / suppkey), keeping FK fan-outs and predicate
+  *     selectivities identical; region/nation stay fixed, as at any TPC-H
+  *     scale.
+  *   - documents: replica r>0 rewrites each token with an `_r` suffix
+  *     (one string replace), so intra-replica duplicate structure —
+  *     exact groups, Jaccard values — is preserved token-for-token while
+  *     cross-replica shingle overlap is ~zero. Near-dup pair counts scale
+  *     ~linearly; naive copies would instead make every doc a 10-way
+  *     exact dup and blow the output quadratically.
+  *   - embeddings: replica r rotates the vector by r positions —
+  *     norm-preserving, and rotations of near-orthogonal vectors stay
+  *     near-orthogonal, so ANN/cosine workloads scale without a
+  *     cosine-1.0 pair explosion.
+  *   - events: user/event ids offset per replica, timestamps untouched —
+  *     10× the users with the same per-user session/gap structure.
+  *
+  * All derivations are hash/arithmetic-only: the output is byte-stable
+  * across runs.
+  */
+object GenData {
+  def main(args: Array[String]): Unit = {
+    val inDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/root/repo/benchdata/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Engine.build(master = "local[32]", shufflePartitions = 32)
+    generate(spark, inDir, outDir, factor)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
+    def in(t: String): DataFrame = spark.read.parquet(s"$inDir/$t.parquet")
+
+    /** Union of `factor` replicas of `df`, each transformed by per-replica
+      * select expressions (replica id substituted for `{r}`). */
+    def replicate(df: DataFrame, exprs: Seq[String]): DataFrame =
+      (0 until factor).map { r =>
+        df.selectExpr(exprs.map(_.replace("{r}", r.toString)): _*)
+      }.reduce(_ unionByName _)
+
+    def write(df: DataFrame, t: String, files: Int): Unit =
+      df.repartition(files).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    // fixed-size dimensions: copy verbatim (TPC-H keeps them constant)
+    write(in("region"), "region", 1)
+    write(in("nation"), "nation", 1)
+
+    // key spans comfortably above any sf0.1 key
+    val OK = 10000000L; val CK = 1000000L; val PK = 1000000L; val SK = 100000L
+
+    write(replicate(in("customer"), Seq(
+      s"c_custkey + {r} * $CK AS c_custkey", "* EXCEPT (c_custkey)")), "customer", 4)
+    write(replicate(in("supplier"), Seq(
+      s"s_suppkey + {r} * $SK AS s_suppkey", "* EXCEPT (s_suppkey)")), "supplier", 2)
+    write(replicate(in("part"), Seq(
+      s"p_partkey + {r} * $PK AS p_partkey", "* EXCEPT (p_partkey)")), "part", 4)
+    write(replicate(in("orders"), Seq(
+      s"o_orderkey + {r} * $OK AS o_orderkey",
+      s"o_custkey + {r} * $CK AS o_custkey",
+      "* EXCEPT (o_orderkey, o_custkey)")), "orders", 16)
+    write(replicate(in("lineitem"), Seq(
+      s"l_orderkey + {r} * $OK AS l_orderkey",
+      s"l_partkey + {r} * $PK AS l_partkey",
+      s"l_suppkey + {r} * $SK AS l_suppkey",
+      "* EXCEPT (l_orderkey, l_partkey, l_suppkey)")), "lineitem", 32)
+
+    // documents: token-suffix rewrite keeps intra-replica dup structure,
+    // kills cross-replica overlap (see scaladoc)
+    write(replicate(in("documents"), Seq(
+      "doc_id + {r} * 1000000 AS doc_id",
+      "CASE WHEN {r} = 0 THEN text ELSE replace(text, ' ', '_{r} ') END AS text",
+      "lang", "source",
+      "CAST(length(CASE WHEN {r} = 0 THEN text ELSE replace(text, ' ', '_{r} ') END) AS BIGINT) AS n_chars")),
+      "documents", 16)
+
+    // embeddings: rotate by r positions (slice is 1-based; r=0 = identity)
+    val dims = in("embeddings").selectExpr("size(embedding) AS d").head().getInt(0)
+    write(replicate(in("embeddings"), Seq(
+      "vec_id + {r} * 1000000 AS vec_id",
+      s"concat(slice(embedding, {r} + 1, $dims - {r}), slice(embedding, 1, {r})) AS embedding",
+      "label")), "embeddings", 8)
+
+    // events: raw read keeps ts as INT64 nanos (nanosAsLong), same as the
+    // driver data, so Engine.table's div-1000 conversion applies unchanged
+    write(replicate(in("events"), Seq(
+      "event_id + {r} * 100000000 AS event_id",
+      "ts",
+      "user_id + {r} * 10000000 AS user_id",
+      "event_type", "value", "props")), "events", 16)
+  }
+}
