@@ -430,6 +430,92 @@ case class ArgmaxDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** [[ArgmaxDot]] against a BROADCAST centroid matrix — the scale path
+  * past the plan-constant literal. A foldable SQL literal caps C at toy
+  * sizes (text size, parse time, per-plan re-embedding); production IVF
+  * sizes C ~ √N, so the matrix ships once per executor as a Spark
+  * broadcast and the expression resolves it lazily per codegen instance
+  * (one `.value()` call in the generated class's init, not per row).
+  * Assignment stays a pure projection — no join against a centroid
+  * relation, no Exchange before the cell column exists
+  * (CentroidBroadcastSpec pins that at C=256). Same argmax contract as
+  * [[ArgmaxDot]]: index-order IEEE dot folds, first-max-wins ties, NULL
+  * on an empty matrix. */
+case class ArgmaxDotBroadcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, IntegerType}
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "argmax_dot_bc"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"argmax_dot_bc needs array<double>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val m = bc.value
+    if (m.length == 0) return null
+    val dims = vec.numElements()
+    var best = 0.0
+    var bestIdx = 0
+    var p = 0
+    while (p < m.length) {
+      val plane = m(p)
+      var s = 0.0
+      var d = 0
+      val n = math.min(dims, plane.length)
+      while (d < n) { s += vec.getDouble(d) * plane(d); d += 1 }
+      if (p == 0 || s > best) { best = s; bestIdx = p }
+      p += 1
+    }
+    bestIdx
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bcCentroids", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    // resolved once per generated-class instance, not per row
+    val mat = ctx.addMutableState("double[][]", "centroidMat",
+      v => s"$v = (double[][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, v => {
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val plane = ctx.freshName("plane")
+      s"""
+         |if ($mat.length == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $best = 0.0;
+         |  int $bestIdx = 0;
+         |  for (int $p = 0; $p < $mat.length; $p++) {
+         |    double[] $plane = $mat[$p];
+         |    double $s = 0.0;
+         |    int $n = Math.min($v.numElements(), $plane.length);
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $s += $v.getDouble($d) * $plane[$d];
+         |    }
+         |    if ($p == 0 || $s > $best) { $best = $s; $bestIdx = $p; }
+         |  }
+         |  ${ev.value} = $bestIdx;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class MinHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable

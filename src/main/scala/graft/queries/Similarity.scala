@@ -66,6 +66,46 @@ object Similarity {
     s"array(${rows.mkString(",\n  ")})"
   }
 
+  /** The same deterministic portable-hash centroid family as
+    * [[centroidMatrixSql]], for ARBITRARY C — the scale path. Production
+    * IVF sizes C ~ √N, far past what a foldable SQL literal can carry
+    * (text size, parse time); these ship to executors once as a Spark
+    * broadcast via [[assignCells]]. */
+  def hashCentroids(c: Int, dims: Int = 64): Array[Array[Double]] = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hash60(s: String): Long = {
+      md5.reset()
+      val hex = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    Array.tabulate(c, dims)((ci, d) => (hash60(s"${ci}_${d}") % 1000L).toDouble / 1000.0)
+  }
+
+  /** Add `cellCol` = argmax-dot cell of `vecCol` against a BROADCAST
+    * centroid matrix — cell assignment as a pure projection at any C:
+    * the matrix ships once per executor, the generated code resolves it
+    * once per codegen instance, and no Exchange precedes the assignment
+    * (CentroidBroadcastSpec pins the plan at C=256). This is the
+    * write-time assignment [[writeIvfIndex]] uses when C outgrows the
+    * plan-constant literal. */
+  def assignCells(vectors: DataFrame, vecCol: String, cellCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    vectors.withColumn(cellCol, ColumnBridge.column(
+      graft.functions.ArgmaxDotBroadcast(
+        ColumnBridge.expression(vectors.col(vecCol)), bc)))
+  }
+
+  /** [[writeIvfIndex]] for arbitrary C: same cell-partitioned layout,
+    * assignment through the broadcast matrix instead of the SQL
+    * literal. */
+  def writeIvfIndexAt(vectors: DataFrame, indexPath: String,
+      centroids: Array[Array[Double]], mode: String = "overwrite"): Unit =
+    assignCells(vectors.selectExpr("vec_id AS cand_id", "v AS cv"), "cv", "cell", centroids)
+      .write.mode(mode).partitionBy("cell").parquet(indexPath)
+
   private[queries] val centroidDuck =
     s"""SELECT c AS cid,
        |  list_transform(range(0, 64), d ->
