@@ -106,30 +106,31 @@ object Dedup {
     // are order-insensitive, so every consumer — minhash lanes, inverted
     // index, the oracles' set ops — is unaffected by the sort).
     val sh = Engine.cacheSwap("dedup_sh",
-      spark.sql(shingleSql).selectExpr("doc_id", "fp", "sort_array(shingles) AS shingles"))
+      spark.sql(shingleSql)
+        .selectExpr("doc_id", "fp", "sort_array(shingles) AS shingles")
+        .selectExpr("doc_id", "fp", "shingles",
+          "doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_rep"))
     sh.createOrReplaceTempView("dedup_sh")
   }
 
-  /** Hot-bucket guard, shared by the banded self-join paths: the corpus
-    * dedup exists FOR is exactly the one that breaks a band self-join — a
+  /** Hot-bucket guard, shared by the banded/indexed candidate paths: the
+    * corpus dedup exists FOR is exactly the one that breaks them — a
     * crawl with thousands of byte-identical copies puts every copy in the
-    * same `(band_idx, band_sig)` bucket and the join goes quadratic in
-    * copies BEFORE the DISTINCT can dedup pairs (and it does so × 16
-    * bands). The guard collapses each exact-duplicate group (`fp =
-    * md5(text)`) to its min-doc_id representative BEFORE banding, so
-    * bucket sizes scale with DISTINCT texts; verified rep pairs are then
-    * re-expanded through the group table (`rep_groups` CTE below), and
-    * within-group pairs are emitted directly with the score two identical
-    * texts provably have (Jaccard exactly 1.0 / Hamming 0 — the same
-    * bits the kernel computes on identical arrays, so the exact-oracle
-    * hash compare is unaffected). Candidate work is now ∝ groups², never
-    * copies² (pinned by HotBucketSpec); the output pair set is unchanged
-    * because cross-group similarity depends only on the texts, which
-    * every group member shares with its representative. */
-  private def repsCte: String =
-    """reps AS (
-      |  SELECT min(doc_id) AS doc_id, fp FROM dedup_sh GROUP BY fp
-      |)""".stripMargin
+    * same `(band_idx, band_sig)` bucket (or pushes every shared shingle
+    * past the rare-df cap) and candidate generation goes quadratic in
+    * copies — or, for the df cap, silently loses the group. The guard
+    * collapses each exact-duplicate group (`fp = md5(text)`) to its
+    * min-doc_id representative BEFORE candidate generation: the `is_rep`
+    * flag is computed once, inside the cached shingle relation (one
+    * window in the corpus pass — no per-query groupBy+join). Verified
+    * rep pairs are re-expanded through the group table, and within-group
+    * pairs are emitted directly with the score two identical texts
+    * provably have (Jaccard exactly 1.0 / Hamming 0 / containment 1.0 —
+    * the same bits the kernels compute on identical arrays, so the
+    * exact-oracle hash compares are unaffected). Candidate work is now
+    * ∝ groups², never copies² (pinned by HotBucketSpec); the output pair
+    * set is unchanged because cross-group similarity depends only on the
+    * texts, which every group member shares with its representative. */
 
   // One xxhash64 per shingle, then the 64 per-lane minima run inside the
   // codegen'd MinHash64 kernel — not 64 interpreted lambda folds.
@@ -139,12 +140,11 @@ object Dedup {
   // jaccard_sorted verification below then discards — recall unaffected.
   // Banding runs over REPRESENTATIVES only (see [[repsCte]]).
   private def minhashCandSql: String =
-    s"""WITH $repsCte,
-       |sig AS (
-       |  SELECT s.doc_id, s.fp, s.shingles,
-       |    minhash64(transform(s.shingles, x -> xxhash64(x))) AS minhash
-       |  FROM dedup_sh s JOIN reps r ON s.doc_id = r.doc_id
-       |  WHERE size(s.shingles) > 0
+    s"""WITH sig AS (
+       |  SELECT doc_id, fp, shingles,
+       |    minhash64(transform(shingles, x -> xxhash64(x))) AS minhash
+       |  FROM dedup_sh
+       |  WHERE is_rep AND size(shingles) > 0
        |),
        |bands AS (
        |  SELECT doc_id, b AS band_idx,
@@ -448,15 +448,28 @@ object Dedup {
   // O(|a|+|b|) and derives both direction ratios — replacing the
   // interpreted per-direction array_intersect calls that each built a
   // hash set per candidate (the prior 4×-slowest pipeline op). The pair
-  // reports both directions and keeps max ≥ threshold. Oracle = exact
-  // all-pairs, so the candidate filter is again proven lossless.
+  // reports both directions and keeps max ≥ threshold.
+  //
+  // The hot-bucket guard here is a CORRECTNESS fix, not just a scale
+  // one: this oracle is EXACT all-pairs, and a text duplicated more
+  // than maxDf times pushes every one of its shingles past the df cap —
+  // the index would lose all its pairs. Collapsing md5(text) groups
+  // first counts each distinct text once in the df, emits within-group
+  // pairs directly (identical shingle sets ⇒ containment exactly 1.0
+  // both ways), and re-expands rep pairs with the direction ratios
+  // swapped when the expansion flips the id order (containment is
+  // asymmetric, unlike Jaccard). HotBucketSpec pins the >maxDf-copies
+  // corpus the old index lost.
   def containmentPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxDf: Int = 10): DataFrame = {
     cachedShingles(spark, dir)
     spark.sql(
-      s"""WITH inv AS (
+      s"""WITH rsh AS (
+         |  SELECT doc_id, fp, shingles FROM dedup_sh WHERE is_rep
+         |),
+         |inv AS (
          |  SELECT xxhash64(shingle) AS sid, doc_id
-         |  FROM dedup_sh LATERAL VIEW explode(shingles) t AS shingle
+         |  FROM rsh LATERAL VIEW explode(shingles) t AS shingle
          |),
          |rare AS (
          |  SELECT sid FROM inv GROUP BY sid HAVING count(*) <= $maxDf
@@ -466,14 +479,28 @@ object Dedup {
          |  FROM inv a JOIN rare r ON a.sid = r.sid
          |             JOIN inv b ON a.sid = b.sid
          |  WHERE a.doc_id < b.doc_id
+         |),
+         |rpairs AS (
+         |  SELECT id_a, id_b, fp_a, fp_b, cs FROM (
+         |    SELECT c.id_a, c.id_b, sa.fp AS fp_a, sb.fp AS fp_b,
+         |      containment_stats(sa.shingles, sb.shingles) AS cs
+         |    FROM cand c
+         |    JOIN rsh sa ON c.id_a = sa.doc_id
+         |    JOIN rsh sb ON c.id_b = sb.doc_id) v
+         |  WHERE cs[2] >= $threshold
          |)
-         |SELECT id_a, id_b, cs[0] AS c_ab, cs[1] AS c_ba FROM (
-         |  SELECT c.id_a, c.id_b,
-         |    containment_stats(sa.shingles, sb.shingles) AS cs
-         |  FROM cand c
-         |  JOIN dedup_sh sa ON c.id_a = sa.doc_id
-         |  JOIN dedup_sh sb ON c.id_b = sb.doc_id) v
-         |WHERE cs[2] >= $threshold
+         |SELECT least(ga.doc_id, gb.doc_id) AS id_a,
+         |       greatest(ga.doc_id, gb.doc_id) AS id_b,
+         |       CASE WHEN ga.doc_id < gb.doc_id THEN cs[0] ELSE cs[1] END AS c_ab,
+         |       CASE WHEN ga.doc_id < gb.doc_id THEN cs[1] ELSE cs[0] END AS c_ba
+         |FROM rpairs r
+         |JOIN dedup_sh ga ON ga.fp = r.fp_a
+         |JOIN dedup_sh gb ON gb.fp = r.fp_b
+         |UNION ALL
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(1.0 AS DOUBLE) AS c_ab, CAST(1.0 AS DOUBLE) AS c_ba
+         |FROM dedup_sh a JOIN dedup_sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |WHERE CAST(1.0 AS DOUBLE) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin)
   }
 

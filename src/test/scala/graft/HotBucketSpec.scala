@@ -63,6 +63,42 @@ class HotBucketSpec extends AnyFunSuite {
     assert(cross.forall(r => r.getDouble(2) >= 0.5))
   }
 
+  test("containment: >maxDf identical copies are NOT lost to the df cap") {
+    // 50 copies push every shingle's raw doc-frequency past maxDf=10 —
+    // the ungrouped inverted index would emit ZERO candidates and lose
+    // all 1225 pairs its exact oracle demands. Groups count once in the
+    // df, and within-group pairs surface directly at containment 1.0.
+    val dir = corpus((0L until 50L).map(i => (i, textX)) :+ (50L -> textZ))
+    val pairs = Dedup.containmentPairs(spark, dir).collect()
+    assert(pairs.length == 50 * 49 / 2, s"pairs: ${pairs.length}")
+    assert(pairs.forall(r => r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0))
+  }
+
+  test("containment: asymmetric ratios stay oriented when expansion flips id order") {
+    // textSub's 4 shingles are all inside textX's 10: c(sub→X) = 1.0,
+    // c(X→sub) = 0.4. Copies of sub sit on BOTH sides of X's id, so the
+    // rep-pair expansion must swap the direction ratios exactly when
+    // least/greatest reorders the pair.
+    val sub = "a b c d e f"
+    val x = "a b c d e f g h i j k l"
+    val dir = corpus((0L until 10L).map(i => (i, sub)) ++
+      Seq(50L -> x) ++ (100L until 110L).map(i => (i, sub)))
+    val pairs = Dedup.containmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val crossLow = pairs.filter { case (a, b, _, _) => b == 50L } // sub id < X id
+    val crossHigh = pairs.filter { case (a, b, _, _) => a == 50L } // X id < sub id
+    assert(crossLow.length == 10 && crossHigh.length == 10,
+      s"cross pairs: ${crossLow.length}/${crossHigh.length}")
+    // id_a is the contained doc → c_ab = 1.0, c_ba = 0.4
+    assert(crossLow.forall { case (_, _, cab, cba) => cab == 1.0 && cba == 0.4 })
+    // id_a is the container → c_ab = 0.4, c_ba = 1.0
+    assert(crossHigh.forall { case (_, _, cab, cba) => cab == 0.4 && cba == 1.0 })
+    // within-group sub pairs: both directions 1.0
+    val within = pairs.filter { case (a, b, _, _) => a != 50L && b != 50L }
+    assert(within.length == 20 * 19 / 2)
+    assert(within.forall { case (_, _, cab, cba) => cab == 1.0 && cba == 1.0 })
+  }
+
   test("simhash path: identical copies emit Hamming-0 pairs without banding copies") {
     val dir = corpus((0L until 120L).map(i => (i, textX)) :+ (120L -> textZ))
     val pairs = Dedup.simhashPairs(spark, dir).collect()
