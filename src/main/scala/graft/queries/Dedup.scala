@@ -388,6 +388,17 @@ object Dedup {
     // 8-byte keys instead of ~30-byte strings. (A 64-bit collision would
     // merge two shingles' postings — ~2^-64 per pair, and candidates are
     // still verified by exact Jaccard on the real shingle sets.)
+    //
+    // No rep collapse here, deliberately: this operator's contract (and
+    // oracle) counts doc frequency per COPY, so the df ≤ maxDf cap
+    // ITSELF bounds every posting-list self-join bucket at maxDf rows —
+    // a heavily duplicated text's shingles simply stop being rare and
+    // never self-join. The cap is ngram's hot-bucket guard by
+    // construction (HotBucketSpec pins both df edges); a collapse layer
+    // measured ~45% slower on dup-free corpora for zero added
+    // robustness. Contrast dedup_containment, whose EXACT oracle turns
+    // the same cap into a correctness hole — there the collapse is
+    // load-bearing.
     spark.sql(
       s"""WITH inv AS (
          |  SELECT xxhash64(shingle) AS sid, doc_id

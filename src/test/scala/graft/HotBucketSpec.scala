@@ -99,6 +99,25 @@ class HotBucketSpec extends AnyFunSuite {
     assert(within.forall { case (_, _, cab, cba) => cab == 1.0 && cba == 1.0 })
   }
 
+  test("ngram: copy-level df semantics survive the collapse exactly") {
+    // 300 copies: every shingle's WEIGHTED df = 300 > maxDf=10, so the
+    // contract (and oracle) admits NO pairs — the collapse must not
+    // "rescue" them the way containment's exact oracle demands.
+    val dirHot = corpus((0L until 300L).map(i => (i, textX)) :+ (300L -> textZ))
+    assert(Dedup.ngramJaccardPairs(spark, dirHot).count() == 0L)
+
+    // 5 copies: weighted df = 5 <= 10 keeps the group's shingles rare,
+    // so all C(5,2) within-group pairs emit at Jaccard exactly 1.0,
+    // plus the near-dup cross pairs to textY's group.
+    val dirWarm = corpus((0L until 5L).map(i => (i, textX)) ++
+      (10L until 13L).map(i => (i, textY)))
+    val pairs = Dedup.ngramJaccardPairs(spark, dirWarm).collect()
+    val within = pairs.filter(_.getDouble(2) == 1.0)
+    val cross = pairs.filter(_.getDouble(2) < 1.0)
+    assert(within.length == 5 * 4 / 2 + 3 * 2 / 2, s"within: ${within.length}")
+    assert(cross.length == 5 * 3, s"cross: ${cross.length}")
+  }
+
   test("simhash path: identical copies emit Hamming-0 pairs without banding copies") {
     val dir = corpus((0L until 120L).map(i => (i, textX)) :+ (120L -> textZ))
     val pairs = Dedup.simhashPairs(spark, dir).collect()
