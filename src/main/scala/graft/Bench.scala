@@ -18,6 +18,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
     val haveSf1 = new java.io.File(s"$sf1Dir/lineitem.parquet").exists
+    // sf10 is TPC-H-only (GenData table filter): the headline set still
+    // sits near the scheduling floor at sf1
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
+    val haveSf10 = new java.io.File(s"$sf10Dir/lineitem.parquet").exists
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.build(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
 
@@ -74,6 +78,11 @@ object Bench {
         q.name -> Seq.fill(2)(timeOnce(spark, sf1Dir)(q)).min
       } else Seq.empty
 
+    val sf10Results =
+      if (haveSf10) queries.Tpch.benchmark.map { q =>
+        q.name -> Seq.fill(2)(timeOnce(spark, sf10Dir)(q)).min
+      } else Seq.empty
+
     // Core-count scaling evidence: the 100×-scale claims rest on plan
     // shape; rerunning the headline set on a quarter of the cores (fresh
     // context, shuffle partitions matched) catches any future
@@ -99,6 +108,11 @@ object Bench {
       if (haveSf1) sf1ScaledSet.map { q =>
         q.name -> math.min(timeOnce(sparkFew, sf1Dir)(q), timeOnce(sparkFew, sf1Dir)(q))
       } else Seq.empty
+    val sf10Scaled =
+      if (haveSf10) queries.Tpch.benchmark.filter(q =>
+        q.name == "q1_agg" || q.name == "q5_join").map { q =>
+        q.name -> math.min(timeOnce(sparkFew, sf10Dir)(q), timeOnce(sparkFew, sf10Dir)(q))
+      } else Seq.empty
     sparkFew.stop()
 
     def toJson(kvs: Seq[(String, Double)]): String =
@@ -109,6 +123,11 @@ object Bench {
         val sf1Total = sf1Results.map(_._2).sum
         s""","sf1":{"dir":"$sf1Dir","total":$sf1Total,"queries":${toJson(sf1Results)},"pipeline":${toJson(sf1Pipeline)},"scaling":{"cpus":$fewCpus,"queries":${toJson(sf1Scaled)}}}"""
       } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"pipeline":${toJson(pipeline)},"scaling":{"cpus":$fewCpus,"queries":${toJson(scaled)}},"sf":"$sfDir"$sf1Section}""")
+    val sf10Section =
+      if (haveSf10) {
+        val sf10Total = sf10Results.map(_._2).sum
+        s""","sf10":{"dir":"$sf10Dir","total":$sf10Total,"queries":${toJson(sf10Results)},"scaling":{"cpus":$fewCpus,"queries":${toJson(sf10Scaled)}}}"""
+      } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"pipeline":${toJson(pipeline)},"scaling":{"cpus":$fewCpus,"queries":${toJson(scaled)}},"sf":"$sfDir"$sf1Section$sf10Section}""")
   }
 }

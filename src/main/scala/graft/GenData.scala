@@ -9,7 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * on the scheduling floor (−18% "improvement" with byte-identical code);
   * sf1 restores a signal.
   *
-  *   runMain graft.GenData [inDir] [outDir] [factor]
+  *   runMain graft.GenData [inDir] [outDir] [factor] [tables-csv]
+  *
+  * The optional table filter builds partial tiers: the sf10 tier is
+  * TPC-H-only (`region,nation,customer,supplier,part,orders,lineitem`)
+  * because the headline queries still sit near the scheduling floor at
+  * sf1, while running the document pipelines at sf10 would blow the
+  * per-round bench budget.
   *
   * Replication is NOT naive copying where that would distort the
   * workload:
@@ -38,12 +44,15 @@ object GenData {
     val inDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/root/repo/benchdata/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val tables = args.lift(3).map(_.split(',').toSet)
     val spark = Engine.build(master = "local[32]", shufflePartitions = 32)
-    generate(spark, inDir, outDir, factor)
+    generate(spark, inDir, outDir, factor, tables)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
+  def generate(spark: SparkSession, inDir: String, outDir: String, factor: Int,
+      tables: Option[Set[String]] = None): Unit = {
+    def wanted(t: String): Boolean = tables.forall(_.contains(t))
     def in(t: String): DataFrame = spark.read.parquet(s"$inDir/$t.parquet")
 
     /** Union of `factor` replicas of `df`, each transformed by per-replica
@@ -53,8 +62,9 @@ object GenData {
         df.selectExpr(exprs.map(_.replace("{r}", r.toString)): _*)
       }.reduce(_ unionByName _)
 
-    def write(df: DataFrame, t: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    def write(df: => DataFrame, t: String, files: Int): Unit =
+      if (wanted(t))
+        df.repartition(files).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
     // fixed-size dimensions: copy verbatim (TPC-H keeps them constant)
     write(in("region"), "region", 1)
@@ -89,11 +99,15 @@ object GenData {
       "documents", 16)
 
     // embeddings: rotate by r positions (slice is 1-based; r=0 = identity)
-    val dims = in("embeddings").selectExpr("size(embedding) AS d").head().getInt(0)
-    write(replicate(in("embeddings"), Seq(
-      "vec_id + {r} * 1000000 AS vec_id",
-      s"concat(slice(embedding, {r} + 1, $dims - {r}), slice(embedding, 1, {r})) AS embedding",
-      "label")), "embeddings", 8)
+    if (wanted("embeddings")) {
+      val dims = in("embeddings").selectExpr("size(embedding) AS d").head().getInt(0)
+      // rotation index mod dims so factors past the dimensionality wrap
+      write(replicate(in("embeddings"), Seq(
+        "vec_id + {r} * 1000000 AS vec_id",
+        s"concat(slice(embedding, (({r}) % $dims) + 1, $dims - (({r}) % $dims)), " +
+          s"slice(embedding, 1, ({r}) % $dims)) AS embedding",
+        "label")), "embeddings", 8)
+    }
 
     // events: raw read keeps ts as INT64 nanos (nanosAsLong), same as the
     // driver data, so Engine.table's div-1000 conversion applies unchanged
