@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => JaccardSorted(exprs(0), exprs(1))),
       ("containment_stats", "[|a∩b|/|a|, |a∩b|/|b|] of two sorted distinct string arrays (merge walk)",
         exprs => ContainmentStats(exprs(0), exprs(1))),
+      ("containment_stats64", "containment_stats over sorted distinct bigint arrays (hashed prefilter phase)",
+        exprs => ContainmentStats64(exprs(0), exprs(1))),
       ("dot_product", "dot product of two double arrays, index-order fold from 0.0",
         exprs => DotProduct(exprs(0), exprs(1))),
       ("argmax_dot", "index of the matrix row with the max dot product against a vector (ties -> lowest)",

@@ -211,6 +211,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "containment_stats", exprs => ContainmentStats(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "containment_stats64", exprs => ContainmentStats64(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "argmax_dot", exprs => ArgmaxDot(exprs(0), exprs(1)), "built-in")

@@ -231,6 +231,80 @@ case class ContainmentStats(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** [[ContainmentStats]] over two SORTED distinct BIGINT arrays — the
+  * cheap first phase of containment verification. Candidate pairs carry
+  * pre-hashed shingle arrays (8 bytes/element vs ~30-byte strings — ¼
+  * the join payload, and long compares instead of UTF8 walks); a hash
+  * collision can only INFLATE the intersection, so `h[2] ≥ t` admits a
+  * SUPERSET of the true pairs and the exact string-walk second phase
+  * ([[ContainmentStats]]) re-verifies only the survivors. Recall is
+  * therefore unconditional, exactness untouched. */
+case class ContainmentStats64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "containment_stats64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"containment_stats64 needs (array<bigint>, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    if (na == 0 || nb == 0) return null
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val cab = inter.toDouble / na
+    val cba = inter.toDouble / nb
+    new GenericArrayData(Array[Any](cab, cba, math.max(cab, cba)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val cab = ctx.freshName("cab"); val cba = ctx.freshName("cba")
+      val out = ctx.freshName("out")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |if ($na == 0 || $nb == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = 0, $j = 0, $inter = 0;
+         |  while ($i < $na && $j < $nb) {
+         |    long $x = $a.getLong($i);
+         |    long $y = $b.getLong($j);
+         |    if ($x == $y) { $inter++; $i++; $j++; }
+         |    else if ($x < $y) { $i++; } else { $j++; }
+         |  }
+         |  double $cab = (double) $inter / $na;
+         |  double $cba = (double) $inter / $nb;
+         |  double[] $out = new double[]{$cab, $cba, Math.max($cab, $cba)};
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Dot product of two double arrays, folded in index order from 0.0 —
   * the same IEEE sequence as `aggregate(zip_with(a, b, *), 0.0, +)` and
   * the DuckDB oracles' list_reduce, so cosine scores stay bit-identical

@@ -88,15 +88,17 @@ class PlanContractSpec extends AnyFunSuite {
     // set per candidate pair, twice) must never come back...
     assert(!p.contains("array_intersect"),
       "containment verification regressed to interpreted array_intersect")
-    // ...and the kernel appears exactly twice: once in the pushed-down
-    // join condition (cs[2] keeps it to ONE call there — join conditions
-    // get no subexpression elimination) and once in the survivor
-    // projection. More occurrences = an optimizer rewrite started
-    // duplicating the O(|a|+|b|) walk per direction again.
-    val kernelCalls = "containment_stats".r.findAllIn(p).size
-    assert(kernelCalls <= 2,
-      s"containment_stats duplicated in the plan ($kernelCalls occurrences)")
-    assert(kernelCalls >= 1, "containment_stats kernel missing from the plan")
+    // ...and each phase's kernel appears at most twice: once in its
+    // pushed-down join condition (the [2] max element keeps it to ONE
+    // call there — join conditions get no subexpression elimination) and
+    // once in its projection. More occurrences = an optimizer rewrite
+    // started duplicating the O(|a|+|b|) walk per direction again.
+    val hashedCalls = "containment_stats64\\(".r.findAllIn(p).size
+    val exactCalls = "containment_stats\\(".r.findAllIn(p).size
+    assert(hashedCalls >= 1 && hashedCalls <= 2,
+      s"hashed prefilter kernel: $hashedCalls occurrences")
+    assert(exactCalls >= 1 && exactCalls <= 2,
+      s"exact verification kernel: $exactCalls occurrences")
   }
 
   test("pipeline_sample: hash-Bernoulli sampling is a shuffle-free scan+filter") {

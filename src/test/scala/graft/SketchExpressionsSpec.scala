@@ -96,6 +96,25 @@ class SketchExpressionsSpec extends AnyFunSuite {
     assert(empty.head.isNullAt(0))
   }
 
+  test("containment_stats64 equals containment_stats on hashed sorted arrays") {
+    val sets = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d", "e")),
+      (Seq("a"), Seq("b")),
+      (Seq("x", "y"), Seq("x", "y")),
+      (Seq("p"), Seq("p", "q", "r")))
+    val df = sets.toDF("a", "b").selectExpr(
+      "containment_stats(sort_array(a), sort_array(b)) AS cs",
+      """containment_stats64(sort_array(transform(a, x -> xxhash64(x))),
+        |                    sort_array(transform(b, x -> xxhash64(x)))) AS ch""".stripMargin)
+    df.collect().foreach { r =>
+      // no collisions among these elements → identical ratios, bit for bit
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+    }
+    val empty = Seq((Seq.empty[Long], Seq(1L))).toDF("a", "b")
+      .selectExpr("containment_stats64(a, b) AS ch").collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("dot_product folds in index order from 0.0 (matches the SQL aggregate spelling)") {
     val df = Seq((Seq(1.5, -2.5, 3.25), Seq(2.0, 4.0, -1.0))).toDF("a", "b")
     val kernel = df.selectExpr("dot_product(a, b) AS d").as[Double].head()
