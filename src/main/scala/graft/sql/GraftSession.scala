@@ -264,6 +264,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null,
   //                                  (splits within a freq>1 tuple, like
   //                                   the reference's freq-aware limit)
   //   COMPACT TABLE t              → MultisetStore.compact (fold LSM chain)
+  //   VACUUM TABLE t               → MultisetStore.vacuum (retention cut)
   //   SELECT ... FROM t            → read() (freq copies materialized)
   //   SELECT ... FROM t AS OF VERSION n → readAt(n) (time travel)
   //
@@ -422,6 +423,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null,
   private val dropViewRe =
     """(?is)^\s*drop\s+view\s+(if\s+exists\s+)?([\w.`]+)\s*;?\s*$""".r
   private val compactRe = """(?is)^\s*compact\s+table\s+([\w.`]+)\s*;?\s*$""".r
+  private val vacuumRe = """(?is)^\s*vacuum\s+table\s+([\w.`]+)\s*;?\s*$""".r
   private val explainRe = """(?is)^\s*explain\s+(.*)$""".r
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+([\w.`]+)(?:\s+where\s+(.+?))?(?:\s+limit\s+(\d+))?\s*;?\s*$""".r
@@ -677,6 +679,12 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null,
           val ie = if (ifExists == null) "" else "IF EXISTS "
           spark.sql(s"DROP VIEW $ie${stripTicks(name).split('.').last}")
       }
+    case vacuumRe(name) if isMultiset(name) =>
+      // drop versions older than the latest snapshot — ends time travel
+      // into them, reclaims the chain (compact keeps history; vacuum is
+      // the explicit retention cut)
+      graft.sources.MultisetStore.vacuum(msPath(name))
+      spark.emptyDataFrame
     case compactRe(name) if isMultiset(name) =>
       // the real thing for multiset tables: fold the snapshot+delta chain
       // into one fresh snapshot (older versions stay for AS OF readers)

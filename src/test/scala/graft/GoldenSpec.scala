@@ -252,6 +252,12 @@ class GoldenSpec extends AnyFunSuite {
 
       // catalog surface: multiset tables list as tables
       qm("SELECT type FROM incresql.tables WHERE name = 't3'", "|table|")
+
+      // VACUUM drops pre-snapshot versions: current state survives,
+      // time travel into vacuumed history now fails
+      gms.sql("VACUUM TABLE t3")
+      qm("SELECT * FROM t3 ORDER BY a", "|1|abc|\n|3|ghi|")
+      intercept[Exception](gms.sql("SELECT * FROM t3 AS OF VERSION 4").collect())
     } finally {
       Seq("t1", "t2", "t3").foreach(t => gms.sql(s"DROP TABLE $t"))
     }
