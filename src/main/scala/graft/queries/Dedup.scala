@@ -246,29 +246,59 @@ object Dedup {
   def incrementalPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     cachedShingles(spark, dir)
+    // Side-aware hot-bucket guard: a re-crawled batch full of pages the
+    // index already holds puts D delta copies × I index copies into one
+    // band bucket (×16 bands). Representatives are per (fp, side) —
+    // the global is_rep flag can't serve here because a duplicate group
+    // can span the delta/index boundary and BOTH sides need a banded
+    // rep. Cross-boundary identical pairs (same fp, one side each) are
+    // emitted directly at Jaccard exactly 1.0 without touching the
+    // bands; verified rep pairs expand through the per-side group
+    // tables. Output identical to the ungrouped probe (the exact
+    // delta × index oracle still gates it).
     spark.sql(
-      s"""WITH sig AS (
-         |  SELECT doc_id, shingles,
-         |    minhash64(transform(shingles, x -> xxhash64(x))) AS minhash
-         |  FROM dedup_sh WHERE size(shingles) > 0
+      s"""WITH base AS (
+         |  SELECT doc_id, fp, shingles, doc_id % 10 = 0 AS is_delta
+         |  FROM dedup_sh
+         |),
+         |reps AS (
+         |  SELECT fp, is_delta, min(doc_id) AS rep FROM base GROUP BY fp, is_delta
+         |),
+         |sig AS (
+         |  SELECT b.doc_id, b.fp, b.is_delta, b.shingles,
+         |    minhash64(transform(b.shingles, x -> xxhash64(x))) AS minhash
+         |  FROM base b JOIN reps r ON b.doc_id = r.rep
+         |  WHERE size(b.shingles) > 0
          |),
          |bands AS (
-         |  SELECT doc_id, b AS band_idx,
+         |  SELECT doc_id, is_delta, b AS band_idx,
          |    xxhash64(concat_ws(',', slice(minhash, b * 4 + 1, 4))) AS band_sig
          |  FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b
          |),
          |cand AS (
          |  SELECT /*+ BROADCAST(d) */ DISTINCT d.doc_id AS delta_id, i.doc_id AS index_id
-         |  FROM (SELECT * FROM bands WHERE doc_id % 10 = 0) d
-         |  JOIN (SELECT * FROM bands WHERE doc_id % 10 <> 0) i
+         |  FROM (SELECT * FROM bands WHERE is_delta) d
+         |  JOIN (SELECT * FROM bands WHERE NOT is_delta) i
          |    ON d.band_idx = i.band_idx AND d.band_sig = i.band_sig
+         |),
+         |rpairs AS (
+         |  SELECT c.delta_id, c.index_id, sd.fp AS fp_d, si.fp AS fp_i,
+         |    jaccard_sorted(sd.shingles, si.shingles) AS jaccard
+         |  FROM cand c
+         |  JOIN sig sd ON c.delta_id = sd.doc_id
+         |  JOIN sig si ON c.index_id = si.doc_id
+         |  WHERE jaccard_sorted(sd.shingles, si.shingles) >= $threshold
+         |   AND sd.fp <> si.fp
          |)
-         |SELECT c.delta_id, c.index_id,
-         |  jaccard_sorted(sd.shingles, si.shingles) AS jaccard
-         |FROM cand c
-         |JOIN dedup_sh sd ON c.delta_id = sd.doc_id
-         |JOIN dedup_sh si ON c.index_id = si.doc_id
-         |WHERE jaccard_sorted(sd.shingles, si.shingles) >= $threshold
+         |SELECT gd.doc_id AS delta_id, gi.doc_id AS index_id, r.jaccard
+         |FROM rpairs r
+         |JOIN base gd ON gd.fp = r.fp_d AND gd.is_delta
+         |JOIN base gi ON gi.fp = r.fp_i AND NOT gi.is_delta
+         |UNION ALL
+         |SELECT d.doc_id AS delta_id, i.doc_id AS index_id,
+         |  CAST(1.0 AS DOUBLE) AS jaccard
+         |FROM base d JOIN base i ON d.fp = i.fp AND d.is_delta AND NOT i.is_delta
+         |WHERE CAST(1.0 AS DOUBLE) >= $threshold
          |ORDER BY delta_id, index_id""".stripMargin)
   }
 

@@ -118,6 +118,19 @@ class HotBucketSpec extends AnyFunSuite {
     assert(cross.length == 5 * 3, s"cross: ${cross.length}")
   }
 
+  test("incremental probe: duplicated batch vs duplicated index stays linear in output") {
+    // 40 copies of X: ids 0,10,20,30 land on the delta side (doc_id%10=0),
+    // the other 36 on the index side. Every delta copy pairs with every
+    // index copy at Jaccard exactly 1.0 — 4×36 pairs, produced through
+    // the per-side representatives and the direct same-fp arm, never by
+    // banding all 40 copies into one bucket.
+    val dir = corpus((0L until 40L).map(i => (i, textX)) :+ (41L -> textZ))
+    val pairs = Dedup.incrementalPairs(spark, dir).collect()
+    assert(pairs.length == 4 * 36, s"pairs: ${pairs.length}")
+    assert(pairs.forall(_.getDouble(2) == 1.0))
+    assert(pairs.forall(r => r.getLong(0) % 10 == 0 && r.getLong(1) % 10 != 0))
+  }
+
   test("simhash path: identical copies emit Hamming-0 pairs without banding copies") {
     val dir = corpus((0L until 120L).map(i => (i, textX)) :+ (120L -> textZ))
     val pairs = Dedup.simhashPairs(spark, dir).collect()
