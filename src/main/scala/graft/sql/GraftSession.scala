@@ -413,7 +413,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null,
     """(?is)^\s*create\s+multiset\s+table\s+([\w.`]+)\s*\((.*)\)\s*;?\s*$""".r
   private val insertRe =
     """(?is)^\s*insert\s+into\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s+((?:values|select)\s+.*)$""".r
-  private val dropTableRe = """(?is)^\s*drop\s+table\s+([\w.`]+)\s*;?\s*$""".r
+  private val dropTableRe =
+    """(?is)^\s*drop\s+table\s+(if\s+exists\s+)?([\w.`]+)\s*;?\s*$""".r
   // OR REPLACE / IF EXISTS variants are intercepted too: letting them
   // fall through to raw Spark would create a metastore view beside the
   // scoped catalog / drop only the bare temp view (which the namespace
@@ -633,7 +634,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null,
         s"${parts(0)} ${mapType(parts.lift(1).getOrElse("STRING"))}"
       }.mkString(", ")
       spark.sql(s"CREATE TABLE $name ($mapped) USING PARQUET")
-    case dropTableRe(name) if isMultiset(name) =>
+    case dropTableRe(_, name) if isMultiset(name) =>
       val (db, bare) = viewKeyOf(name)
       val path = java.nio.file.Paths.get(multisets((db, bare)))
       multisets -= ((db, bare))
@@ -648,7 +649,8 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null,
         } finally s.close()
       }
       spark.emptyDataFrame
-    case dropTableRe(name) => spark.sql(s"DROP TABLE $name")
+    case dropTableRe(ifExists, name) =>
+      spark.sql(s"DROP TABLE ${Option(ifExists).getOrElse("")}$name")
     case insertRe(name, colList, source) if isMultiset(name) =>
       multisetInsert(name, Option(colList), source)
     case createViewRe(name, body) =>

@@ -259,7 +259,10 @@ class GoldenSpec extends AnyFunSuite {
       qm("SELECT * FROM t3 ORDER BY a", "|1|abc|\n|3|ghi|")
       intercept[Exception](gms.sql("SELECT * FROM t3 AS OF VERSION 4").collect())
     } finally {
-      Seq("t1", "t2", "t3").foreach(t => gms.sql(s"DROP TABLE $t"))
+      // IF EXISTS must reach the multiset branch too (a silent Spark
+      // no-op would leave the table resurrectable next session)
+      Seq("t1", "t2", "t3").foreach(t => gms.sql(s"DROP TABLE IF EXISTS $t"))
+      gms.sql("DROP TABLE IF EXISTS never_existed")
     }
   }
 
