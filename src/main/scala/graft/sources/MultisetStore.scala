@@ -172,6 +172,40 @@ object MultisetStore {
     if (chain(path).count(isDelta(path, _)) >= autoCompactDeltas) compact(spark, path)
   }
 
+  private def tokenFile(token: String) =
+    "_TOKEN_" + token.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** True iff some retained version carries `token` — the replay guard
+    * for [[appendDeltaIdempotent]]. */
+  def hasToken(path: String, token: String): Boolean =
+    versionsOf(path).exists(v => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(versionDir(path, v), tokenFile(token))))
+
+  /** [[appendDelta]] guarded by an idempotence token: a delta already
+    * committed under `token` is not applied again (returns false). This
+    * is the streaming-sink contract — Structured Streaming's foreachBatch
+    * re-executes a micro-batch after failure, and the batchId token makes
+    * the re-execution a no-op instead of a double count (the same
+    * txn-version idea Delta Lake uses for idempotent batch sinks).
+    * Single writer per token namespace assumed (one streaming query);
+    * [[vacuum]] drops old versions AND their tokens, so retention must
+    * cover the stream's replay horizon. Auto-compaction is safe: tokens
+    * survive until vacuum, not until compact. */
+  def appendDeltaIdempotent(spark: SparkSession, path: String, df: DataFrame,
+      token: String, freq: Long = 1L): Boolean = {
+    if (hasToken(path, token)) false
+    else {
+      val delta = normalize(df, freq)
+      claimNextVersion(path) { staging =>
+        delta.write.mode("overwrite").parquet(staging.toString)
+        java.nio.file.Files.createFile(staging.resolve(deltaMarker))
+        java.nio.file.Files.createFile(staging.resolve(tokenFile(token)))
+      }
+      if (chain(path).count(isDelta(path, _)) >= autoCompactDeltas) compact(spark, path)
+      true
+    }
+  }
+
   /** Fold the snapshot-plus-deltas chain into a single fresh snapshot
     * version (the LSM compaction step). Older versions stay on disk for
     * in-flight readers until [[vacuum]]. */

@@ -135,6 +135,29 @@ object Streams {
       .start()
   }
 
+  /** Stream → multiset-table ingestion: every micro-batch lands as ONE
+    * O(|batch|) freq delta in the [[graft.sources.MultisetStore]] chain —
+    * the streaming twin of the reference's TableInsert write path, wired
+    * to the same store the SQL front door reads. Each commit is
+    * idempotent on (feed name, micro-batch id), so foreachBatch's
+    * re-execution after failure never double-counts a batch; `freq = -1`
+    * turns the stream into a retraction feed (NegateFreq over a stream).
+    * `feed` names the token namespace: it must be STABLE across restarts
+    * of the same logical query (batch ids continue from the checkpoint)
+    * and DISTINCT between different queries writing the same table —
+    * two feeds sharing a name would swallow each other's batch ids.
+    * Readers (`SELECT ... FROM t`, IVM refreshes, time travel) see each
+    * batch atomically — versions only ever appear fully formed. */
+  def multisetIngest(rows: DataFrame, path: String, freq: Long = 1L,
+      feed: String = "ingest"): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.MultisetStore.appendDeltaIdempotent(
+          batch.sparkSession, path, batch, s"${feed}_$batchId", freq)
+        ()
+      }
+      .start()
+
   /** Declarative sessionization: Spark's native `session_window` — the
     * same gap-merge semantics as [[sessionize]]'s explicit state machine,
     * but as a one-line groupBy the optimizer owns (and the watermark

@@ -289,4 +289,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.sameElements(expected))
     } finally q.stop()
   }
+
+  test("streaming multiset ingestion equals batch appends; replay is a no-op") {
+    import graft.sources.MultisetStore
+    val region = Engine.table(spark, sf, "region")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ms_src_").toString
+    region.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ms_stream_").resolve("t").toString
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = Streams.multisetIngest(stream, path)
+    try {
+      q.processAllAvailable()
+      // feed a second batch: region again → every tuple's freq reaches 2
+      region.write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = region.unionAll(region)
+      .collect().map(_.toString).sorted
+    val got = MultisetStore.read(spark, path).collect().map(_.toString).sorted
+    assert(got.sameElements(expected), s"${got.length} vs ${expected.length}")
+
+    // idempotence: re-applying an already-committed micro-batch token is
+    // a no-op — the foreachBatch retry contract
+    val before = MultisetStore.read(spark, path).count()
+    assert(!MultisetStore.appendDeltaIdempotent(spark, path, region, "ingest_0"))
+    assert(MultisetStore.read(spark, path).count() == before)
+
+    // a retraction stream (freq = -1) removes one copy per row
+    val retractSrc = java.nio.file.Files.createTempDirectory("graft_ms_retr_").toString
+    region.filter(col("r_regionkey") < 2).write.mode("overwrite").parquet(retractSrc)
+    val rq = Streams.multisetIngest(
+      spark.readStream.schema(schema).parquet(retractSrc), path,
+      freq = -1L, feed = "retract")
+    try rq.processAllAvailable() finally rq.stop()
+    val after = MultisetStore.snapshot(spark, path)
+    assert(after.filter(col("r_regionkey") < 2)
+      .agg(sum(col(MultisetStore.freqCol))).head.getLong(0) == 2L) // 2 keys × freq 1
+    assert(after.filter(col("r_regionkey") >= 2)
+      .agg(sum(col(MultisetStore.freqCol))).head.getLong(0) == 6L) // 3 keys × freq 2
+  }
 }
