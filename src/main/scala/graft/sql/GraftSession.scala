@@ -267,6 +267,7 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null,
   //   VACUUM TABLE t               → MultisetStore.vacuum (retention cut)
   //   SELECT ... FROM t            → read() (freq copies materialized)
   //   SELECT ... FROM t AS OF VERSION n → readAt(n) (time travel)
+  //   SELECT ... FROM t CHANGES BETWEEN a AND b → changes(a, b) (CDF)
   //
   // Catalog model mirrors the view catalog: each table is a directory
   // `<db>.<name>` under `<warehouse>/_graft_multisets` (or the
@@ -350,6 +351,26 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null,
         .createOrReplaceTempView(view)
       Regex.quoteReplacement(aliasedRef(view, name,
         Option(m.group(3)).getOrElse(""), Option(m.group(4))))
+    })
+
+  // `FROM t CHANGES BETWEEN v1 AND v2` — the change-data feed as a
+  // relation: one row per net-changed tuple with its signed `__freq`
+  // delta (MultisetStore.changes semantics — compaction-invisible)
+  private val changesRe: Regex =
+    """(?i)(?<![\w.`])([\w.`]+)\s+changes\s+between\s+(-?\d+)\s+and\s+(\d+)(\s+(?:as\s+)?([A-Za-z_]\w*))?""".r
+
+  private def rewriteChanges(q: String): String =
+    changesRe.replaceAllIn(q, m => {
+      val raw = m.group(1)
+      require(isMultiset(raw),
+        s"CHANGES BETWEEN is only valid on multiset tables, got: $raw")
+      val (db, name) = viewKeyOf(raw)
+      val view = s"graft_ms_changes_${msAsOfCounter.incrementAndGet()}"
+      graft.sources.MultisetStore.changes(spark, multisets((db, name)),
+        m.group(2).toInt, m.group(3).toInt)
+        .createOrReplaceTempView(view)
+      Regex.quoteReplacement(aliasedRef(view, name,
+        Option(m.group(4)).getOrElse(""), Option(m.group(5))))
     })
 
   // the reference's tables catalog stores sql_context — the database the
@@ -1183,9 +1204,11 @@ final class GraftSession(val spark: SparkSession, viewCatalogDir: String = null,
     // Text-level rewrites run only OUTSIDE string literals, so
     // `SELECT 'incresql.tables'` / `'database()'` stay untouched.
     out = mapOutsideQuotes(out) { seg =>
-      // multiset time travel FIRST: `t AS OF VERSION n` must resolve
-      // before any pass could mistake `AS OF` for an alias
+      // multiset time travel / CDF FIRST: `t AS OF VERSION n` and
+      // `t CHANGES BETWEEN a AND b` must resolve before any pass could
+      // mistake their keywords for aliases
       var s = rewriteAsOf(seg)
+      s = rewriteChanges(s)
       // incresql.databases / incresql.tables system catalog tables
       s = rewriteSystemTables(s)
       // database-scoped view references → mangled session temp views

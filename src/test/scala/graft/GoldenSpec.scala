@@ -253,6 +253,13 @@ class GoldenSpec extends AnyFunSuite {
       // catalog surface: multiset tables list as tables
       qm("SELECT type FROM incresql.tables WHERE name = 't3'", "|table|")
 
+      // CDF as a relation: net signed freq deltas between two versions.
+      // v4 (all four inserts) → v6 (after both deletes): (2,def) lost
+      // its copy to the WHERE delete, (1,abc) lost one of two to the
+      // freq-splitting LIMIT delete.
+      qm("""SELECT a, b, __freq FROM t3 CHANGES BETWEEN 4 AND 6 ORDER BY a""",
+        "|1|abc|-1|\n|2|def|-1|")
+
       // VACUUM drops pre-snapshot versions: current state survives,
       // time travel into vacuumed history now fails
       gms.sql("VACUUM TABLE t3")
