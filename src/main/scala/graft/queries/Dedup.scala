@@ -258,17 +258,15 @@ object Dedup {
     // delta × index oracle still gates it).
     spark.sql(
       s"""WITH base AS (
-         |  SELECT doc_id, fp, shingles, doc_id % 10 = 0 AS is_delta
+         |  SELECT doc_id, fp, shingles, doc_id % 10 = 0 AS is_delta,
+         |    doc_id = min(doc_id) OVER (PARTITION BY fp, doc_id % 10 = 0) AS is_side_rep
          |  FROM dedup_sh
          |),
-         |reps AS (
-         |  SELECT fp, is_delta, min(doc_id) AS rep FROM base GROUP BY fp, is_delta
-         |),
          |sig AS (
-         |  SELECT b.doc_id, b.fp, b.is_delta, b.shingles,
-         |    minhash64(transform(b.shingles, x -> xxhash64(x))) AS minhash
-         |  FROM base b JOIN reps r ON b.doc_id = r.rep
-         |  WHERE size(b.shingles) > 0
+         |  SELECT doc_id, fp, is_delta, shingles,
+         |    minhash64(transform(shingles, x -> xxhash64(x))) AS minhash
+         |  FROM base
+         |  WHERE is_side_rep AND size(shingles) > 0
          |),
          |bands AS (
          |  SELECT doc_id, is_delta, b AS band_idx,
