@@ -41,6 +41,13 @@ object Engine {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE swap a sort-merge join for a shuffled hash join when the
+      // runtime stats show every build-side partition fits a local map
+      // (<=256 MiB). The two O(n log n) sorts on lineitem⋈orders are the
+      // dominant cost of q3/q5/q10 at sf10; the conversion is safe at any
+      // scale because AQE only applies it per-partition-size, never on
+      // estimates.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
