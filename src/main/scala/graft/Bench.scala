@@ -18,10 +18,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
     val haveSf1 = new java.io.File(s"$sf1Dir/lineitem.parquet").exists
-    // sf10 is TPC-H-only (GenData table filter): the headline set still
-    // sits near the scheduling floor at sf1
+    // sf10 carries TPC-H plus documents (GenData table filter): the
+    // headline set still sits near the scheduling floor at sf1, and at
+    // sf1 the document pipelines are overhead-dominated too (minhash
+    // 8-core beat 32-core there) — sf10 docs is where banding/explode
+    // shapes become compute-bound. events/embeddings stay sf1-only:
+    // their heavy shapes (window, gapfill, ANN) already scale at sf1.
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
     val haveSf10 = new java.io.File(s"$sf10Dir/lineitem.parquet").exists
+    val haveSf10Docs = new java.io.File(s"$sf10Dir/documents.parquet").exists
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.build(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
 
@@ -82,6 +87,13 @@ object Bench {
       if (haveSf10) queries.Tpch.benchmark.map { q =>
         q.name -> Seq.fill(2)(timeOnce(spark, sf10Dir)(q)).min
       } else Seq.empty
+    // the two pipeline shapes that are overhead-dominated below sf10:
+    // shuffle-heavy banding (minhash) and explode+agg (tfidf)
+    val sf10PipelineSet = Seq(queries.Dedup.minhash, queries.TextAnalysis.tfidf)
+    val sf10Pipeline =
+      if (haveSf10Docs) sf10PipelineSet.map { q =>
+        q.name -> Seq.fill(2)(timeOnce(spark, sf10Dir)(q)).min
+      } else Seq.empty
 
     // Core-count scaling evidence: the 100×-scale claims rest on plan
     // shape; rerunning the headline set on a quarter of the cores (fresh
@@ -108,9 +120,11 @@ object Bench {
       if (haveSf1) sf1ScaledSet.map { q =>
         q.name -> math.min(timeOnce(sparkFew, sf1Dir)(q), timeOnce(sparkFew, sf1Dir)(q))
       } else Seq.empty
+    val sf10ScaledSet = queries.Tpch.benchmark.filter(q =>
+      q.name == "q1_agg" || q.name == "q5_join") ++
+      (if (haveSf10Docs) sf10PipelineSet else Seq.empty)
     val sf10Scaled =
-      if (haveSf10) queries.Tpch.benchmark.filter(q =>
-        q.name == "q1_agg" || q.name == "q5_join").map { q =>
+      if (haveSf10) sf10ScaledSet.map { q =>
         q.name -> math.min(timeOnce(sparkFew, sf10Dir)(q), timeOnce(sparkFew, sf10Dir)(q))
       } else Seq.empty
     sparkFew.stop()
@@ -126,7 +140,7 @@ object Bench {
     val sf10Section =
       if (haveSf10) {
         val sf10Total = sf10Results.map(_._2).sum
-        s""","sf10":{"dir":"$sf10Dir","total":$sf10Total,"queries":${toJson(sf10Results)},"scaling":{"cpus":$fewCpus,"queries":${toJson(sf10Scaled)}}}"""
+        s""","sf10":{"dir":"$sf10Dir","total":$sf10Total,"queries":${toJson(sf10Results)},"pipeline":${toJson(sf10Pipeline)},"scaling":{"cpus":$fewCpus,"queries":${toJson(sf10Scaled)}}}"""
       } else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"pipeline":${toJson(pipeline)},"scaling":{"cpus":$fewCpus,"queries":${toJson(scaled)}},"sf":"$sfDir"$sf1Section$sf10Section}""")
   }

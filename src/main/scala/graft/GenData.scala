@@ -11,11 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   runMain graft.GenData [inDir] [outDir] [factor] [tables-csv]
   *
-  * The optional table filter builds partial tiers: the sf10 tier is
-  * TPC-H-only (`region,nation,customer,supplier,part,orders,lineitem`)
-  * because the headline queries still sit near the scheduling floor at
-  * sf1, while running the document pipelines at sf10 would blow the
-  * per-round bench budget.
+  * The optional table filter builds partial tiers: the sf10 tier carries
+  * TPC-H (`region,nation,customer,supplier,part,orders,lineitem`) plus
+  * `documents` (generated separately at factor 100 from sf0.1) — the
+  * headline queries sit near the scheduling floor at sf1, and so do the
+  * document pipelines (minhash at sf1 ran faster on 8 cores than 32).
+  * events/embeddings stay sf1-only: their heavy shapes already scale
+  * there, and replicating them 100× buys no extra signal for the cost.
   *
   * Replication is NOT naive copying where that would distort the
   * workload:
