@@ -61,6 +61,19 @@ class PlanContractSpec extends AnyFunSuite {
       s"scan reads unneeded columns: $read")
   }
 
+  test("ta_tfidf: df is a count window over tf — no equi-join; top-k prunes map-side") {
+    val p = plan("ta_tfidf")
+    // df = count(*) OVER (PARTITION BY token) rides the token exchange;
+    // a separate df aggregate + join back re-shuffles all of tf
+    // (measured at sf10: 7.9 s → 5.2 s warm when the join was removed)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      "df regressed to an aggregate + equi-join back on token")
+    assert(p.contains("WindowGroupLimit"),
+      "rnk<=3 no longer prunes as a partial top-k before the doc_id exchange")
+    assert(p.contains("partial_count"), "no map-side partial aggregation for tf")
+  }
+
   test("evt_range_join: the band join stays an equi-join, never a cross/nested-loop product") {
     val p = plan("evt_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
