@@ -135,8 +135,14 @@ object Dedup {
     * set is unchanged because cross-group similarity depends only on the
     * texts, which every group member shares with its representative. */
 
-  // One xxhash64 per shingle, then the 64 per-lane minima run inside the
-  // codegen'd MinHash64 kernel — not 64 interpreted lambda folds.
+  // The 64 per-lane minima run inside the codegen'd MinHash64 kernel —
+  // not 64 interpreted lambda folds — fed by the PRE-HASHED hshingles
+  // column the cached relation already carries for the containment
+  // prefilter: per-lane minima are order-insensitive, so
+  // minhash64(sort_array(transform(sh, xxhash64))) is bit-identical to
+  // hashing inline, and the one-xxhash64-per-shingle pass is paid once
+  // in the corpus cache instead of again here (~one hash per shingle
+  // per query at sf10 scale).
   // The band signature is re-hashed to ONE BIGINT before the candidate
   // self-join: the shuffle key shrinks ~10× vs the 4-minima string, and
   // a hash collision can only ADD a candidate pair, which the exact
@@ -145,7 +151,7 @@ object Dedup {
   private def minhashCandSql: String =
     s"""WITH sig AS (
        |  SELECT doc_id, fp, shingles,
-       |    minhash64(transform(shingles, x -> xxhash64(x))) AS minhash
+       |    minhash64(hshingles) AS minhash
        |  FROM dedup_sh
        |  WHERE is_rep AND size(shingles) > 0
        |),
@@ -258,13 +264,16 @@ object Dedup {
     // delta × index oracle still gates it).
     spark.sql(
       s"""WITH base AS (
-         |  SELECT doc_id, fp, shingles, doc_id % 10 = 0 AS is_delta,
+         |  SELECT doc_id, fp, shingles, hshingles, doc_id % 10 = 0 AS is_delta,
          |    doc_id = min(doc_id) OVER (PARTITION BY fp, doc_id % 10 = 0) AS is_side_rep
          |  FROM dedup_sh
          |),
          |sig AS (
+         |  -- minhash64 over the cached pre-hashed shingles: per-lane
+         |  -- minima are order-insensitive, so this is bit-identical to
+         |  -- hashing inline (see minhashCandSql)
          |  SELECT doc_id, fp, is_delta, shingles,
-         |    minhash64(transform(shingles, x -> xxhash64(x))) AS minhash
+         |    minhash64(hshingles) AS minhash
          |  FROM base
          |  WHERE is_side_rep AND size(shingles) > 0
          |),
