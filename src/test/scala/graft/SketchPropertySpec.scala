@@ -55,6 +55,18 @@ class SketchPropertySpec extends AnyFunSuite {
     assert(rows("ab") == merged.toSeq)
   }
 
+  test("minhash is insensitive to element order (cached-sorted-array reuse)") {
+    // minhashCandSql feeds minhash64 the cached SORTED hshingles array
+    // instead of re-hashing shingles inline; per-lane minima must
+    // therefore ignore ordering, or the candidate sets would diverge
+    val a = cases(3)
+    val rows = Seq(("orig", a), ("sorted", a.sorted), ("rev", a.sorted.reverse))
+      .toDF("k", "hs")
+      .selectExpr("k", "minhash64(hs) AS mh").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows("orig") == rows("sorted") && rows("orig") == rows("rev"))
+  }
+
   test("sketches are insensitive to duplicate elements") {
     val a = cases(2)
     val rows = Seq(("once", a), ("dup", a ++ a ++ a)).toDF("k", "hs")
