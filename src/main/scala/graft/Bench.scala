@@ -86,7 +86,8 @@ object Bench {
     // pipeline shapes (shuffle-heavy banding, explode+agg, merge-walk
     // verification, window/generate).
     val sf1PipelineSet = Seq(
-      queries.Dedup.minhash, queries.Dedup.containment,
+      queries.Dedup.minhash, queries.Dedup.incremental,
+      queries.Dedup.containment,
       queries.Dedup.clusters, queries.TextAnalysis.tfidf,
       queries.Events.gapfill)
     val sf1Results =
