@@ -181,9 +181,11 @@ object TextAnalysis {
     // token over that aggregate — one exchange feeding a single-pass
     // unbounded frame, where a separate df aggregate + equi-join back on
     // token costs an extra aggregation branch and the join itself
-    // (measured at sf10: 7.9 s → 5.2 s warm). The oracle keeps the
-    // textbook two-pass spelling; results are identical by definition
-    // of df.
+    // (measured at sf10: 7.9 s → 5.2 s warm). Broadcasting df instead
+    // also measured slower (7.7 s vs 6.6 s same-session) and is wrong at
+    // scale anyway: vocabulary grows with the corpus, so the broadcast
+    // side is unbounded. The oracle keeps the textbook two-pass
+    // spelling; results are identical by definition of df.
     spark.sql(
       """WITH tok AS (
         |  SELECT doc_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
