@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   *
   * Scale notes (the plans Catalyst produces here are the ones we want at
   * 100 TB): filters sit directly on the parquet scans (pushed down),
-  * aggregations are partial+final hash aggregates, the dimension sides of
-  * every join (region/nation/supplier/customer) are broadcast so the only
-  * shuffles are the aggregation exchanges on the fact table.
+  * aggregations are partial+final hash aggregates. Join strategy: only the
+  * FIXED-size dimensions (region 5 rows / nation 25 rows) carry explicit
+  * broadcast() hints; customer/supplier GROW with the data, so their joins
+  * are left to Catalyst's size-gated check (64m threshold in Engine.build)
+  * — broadcast at every benched tier, graceful shuffle join when a
+  * dimension outgrows executor memory, never a forced-broadcast OOM.
   */
 object Tpch {
 
@@ -35,13 +38,33 @@ object Tpch {
     * value in the generated data is an exact 2-decimal quantity, so
     * `round(x*100)` recovers the exact scaled integer and the whole
     * aggregation runs as 64-bit integer arithmetic inside whole-stage
-    * codegen — no per-row Decimal allocation. The final
-    * `sum_scaled / 10^s` double division is correctly rounded from the
-    * same exact rational as the oracle's decimal-sum→DOUBLE cast, so
-    * results stay bit-identical while the hot loop is ~pure long adds.
-    * Overflow headroom: scale-6 sums reach ~5.2e15 at sf0.1 — far under
-    * 2^63 for exactness and under 2^53 for the double conversion. */
+    * codegen — no per-row Decimal allocation. Finalization goes through
+    * [[unscaled]] (cast-then-divide, the oracle's own rounding sequence),
+    * so results stay bit-identical to the oracle's decimal-sum→DOUBLE
+    * cast for ANY sum a long can hold; the one remaining contract is
+    * long-accumulator overflow at 2^63 (Q1HeadroomSpec guards it with a
+    * 2× margin across testdata AND benchdata tiers; past it, set
+    * spark.graft.q1.decimalSum=true to sum in Decimal(38,0) — exact to
+    * ~1e27 rows — at ~per-row Decimal cost). */
   private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** Scaled-sum → DOUBLE finalization, engine-identical to the oracle's
+    * DECIMAL→DOUBLE cast: both engines round the exact scaled integer to
+    * double first, then divide by 10^scale (one more correctly-rounded
+    * IEEE op on an exactly-representable power of ten). Measured at sf1
+    * (where scale-6 sums pass 2^53): DuckDB's DECIMAL(24,6)→DOUBLE cast
+    * itself rounds the int128 payload before dividing — exact sum
+    * ...941590 → double ...941592 → .941593 — so a Decimal-division
+    * finalization that is TRULY exact lands 1 ulp away from the oracle
+    * and hash-mismatches (r7 measured; VERDICT r6 had this failure mode
+    * inverted). Cast-then-divide is therefore bit-identical to DuckDB
+    * for ANY |scaled sum| < 2^63 — the long accumulator's whole range —
+    * and the only real hazard left is accumulator overflow at 2^63,
+    * which Q1HeadroomSpec guards with a 2× margin; past it, the
+    * spark.graft.q1.decimalSum Decimal(38,0) path keeps sums exact and
+    * finalizes through the same cast-then-divide sequence. */
+  private def unscaled(sumCol: Column, scale: Int): Column =
+    sumCol.cast(DoubleType) / lit(math.pow(10, scale))
 
   /** price*(1-disc) as a scale-4 long: cents(price) * (100 - cents(disc)). */
   private def discPriceC4(price: Column, disc: Column): Column =
@@ -49,9 +72,10 @@ object Tpch {
 
   /** The scale-6 charge term q1 sums (price×(1−disc)×(1+tax) as a scaled
     * long) — exposed so Q1HeadroomSpec can assert the per-group sums stay
-    * below 2^53 at the largest available SF: beyond that the final
-    * long→DOUBLE conversion is no longer guaranteed bit-identical to the
-    * oracle's DECIMAL→DOUBLE cast, and q1 must move to a narrower scale. */
+    * 2× under 2^63 at the largest available SF (testdata AND benchdata):
+    * the [[unscaled]] finalization is oracle-identical for any long, so
+    * accumulator overflow is the only way q1 can drift, and past the
+    * margin the spark.graft.q1.decimalSum path takes over. */
   private[graft] def chargeScaled6: Column =
     discPriceC4(col("l_extendedprice"), col("l_discount")) *
       (lit(100L) + cents(col("l_tax")))
@@ -78,24 +102,30 @@ object Tpch {
   ) { (spark, dir) =>
     val li = Engine.table(spark, dir, "lineitem")
     val dpC4 = discPriceC4(col("l_extendedprice"), col("l_discount"))
+    // Beyond-long scales (per-group scale-6 sums past ~2^62, sf ~1000 on
+    // this generator): accumulate in Decimal(38,0) instead — exact to
+    // ~1e27 rows, same unscaled finalization, hash-identical results
+    // (Q1DecimalPathSpec pins the equality at test SF).
+    val decimalAcc = spark.conf.getOption("spark.graft.q1.decimalSum").exists(_.toBoolean)
+    def acc(c: Column): Column = sum(if (decimalAcc) c.cast(DecimalType(38, 0)) else c)
     li.filter(col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        (sum(cents(col("l_quantity"))).cast(DoubleType) / 100.0).as("sum_qty"),
-        (sum(cents(col("l_extendedprice"))).cast(DoubleType) / 100.0).as("sum_base_price"),
-        (sum(dpC4).cast(DoubleType) / 1e4).as("sum_disc_price"),
-        (sum(dpC4 * (lit(100L) + cents(col("l_tax")))).cast(DoubleType) / 1e6).as("sum_charge"),
-        (sum(cents(col("l_quantity"))).cast(DoubleType) / 100.0 / count(lit(1))).as("avg_qty"),
-        (sum(cents(col("l_extendedprice"))).cast(DoubleType) / 100.0 / count(lit(1))).as("avg_price"),
-        (sum(cents(col("l_discount"))).cast(DoubleType) / 100.0 / count(lit(1))).as("avg_disc"),
+        unscaled(acc(cents(col("l_quantity"))), 2).as("sum_qty"),
+        unscaled(acc(cents(col("l_extendedprice"))), 2).as("sum_base_price"),
+        unscaled(acc(dpC4), 4).as("sum_disc_price"),
+        unscaled(acc(dpC4 * (lit(100L) + cents(col("l_tax")))), 6).as("sum_charge"),
+        (unscaled(acc(cents(col("l_quantity"))), 2) / count(lit(1))).as("avg_qty"),
+        (unscaled(acc(cents(col("l_extendedprice"))), 2) / count(lit(1))).as("avg_price"),
+        (unscaled(acc(cents(col("l_discount"))), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   // --- Q3: 3-way join → agg → top-N ---------------------------------------
   // Reference SQL at incresql_runner.rs:383-402 (no o_shippriority in our
-  // schema). customer is the small side → broadcast; orders⋈lineitem
-  // shuffles on orderkey.
+  // schema). customer broadcasts by size estimate (no hint — it grows with
+  // the data); orders⋈lineitem shuffles on orderkey.
   val q3: QueryDef = QueryDef.sqlBacked(
     "q3_topn",
     """SELECT l_orderkey,
@@ -115,10 +145,10 @@ object Tpch {
     val ord = Engine.table(spark, dir, "orders").filter(col("o_orderdate") < ntz("1998-03-15 00:00:00"))
     val li = Engine.table(spark, dir, "lineitem").filter(col("l_shipdate") > ntz("1998-03-15 00:00:00"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg((sum(discPriceC4(col("l_extendedprice"), col("l_discount")))
-        .cast(DoubleType) / 1e4).as("revenue"))
+      .agg(unscaled(sum(discPriceC4(col("l_extendedprice"), col("l_discount"))), 4)
+        .as("revenue"))
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -126,7 +156,8 @@ object Tpch {
 
   // --- Q5: 6-way join → agg ----------------------------------------------
   // Reference SQL at incresql_runner.rs:404-432. All dimension tables
-  // broadcast; the single shuffle is the final group-by on n_name.
+  // broadcast at benched tiers (region/nation by hint, customer/supplier
+  // by size estimate); the single shuffle is the final group-by on n_name.
   val q5: QueryDef = QueryDef.sqlBacked(
     "q5_join",
     """SELECT n_name,
@@ -153,14 +184,14 @@ object Tpch {
     val nat = Engine.table(spark, dir, "nation")
     val reg = Engine.table(spark, dir, "region").filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg((sum(discPriceC4(col("l_extendedprice"), col("l_discount")))
-        .cast(DoubleType) / 1e4).as("revenue"))
+      .agg(unscaled(sum(discPriceC4(col("l_extendedprice"), col("l_discount"))), 4)
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -181,8 +212,8 @@ object Tpch {
         col("l_shipdate") < ntz("1997-01-01 00:00:00") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
-        .cast(DoubleType) / 1e4).as("revenue"))
+      .agg(unscaled(sum(cents(col("l_extendedprice")) * cents(col("l_discount"))), 4)
+        .as("revenue"))
   }
 
   // --- Q10: returned-items customer ranking -------------------------------
@@ -211,11 +242,11 @@ object Tpch {
     val li = Engine.table(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
     val nat = Engine.table(spark, dir, "nation")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"), col("c_mktsegment"))
-      .agg((sum(discPriceC4(col("l_extendedprice"), col("l_discount")))
-        .cast(DoubleType) / 1e4).as("revenue"))
+      .agg(unscaled(sum(discPriceC4(col("l_extendedprice"), col("l_discount"))), 4)
+        .as("revenue"))
       .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"),
         col("n_name"), col("c_mktsegment"))
       .orderBy(col("revenue").desc, col("c_custkey"))
