@@ -13,11 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The optional table filter builds partial tiers: the sf10 tier carries
   * TPC-H (`region,nation,customer,supplier,part,orders,lineitem`) plus
-  * `documents` (generated separately at factor 100 from sf0.1) — the
-  * headline queries sit near the scheduling floor at sf1, and so do the
-  * document pipelines (minhash at sf1 ran faster on 8 cores than 32).
-  * events/embeddings stay sf1-only: their heavy shapes already scale
-  * there, and replicating them 100× buys no extra signal for the cost.
+  * `documents`, `events` and `embeddings` (generated at factor 100 from
+  * sf0.1) — the headline queries sit near the scheduling floor at sf1,
+  * and so do the document pipelines (minhash at sf1 ran faster on 8
+  * cores than 32), so sf10 is where window/ANN shapes get a
+  * compute-bound measurement (VERDICT r6 §6).
   *
   * Replication is NOT naive copying where that would distort the
   * workload:
@@ -92,22 +92,33 @@ object GenData {
       "* EXCEPT (l_orderkey, l_partkey, l_suppkey)")), "lineitem", 32)
 
     // documents: token-suffix rewrite keeps intra-replica dup structure,
-    // kills cross-replica overlap (see scaladoc)
+    // kills cross-replica overlap (see scaladoc). The trailing token gets
+    // the suffix too (concat), else the last word of every doc is shared
+    // across replicas and token-level df for those words scales with the
+    // factor, distorting tfidf/heavy-hitter benches (ADVICE r6).
+    val docText =
+      "CASE WHEN {r} = 0 THEN text ELSE concat(replace(text, ' ', '_{r} '), '_{r}') END"
     write(replicate(in("documents"), Seq(
       "doc_id + {r} * 1000000 AS doc_id",
-      "CASE WHEN {r} = 0 THEN text ELSE replace(text, ' ', '_{r} ') END AS text",
+      s"$docText AS text",
       "lang", "source",
-      "CAST(length(CASE WHEN {r} = 0 THEN text ELSE replace(text, ' ', '_{r} ') END) AS BIGINT) AS n_chars")),
+      s"CAST(length($docText) AS BIGINT) AS n_chars")),
       "documents", 16)
 
-    // embeddings: rotate by r positions (slice is 1-based; r=0 = identity)
+    // embeddings: rotate by r positions (slice is 1-based; r=0 = identity).
+    // Once r wraps past the dimensionality the rotation alone would repeat
+    // (replicas r and r+dims identical → cosine-1.0 pair explosion at
+    // factor 100 on 64-dim vectors), so odd wrap levels also negate the
+    // vector — norm-preserving, and cos(v, −v) = −1 keeps the replicas
+    // maximally separated for top-k-by-max-cosine workloads.
     if (wanted("embeddings")) {
       val dims = in("embeddings").selectExpr("size(embedding) AS d").head().getInt(0)
-      // rotation index mod dims so factors past the dimensionality wrap
+      val rotated =
+        s"concat(slice(embedding, (({r}) % $dims) + 1, $dims - (({r}) % $dims)), " +
+          s"slice(embedding, 1, ({r}) % $dims))"
       write(replicate(in("embeddings"), Seq(
         "vec_id + {r} * 1000000 AS vec_id",
-        s"concat(slice(embedding, (({r}) % $dims) + 1, $dims - (({r}) % $dims)), " +
-          s"slice(embedding, 1, ({r}) % $dims)) AS embedding",
+        s"transform($rotated, x -> CAST(x * (1 - 2 * (({r} DIV $dims) % 2)) AS FLOAT)) AS embedding",
         "label")), "embeddings", 8)
     }
 
