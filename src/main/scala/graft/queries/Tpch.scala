@@ -13,11 +13,15 @@ import org.apache.spark.sql.types._
   * Scale notes (the plans Catalyst produces here are the ones we want at
   * 100 TB): filters sit directly on the parquet scans (pushed down),
   * aggregations are partial+final hash aggregates. Join strategy: only the
-  * FIXED-size dimensions (region 5 rows / nation 25 rows) carry explicit
-  * broadcast() hints; customer/supplier GROW with the data, so their joins
-  * are left to Catalyst's size-gated check (64m threshold in Engine.build)
-  * — broadcast at every benched tier, graceful shuffle join when a
-  * dimension outgrows executor memory, never a forced-broadcast OOM.
+  * FIXED-size dimensions (region 5 rows / nation 25 rows) carry
+  * unconditional broadcast() hints; customer/supplier GROW with the data,
+  * so their joins go through [[Engine.broadcastIfSmall]] — a hint applied
+  * only when the base table's ACTUAL parquet footprint is under 64 MiB
+  * (broadcast at every benched tier, graceful shuffle join when a
+  * dimension outgrows the cap, never a forced-broadcast OOM). The check
+  * reads real on-disk size, not Catalyst estimates, and is scoped to
+  * these queries: round 7's session-wide 64m threshold rewrote every
+  * pipeline plan and OOM'd the minhash bench (VERDICT r7).
   */
 object Tpch {
 
@@ -124,7 +128,7 @@ object Tpch {
 
   // --- Q3: 3-way join → agg → top-N ---------------------------------------
   // Reference SQL at incresql_runner.rs:383-402 (no o_shippriority in our
-  // schema). customer broadcasts by size estimate (no hint — it grows with
+  // schema). customer broadcasts via the on-disk size check (it grows with
   // the data); orders⋈lineitem shuffles on orderkey.
   val q3: QueryDef = QueryDef.sqlBacked(
     "q3_topn",
@@ -141,7 +145,8 @@ object Tpch {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin.replace("DISC_PRICE", discPriceSql)
   ) { (spark, dir) =>
-    val cust = Engine.table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val cust = Engine.broadcastIfSmall(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
     val ord = Engine.table(spark, dir, "orders").filter(col("o_orderdate") < ntz("1998-03-15 00:00:00"))
     val li = Engine.table(spark, dir, "lineitem").filter(col("l_shipdate") > ntz("1998-03-15 00:00:00"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -157,7 +162,8 @@ object Tpch {
   // --- Q5: 6-way join → agg ----------------------------------------------
   // Reference SQL at incresql_runner.rs:404-432. All dimension tables
   // broadcast at benched tiers (region/nation by hint, customer/supplier
-  // by size estimate); the single shuffle is the final group-by on n_name.
+  // by on-disk size check); the single shuffle is the final group-by on
+  // n_name.
   val q5: QueryDef = QueryDef.sqlBacked(
     "q5_join",
     """SELECT n_name,
@@ -175,12 +181,12 @@ object Tpch {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin.replace("DISC_PRICE", discPriceSql)
   ) { (spark, dir) =>
-    val cust = Engine.table(spark, dir, "customer")
+    val cust = Engine.broadcastIfSmall(spark, dir, "customer")
     val ord = Engine.table(spark, dir, "orders")
       .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
         col("o_orderdate") < ntz("1997-01-01 00:00:00"))
     val li = Engine.table(spark, dir, "lineitem")
-    val supp = Engine.table(spark, dir, "supplier")
+    val supp = Engine.broadcastIfSmall(spark, dir, "supplier")
     val nat = Engine.table(spark, dir, "nation")
     val reg = Engine.table(spark, dir, "region").filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -235,7 +241,7 @@ object Tpch {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin.replace("DISC_PRICE", discPriceSql)
   ) { (spark, dir) =>
-    val cust = Engine.table(spark, dir, "customer")
+    val cust = Engine.broadcastIfSmall(spark, dir, "customer")
     val ord = Engine.table(spark, dir, "orders")
       .filter(col("o_orderdate") >= ntz("1996-10-01 00:00:00") &&
         col("o_orderdate") < ntz("1997-01-01 00:00:00"))

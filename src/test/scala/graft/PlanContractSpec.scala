@@ -34,6 +34,23 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "fact-side join fell back to sort-merge at test SF")
   }
 
+  test("broadcast policy: threshold is Spark's default; minhash plan stays off the broadcast cliff") {
+    // Round 7 set autoBroadcastJoinThreshold=64m session-wide and the
+    // minhash plan compiled to 12 BroadcastHashJoins over derived
+    // intermediates (shingle sets, band groups) whose size estimates are
+    // guesses — two broadcast-build OOMs on an 8 GiB driver (VERDICT r7).
+    // The 64m intent is now scoped to base tables via
+    // Engine.broadcastIfSmall (real on-disk size); every other broadcast
+    // must clear the conservative default estimate gate.
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760b"
+      || spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760",
+      "engine sessions must keep Spark's default broadcast threshold")
+    val p = plan("dedup_minhash_lsh")
+    val broadcasts = """\(\d+\) BroadcastHashJoin""".r.findAllIn(p).size
+    assert(broadcasts <= 6,
+      s"minhash plan has $broadcasts broadcast joins — the r7 64m regression pattern")
+  }
+
   test("q6: all predicates pushed; scan reads only the needed columns") {
     val p = plan("q6_filter")
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"))
