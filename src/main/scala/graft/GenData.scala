@@ -122,8 +122,10 @@ object GenData {
         "label")), "embeddings", 8)
     }
 
-    // events: raw read keeps ts as INT64 nanos (nanosAsLong), same as the
-    // driver data, so Engine.table's div-1000 conversion applies unchanged
+    // events: ts passes through verbatim in whatever encoding the driver
+    // data uses (Long nanos under nanosAsLong for pre-r8 files,
+    // TIMESTAMP_NTZ micros from r8 on) — Engine.table's schema-adaptive
+    // normalization handles either on read-back
     write(replicate(in("events"), Seq(
       "event_id + {r} * 100000000 AS event_id",
       "ts",

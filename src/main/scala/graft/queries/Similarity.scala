@@ -34,12 +34,16 @@ object Similarity {
 
   /** Deterministic pseudo-random centroids: centroid c, dim d ∈ [0, 1)
     * from the portable hash — reproducible across runs and engines with
-    * no RNG. */
-  private[graft] val centroidSql =
+    * no RNG. Parameterized by C: the probe side always derives its
+    * centroid relation this way (C rows — negligible at any C); only the
+    * CORPUS assignment outgrows SQL and moves to the broadcast kernel. */
+  private[graft] def centroidSqlAt(c: Int) =
     s"""SELECT c AS cid,
        |  transform(sequence(0, 63), d ->
        |    ${Dedup.planeSparkSql("c", "d")}) AS cv
-       |FROM (SELECT explode(sequence(0, 15)) AS c)""".stripMargin
+       |FROM (SELECT explode(sequence(0, ${c - 1})) AS c)""".stripMargin
+
+  private[graft] val centroidSql = centroidSqlAt(16)
 
   /** The same 16×64 centroid matrix as [[centroidSql]], computed on the
     * driver and rendered as a foldable SQL literal (`D`-suffixed doubles;
@@ -106,11 +110,13 @@ object Similarity {
     assignCells(vectors.selectExpr("vec_id AS cand_id", "v AS cv"), "cv", "cell", centroids)
       .write.mode(mode).partitionBy("cell").parquet(indexPath)
 
-  private[queries] val centroidDuck =
+  private[queries] def centroidDuckAt(c: Int) =
     s"""SELECT c AS cid,
        |  list_transform(range(0, 64), d ->
        |    ${Dedup.planeDuckSql("c", "d")}) AS cv
-       |FROM range(0, 16) t(c)""".stripMargin
+       |FROM range(0, $c) t(c)""".stripMargin
+
+  private[queries] val centroidDuck = centroidDuckAt(16)
 
   // --- brute-force cosine top-k -------------------------------------------
   def bruteForceTopK(spark: SparkSession, dir: String,
@@ -248,6 +254,91 @@ object Similarity {
        |ORDER BY query_id, rnk""".stripMargin
 
   val ivf: QueryDef = QueryDef.sqlBacked("ann_ivf_topk", ivfOracle)(ivfTopK(_, _))
+
+  // --- IVF at production C through the broadcast-matrix kernel ------------
+  // The same probed search with C=256 — past what a foldable SQL literal
+  // can reasonably carry — exercising the scale path end-to-end: corpus
+  // cell assignment runs through [[assignCells]] (ArgmaxDotBroadcast, the
+  // matrix shipped once per executor as a Spark broadcast), so assignment
+  // stays a pure projection with no Exchange before the cell column exists
+  // (CentroidBroadcastSpec pins the plan; this key pins the RESULTS
+  // against DuckDB re-deriving all 256 centroids relationally). Probe
+  // selection stays SQL — C rows is negligible on the query side at any C.
+  def ivfC256TopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 16): DataFrame = {
+    emb(spark, dir)
+    assignCells(
+      spark.sql(
+        """SELECT vec_id AS cand_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          |FROM embeddings""".stripMargin),
+      "cv", "cell", hashCentroids(256))
+      .createOrReplaceTempView("ivf256_corpus")
+    spark.sql(
+      s"""WITH cent AS (${centroidSqlAt(256)}),
+         |queries AS (
+         |  SELECT vec_id AS query_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < $nQueries
+         |),
+         |probes AS (
+         |  SELECT query_id, qv, cid AS cell FROM (
+         |    SELECT q.query_id, q.qv, cent.cid,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        dot_product(q.qv, cent.cv) DESC, cent.cid) AS pr
+         |    FROM queries q CROSS JOIN cent) t
+         |  WHERE pr <= $nProbe
+         |)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id,
+         |    dot_product(p.qv, c.cv) AS score,
+         |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |      dot_product(p.qv, c.cv) DESC, c.cand_id) AS rnk
+         |  FROM probes p JOIN ivf256_corpus c
+         |    ON p.cell = c.cell AND p.query_id <> c.cand_id) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  private val ivfC256Oracle =
+    s"""WITH cent AS (${centroidDuckAt(256)}),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${Dedup.dotDuckSql("e.v", "cent.cv")} DESC, cent.cid) AS rn
+       |    FROM e CROSS JOIN cent) t
+       |  WHERE rn = 1
+       |),
+       |corpus AS (
+       |  SELECT e.vec_id AS cand_id, e.v AS cv, a.cell
+       |  FROM e JOIN assign a ON e.vec_id = a.vec_id
+       |),
+       |queries AS (
+       |  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id < 8
+       |),
+       |probes AS (
+       |  SELECT query_id, qv, cid AS cell FROM (
+       |    SELECT q.query_id, q.qv, cent.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${Dedup.dotDuckSql("q.qv", "cent.cv")} DESC, cent.cid) AS pr
+       |    FROM queries q CROSS JOIN cent) t
+       |  WHERE pr <= 16
+       |)
+       |SELECT query_id, cand_id, score, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT p.query_id, c.cand_id,
+       |    ${Dedup.dotDuckSql("p.qv", "c.cv")} AS score,
+       |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |      ${Dedup.dotDuckSql("p.qv", "c.cv")} DESC, c.cand_id) AS rnk
+       |  FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.cand_id) t
+       |WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val ivfC256: QueryDef =
+    QueryDef.sqlBacked("ann_ivf_c256", ivfC256Oracle)(ivfC256TopK(_, _))
 
   // --- IVF with a MATERIALIZED cell-partitioned index ---------------------
   // The write-time half of the IVF promise ("the centroid assignment
@@ -444,5 +535,6 @@ object Similarity {
   val semantic: QueryDef =
     QueryDef.sqlBacked("dedup_semantic", semanticOracle)(semanticDedup(_, _))
 
-  val all: Seq[QueryDef] = Seq(bruteForce, ivf, ivfIndexed, quantized, semantic)
+  val all: Seq[QueryDef] =
+    Seq(bruteForce, ivf, ivfC256, ivfIndexed, quantized, semantic)
 }
