@@ -114,9 +114,17 @@ object Bench {
         try q.run(s, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+      Engine.clearSwapCaches(s)
       val cal = calibrate(s)
+      // clearSwapCaches between QUERIES (not between a query's n runs):
+      // each measurement starts from a clean unified-memory pool, so a
+      // pipeline's cached intermediate can't tax whatever runs after it.
       val timed = sets.map { case (set, n) =>
-        set.map(q => q.name -> bestOf(n, s, dir)(q))
+        set.map { q =>
+          val t = q.name -> bestOf(n, s, dir)(q)
+          Engine.clearSwapCaches(s)
+          t
+        }
       }
       val withP =
         if (withProbe && timed.nonEmpty)

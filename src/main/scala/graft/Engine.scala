@@ -182,6 +182,20 @@ object Engine {
   private val swapCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Release every cacheSwap-registered relation belonging to `spark`.
+    * Measurement hygiene for Bench: a pipeline's cached intermediate
+    * (minhash's multi-GB shingle relation at sf10) must not squeeze the
+    * unified memory pool of the UNRELATED query measured next — r9's
+    * first sf10 artifact recorded tfidf at 19.6 s under minhash's live
+    * cache vs 5.5 s standalone, a cache-pressure artifact masquerading as
+    * a core-scaling inversion. Bench calls this after each query's
+    * best-of-n (runs of the SAME query still reuse the live cache). */
+  def clearSwapCaches(spark: SparkSession): Unit =
+    swapCache.entrySet.removeIf { e =>
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(blocking = false); true }
+      else false
+    }
+
   /** Cache `df` under `key`, releasing whatever the key cached before
     * (unless it is the same logical plan, which stays live and is
     * reused). Returns the DataFrame whose cache is now live. */
