@@ -533,7 +533,48 @@ object Curate {
   val split: QueryDef =
     QueryDef.sqlBacked("pipeline_split", splitOracle)(datasetSplit(_, _))
 
+  // --- deterministic training shuffle (shard + in-shard position) ---------
+  // Global example order is load-bearing for training (curriculum leakage,
+  // gradient correlation), but a single global permutation is exactly what
+  // does NOT scale: row_number() over one global ORDER BY collapses the
+  // corpus into one window partition. The shape that ships 100 TB is the
+  // one every training stack reads anyway — SHARDS: shard = portable hash
+  // of the doc (mod nShards), position = rank within the shard. The window
+  // partitions by shard (nShards-way parallel), no stage sees more than
+  // corpus/nShards rows, and the assignment is engine-stable: re-running
+  // on different cluster shapes, or in DuckDB, yields byte-identical
+  // (shard, pos) — the seed in the hash input gives a fresh permutation
+  // per epoch without any RNG state.
+  private def shardHash(idExpr: String, seed: Int, spark: Boolean): String =
+    if (spark) Dedup.hash60SparkSql(s"concat('s${seed}_', CAST($idExpr AS STRING))")
+    else Dedup.hash60DuckSql(s"concat('s${seed}_', CAST($idExpr AS VARCHAR))")
+
+  def shuffleShards(spark: SparkSession, dir: String,
+      seed: Int = 42, nShards: Int = 128): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      s"""SELECT doc_id, shard, pos FROM (
+         |  SELECT doc_id, CAST(h % $nShards AS INT) AS shard,
+         |    row_number() OVER (PARTITION BY h % $nShards
+         |      ORDER BY h, doc_id) AS pos
+         |  FROM (SELECT doc_id, ${shardHash("doc_id", seed, spark = true)} AS h
+         |        FROM documents))
+         |ORDER BY shard, pos""".stripMargin)
+  }
+
+  private val shuffleOracle =
+    s"""SELECT doc_id, shard, pos FROM (
+       |  SELECT doc_id, CAST(h % 128 AS INT) AS shard,
+       |    CAST(row_number() OVER (PARTITION BY h % 128
+       |      ORDER BY h, doc_id) AS INT) AS pos
+       |  FROM (SELECT doc_id, ${shardHash("doc_id", 42, spark = false)} AS h
+       |        FROM documents) t) t2
+       |ORDER BY shard, pos""".stripMargin
+
+  val shuffle: QueryDef =
+    QueryDef.sqlBacked("pipeline_shuffle", shuffleOracle)(shuffleShards(_, _))
+
   val all: Seq[QueryDef] =
     Seq(curate, sample, sampleExact, decontam, mix, pack, chunk, stats, rag,
-      split)
+      split, shuffle)
 }

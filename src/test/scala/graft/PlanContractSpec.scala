@@ -222,4 +222,15 @@ class PlanContractSpec extends AnyFunSuite {
     val p = plan("pipeline_sample_k")
     assert(p.contains("WindowGroupLimit"), "rn <= k lost its partial top-k")
   }
+
+  test("pipeline_shuffle: shard-parallel window — never a single-partition global rank") {
+    val p = plan("pipeline_shuffle")
+    // the whole point of the shard design: a global row_number would plan
+    // as one SinglePartition window holding the entire corpus
+    assert(!p.contains("SinglePartition"),
+      "training shuffle collapsed to a global single-partition window")
+    assert(p.contains("hashpartitioning"), "shard window lost its parallel exchange")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("text"), s"shuffle reads document bodies: $read")
+  }
 }
