@@ -22,6 +22,9 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same measurement/memory hygiene as Bench: one query's cached
+      // intermediates must not tax the next 130+ queries in this session
+      Engine.clearSwapCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
