@@ -250,11 +250,16 @@ object Bench {
     // sf10 tier: best-of-3 TPC-H — the 1.5 GB tier is page-cache
     // sensitive (a cold lineitem read costs ~10 s by itself) and with two
     // passes the min can still be half-cold.
+    // best-of-3 for the sf10 pipeline/scaling sets too (not just TPC-H):
+    // warm sf10 minhash at 32 cores is stable 4.6-5.3 s in a quiet window,
+    // but this VM throws occasional 2-3x outlier runs — with best-of-2 a
+    // single outlier pair produced r9's "9.4 s at 32c vs 5.0 s at 8c"
+    // phantom inversion; one more pass makes the min robust to one outlier.
     val (sf10Results, sf10Pipeline, sf10Scaled, sf10Cal, sf10CalScaled) =
       if (haveSf10) {
         val (Seq(a, b), c1) =
-          cell(cpus, sf10Dir, Seq(tpch -> 3, sf10PipelineSet -> 2), sf10Probe)
-        val (Seq(c), c2) = cell(fewCpus, sf10Dir, Seq(sf10ScaledSet -> 2), sf10Probe)
+          cell(cpus, sf10Dir, Seq(tpch -> 3, sf10PipelineSet -> 3), sf10Probe)
+        val (Seq(c), c2) = cell(fewCpus, sf10Dir, Seq(sf10ScaledSet -> 3), sf10Probe)
         (a, b, c, c1, c2)
       } else (Seq.empty, Seq.empty, Seq.empty, 0.0, 0.0)
 
