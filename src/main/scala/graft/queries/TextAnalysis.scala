@@ -116,6 +116,95 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
+  // --- winnowing fingerprints (Schleimer et al., SIGMOD 2003 — MOSS) ------
+  // The robust-fingerprint upgrade over ta_fingerprint's whole-doc md5:
+  // hash every k-gram, slide a window of w consecutive hashes, select the
+  // MINIMUM per window (ties → rightmost). Guarantee: any shared substring
+  // of length ≥ w+k-1 (here 11 chars) yields a shared fingerprint, with
+  // expected density 2/(w+1) — the standard local-similarity detector for
+  // plagiarism/near-dup forensics where banded LSH is too coarse.
+  //
+  // Determinism across engines comes from pure integer arithmetic: the
+  // rightmost-min rule is encoded as min(h40·2²¹ + (2²¹−1−pos)) — the
+  // window minimum of that single BIGINT picks the smallest 40-bit gram
+  // hash and, among equal hashes, the LARGEST position; fp and pos decode
+  // back by div/mod. (h40 < 2⁴⁰ keeps the sum under 2⁶², and the portable
+  // md5-derived hash matches bit-for-bit in DuckDB.)
+  //
+  // 100 TB shape: explode is per-row (one row per gram position), the only
+  // exchange is the doc-keyed window sort + the fingerprint-triple
+  // DISTINCT — document bodies never shuffle, and selected triples are
+  // ~2n/(w+1) per doc. Char-gram granularity is the demo parameter; the
+  // plan shape is invariant under token-gram winnowing at larger k.
+  private val winnowK = 8
+  private val winnowW = 4
+  private val winnow2p21 = 1L << 21
+  private val winnow2p40 = 1L << 40
+
+  val winnow: QueryDef = QueryDef.sqlBacked(
+    "ta_winnow",
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |),
+       |g0 AS (
+       |  SELECT doc_id, t, length(t) - $winnowK + 1 AS n
+       |  FROM norm WHERE length(t) >= $winnowK
+       |),
+       |grams AS (
+       |  SELECT doc_id, unnest(range(1, n + 1)) AS p, n, t FROM g0
+       |),
+       |h AS (
+       |  SELECT doc_id, p, n,
+       |    ${Dedup.hash60DuckSql(s"substr(t, CAST(p AS INT), $winnowK)")} % $winnow2p40 AS h40
+       |  FROM grams
+       |),
+       |sel AS (
+       |  SELECT doc_id, p, n,
+       |    min(h40 * $winnow2p21 + (${winnow2p21 - 1} - p)) OVER
+       |      (PARTITION BY doc_id ORDER BY p
+       |       ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS m
+       |  FROM h
+       |)
+       |SELECT DISTINCT doc_id,
+       |  CAST(${winnow2p21 - 1} - (m % $winnow2p21) AS INT) AS pos,
+       |  CAST(m // $winnow2p21 AS BIGINT) AS fp
+       |FROM sel WHERE p <= n - $winnowW + 1
+       |ORDER BY doc_id, pos""".stripMargin
+  ) { (spark, dir) =>
+    docs(spark, dir)
+    spark.sql(
+      s"""WITH norm AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS t
+         |  FROM documents
+         |),
+         |g0 AS (
+         |  SELECT doc_id, t, length(t) - $winnowK + 1 AS n
+         |  FROM norm WHERE length(t) >= $winnowK
+         |),
+         |grams AS (
+         |  SELECT doc_id, p, n, t
+         |  FROM g0 LATERAL VIEW explode(sequence(1, n)) s AS p
+         |),
+         |h AS (
+         |  SELECT doc_id, p, n,
+         |    ${Dedup.hash60SparkSql(s"substring(t, p, $winnowK)")} % $winnow2p40 AS h40
+         |  FROM grams
+         |),
+         |sel AS (
+         |  SELECT doc_id, p, n,
+         |    min(h40 * $winnow2p21 + (${winnow2p21 - 1} - p)) OVER
+         |      (PARTITION BY doc_id ORDER BY p
+         |       ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS m
+         |  FROM h
+         |)
+         |SELECT DISTINCT doc_id,
+         |  CAST(${winnow2p21 - 1} - (m % $winnow2p21) AS INT) AS pos,
+         |  CAST(m div $winnow2p21 AS BIGINT) AS fp
+         |FROM sel WHERE p <= n - $winnowW + 1
+         |ORDER BY doc_id, pos""".stripMargin)
+  }
+
   // --- vocabulary building: corpus term + document frequencies ------------
   // The tokenizer stage of a training pipeline: explode tokens, aggregate
   // term frequency and document frequency, keep the top of the
@@ -471,6 +560,6 @@ object TextAnalysis {
   }
 
   val all: Seq[QueryDef] =
-    Seq(tokenCount, quality, langId, fingerprint, vocab, tfidf, repetition, pii,
-      boilerplate, heavyHitters)
+    Seq(tokenCount, quality, langId, fingerprint, winnow, vocab, tfidf,
+      repetition, pii, boilerplate, heavyHitters)
 }
