@@ -223,6 +223,20 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "rn <= k lost its partial top-k")
   }
 
+  test("ta_winnow: gram hashes compute map-side — no exchange ever carries document text") {
+    val p = plan("ta_winnow")
+    assert(p.contains("Generate"), "the gram-position explode disappeared")
+    // every Exchange's Input list must be hash/position columns only: the
+    // n-rows-per-doc blowup must never ride a shuffle with the text column
+    val exchangeInputs = """\(\d+\) Exchange\n(Input[^\n]*)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, "no Exchange details found in formatted plan")
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("t#") && !in.contains("text#"),
+        s"an exchange carries document text: $in")
+    }
+  }
+
   test("pipeline_shuffle: shard-parallel window — never a single-partition global rank") {
     val p = plan("pipeline_shuffle")
     // the whole point of the shard design: a global row_number would plan
