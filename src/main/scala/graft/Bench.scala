@@ -225,7 +225,8 @@ object Bench {
     val sf1PipelineSet = Seq(
       queries.Dedup.minhash, queries.Dedup.incremental,
       queries.Dedup.containment,
-      queries.Dedup.clusters, queries.TextAnalysis.tfidf,
+      queries.Dedup.clusters, queries.Dedup.embeddingCosineWide,
+      queries.TextAnalysis.tfidf,
       queries.Events.gapfillSeriesDef, queries.Similarity.ivfC256)
     // sf10 docs is where banding/explode become compute-bound (at sf1 the
     // doc pipelines are overhead-dominated); events/embeddings join the
@@ -241,7 +242,11 @@ object Bench {
            queries.TextAnalysis.tfidf,
            queries.Curate.curate, queries.Curate.decontam) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "embeddings"))
-         Seq(queries.Dedup.embeddingCosine) else Nil) ++
+         // the WIDE configuration: the 4×4-band default is Θ(N²/16) by
+         // construction and filled the disk with shuffle spill at sf10
+         // (200k vectors → ~1.2G candidate pairs); the 16×16 centered
+         // variant is the corpus-sized path SCALE.md documents.
+         Seq(queries.Dedup.embeddingCosineWide) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "events"))
          Seq(queries.Events.gapfillSeriesDef, queries.Events.sessionize,
            queries.Events.windowAgg) else Nil)

@@ -782,6 +782,154 @@ object Dedup {
   val embeddingCosine: QueryDef =
     QueryDef.sqlBacked("dedup_embedding_cosine", embeddingOracle)(embeddingCosinePairs(_, _))
 
+  // --- embedding-cosine at scale: wide centered bands + exact collapse ----
+  // The 4×4-band default above is a SMALL-CORPUS configuration: 4-bit
+  // band values give at most 16 buckets per band, so candidates are
+  // Θ(N²/16) regardless of how dissimilar the corpus is — at sf10
+  // (200k vectors) that is ~1.2 G pairs and the r10 bench filled the
+  // disk with its shuffle spill. Two structural fixes make the wide
+  // variant linear-ish at any N:
+  //  1. BAND WIDTH SIZED TO THE CORPUS. Random collisions per band are
+  //     ~C(N,2)/2^bits, so bits must grow with log2(N) — 16-bit bands
+  //     give 65 536 buckets (~5 M candidates at sf10, ~0.3 T at 100 TB
+  //     scale with bits raised to 24; the knob, not the shape, changes).
+  //  2. CENTERED plane components. The default's components are all
+  //     positive (hash%1000/1000 ∈ [0,1)), which makes every hyperplane
+  //     point into the positive orthant — planes pairwise-correlated, so
+  //     nominal bits collapse (measured on the sf0.01 corpus: 16-bit
+  //     signatures took only 304 of 500 possible distinct values with a
+  //     75-vector hot bucket; centered components give 497 distinct,
+  //     max bucket 2). Components here are (hash%2001−1000)/1000 ∈
+  //     [−1, 1] — sign-balanced, so p(bit)=½ and buckets meet their
+  //     2^-bits budget.
+  // Recall follows the standard hyperplane-LSH math: p(bit agree) =
+  // 1 − θ/π, so a cosine-0.95 pair survives a 16-bit band with
+  // p^16 ≈ 0.18 and 16 bands catch it with 1−(1−0.18)^16 ≈ 0.96;
+  // the 0.9 default threshold targets true near-duplicates, where this
+  // budget is honest (at the default's 0.3 threshold no sub-quadratic
+  // scheme exists for near-orthogonal data — that configuration is for
+  // corpora small enough to afford Θ(N²/2^bits)).
+  // Exact-duplicate collapse rides the same is_rep pattern as the text
+  // paths: identical vectors (PARTITION BY the vector itself) collapse
+  // to one representative BEFORE banding, within-group pairs are emitted
+  // directly (cosine = dot(v,v)), and verified rep pairs re-expand to
+  // member pairs — a corpus with a million identical vectors no longer
+  // sends copies² rows through every band bucket (cosine is symmetric,
+  // so re-expansion needs only least/greatest, not the direction swap
+  // containment's asymmetric ratios required). Bands are computed per
+  // band with its own bits×64 matrix (planes b·bits..b·bits+bits−1) —
+  // an int signature per band, so band width never fights the 64-bit
+  // packed-signature limit. Candidate exchanges carry (vec_id, band_idx,
+  // band_val) only — never the vectors.
+  private def planeCSpark(p: String, d: String): String =
+    s"(CAST(${portableHash60Spark(s"concat(CAST($p AS STRING), '_', CAST($d AS STRING))")} % 2001 AS DOUBLE) - 1000) / 1000.0"
+  private def planeCDuck(p: String, d: String): String =
+    s"(CAST(${portableHash60Duck(s"concat(CAST($p AS VARCHAR), '_', CAST($d AS VARCHAR))")} % 2001 AS DOUBLE) - 1000) / 1000.0"
+
+  def embeddingCosinePairsWide(spark: SparkSession, dir: String,
+      threshold: Double = 0.9, nBands: Int = 16, bits: Int = 16): DataFrame = {
+    Engine.table(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val grp = graft.Engine.cacheSwap("emb_grp", spark.sql(
+      s"""SELECT vec_id, v, min(vec_id) OVER (PARTITION BY v) AS rep
+         |FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings)""".stripMargin))
+    grp.createOrReplaceTempView("emb_grp")
+    spark.sql(
+      s"""WITH planes AS (
+         |  SELECT b, transform(sequence(0, ${bits - 1}), q ->
+         |    transform(sequence(0, 63), d ->
+         |      ${planeCSpark(s"b * $bits + q", "d")})) AS pm
+         |  FROM (SELECT explode(sequence(0, ${nBands - 1})) AS b)
+         |),
+         |reps AS (SELECT vec_id, v FROM emb_grp WHERE vec_id = rep),
+         |bands AS (
+         |  SELECT vec_id, b AS band_idx, hyperplane_sig(v, pm) AS band_val
+         |  FROM reps CROSS JOIN planes
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.vec_id < b.vec_id
+         |),
+         |verified AS (
+         |  SELECT id_a, id_b, dot_product(sa.v, sb.v) AS cosine
+         |  FROM cand
+         |  JOIN reps sa ON id_a = sa.vec_id
+         |  JOIN reps sb ON id_b = sb.vec_id
+         |  WHERE dot_product(sa.v, sb.v) >= $threshold
+         |),
+         |expanded AS (
+         |  SELECT least(ma.vec_id, mb.vec_id) AS id_a,
+         |         greatest(ma.vec_id, mb.vec_id) AS id_b, v.cosine
+         |  FROM verified v
+         |  JOIN emb_grp ma ON ma.rep = v.id_a
+         |  JOIN emb_grp mb ON mb.rep = v.id_b
+         |),
+         |within AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         dot_product(a.v, b.v) AS cosine
+         |  FROM emb_grp a JOIN emb_grp b
+         |    ON a.rep = b.rep AND a.vec_id < b.vec_id
+         |  WHERE dot_product(a.v, b.v) >= $threshold
+         |)
+         |SELECT id_a, id_b, cosine FROM expanded
+         |UNION ALL
+         |SELECT id_a, id_b, cosine FROM within
+         |ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  private def embeddingWideOracle(threshold: Double, nBands: Int, bits: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |grp AS (SELECT vec_id, v, min(vec_id) OVER (PARTITION BY v) AS rep FROM e),
+       |reps AS (SELECT vec_id, v FROM grp WHERE vec_id = rep),
+       |bands AS (
+       |  SELECT vec_id, b AS band_idx,
+       |    list_reduce(list_prepend(0, list_transform(range(0, $bits), q ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |             list_transform(range(1, len(v) + 1), i -> v[i] * (${planeCDuck(s"b * $bits + q", "i - 1")}))),
+       |             (x, y) -> x + y) >= 0
+       |           THEN (1 << q) ELSE 0 END)), (a, b) -> a + b) AS band_val
+       |  FROM reps, range(0, $nBands) t(b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.vec_id < b.vec_id
+       |),
+       |verified AS (
+       |  SELECT id_a, id_b, ${dotDuck("sa.v", "sb.v")} AS cosine
+       |  FROM cand
+       |  JOIN reps sa ON id_a = sa.vec_id
+       |  JOIN reps sb ON id_b = sb.vec_id
+       |  WHERE ${dotDuck("sa.v", "sb.v")} >= $threshold
+       |),
+       |expanded AS (
+       |  SELECT least(ma.vec_id, mb.vec_id) AS id_a,
+       |         greatest(ma.vec_id, mb.vec_id) AS id_b, v.cosine
+       |  FROM verified v
+       |  JOIN grp ma ON ma.rep = v.id_a
+       |  JOIN grp mb ON mb.rep = v.id_b
+       |),
+       |within AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${dotDuck("a.v", "b.v")} AS cosine
+       |  FROM grp a JOIN grp b ON a.rep = b.rep AND a.vec_id < b.vec_id
+       |  WHERE ${dotDuck("a.v", "b.v")} >= $threshold
+       |)
+       |SELECT id_a, id_b, cosine FROM expanded
+       |UNION ALL
+       |SELECT id_a, id_b, cosine FROM within
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val embeddingCosineWide: QueryDef =
+    QueryDef.sqlBacked("dedup_embedding_cosine_w", embeddingWideOracle(0.9, 16, 16))(
+      embeddingCosinePairsWide(_, _))
+
   // --- transitive dedup clusters (connected components) -------------------
   // Near-dup PAIRS are not enough to deduplicate a corpus: if A~B and B~C,
   // all three are one cluster even when A~C is below threshold. Cluster id
@@ -970,5 +1118,5 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, exactHash, minhash, incremental, simhash, ngramJaccard,
-      containment, embeddingCosine, clusters)
+      containment, embeddingCosine, embeddingCosineWide, clusters)
 }
