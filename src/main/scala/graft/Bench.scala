@@ -35,14 +35,25 @@ import org.apache.spark.sql.SparkSession
   *
   * Big tiers (VERDICT r6 #1 / r7 #3 / r8 #4): when `benchdata/sf1|sf10`
   * are missing, Bench GENERATES them via [[GenData.generate]] before
-  * measuring (deterministic, join-preserving — see GenData's scaladoc),
-  * so the driver's per-round artifact always carries "sf1"/"sf10"
-  * sections. Opt out with SPARK_GRAFT_GEN_TIERS=0. Round 5 proved sf0.1
-  * deltas under ~30% are scheduler noise; the big tiers are where plan
-  * regressions are actually measurable. All values are rounded to
-  * milliseconds so the whole line stays inside the driver's tail-capture
-  * window (BENCH_r06's full-precision doubles overflowed it →
-  * "parsed": null).
+  * measuring (deterministic, join-preserving — see GenData's scaladoc).
+  * Opt out with SPARK_GRAFT_GEN_TIERS=0. Round 5 proved sf0.1 deltas
+  * under ~30% are scheduler noise; the big tiers are where plan
+  * regressions are actually measurable.
+  *
+  * Truncation discipline (VERDICT r10 #1): the single mega-line grew
+  * past the driver's ~2.3 KB stdout tail window twice (BENCH_r06 via
+  * full-precision doubles, BENCH_r10 via tier growth — both landed as
+  * `parsed: null`, silently dropping the `errors` key). Output is now
+  * three-layered so no capture window can lose data again:
+  *   1. one SHORT `{"bench_tier":...}` JSON line per tier, printed the
+  *      moment that tier completes (crash-resilient progress record);
+  *   2. the COMPLETE artifact — old single-object format, every tier +
+  *      funnel/sweep/ivm extras + errors — rewritten to a committed
+  *      file (`bench/BENCH_LOCAL.json`, override via
+  *      SPARK_GRAFT_BENCH_OUT) after every tier;
+  *   3. the FINAL stdout line (what the driver tail-captures) stays
+  *      compact: sf0.1 headline + errors + a pointer to the artifact
+  *      file — it no longer grows when tiers are added.
   */
 object Bench {
   private val warmDir = "/root/testdata/sf0.001"
@@ -191,10 +202,35 @@ object Bench {
     }
   }
 
+  // Full-artifact sections beyond the sf0.1 headline (tier objects and
+  // evidence extras), keyed by their top-level JSON name, insertion-ordered.
+  private val extras = scala.collection.mutable.LinkedHashMap[String, String]()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
+    val artifactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_LOCAL.json")
+    // sf0.1 headline fields, filled after the first cells complete; the
+    // artifact file is rewritten after EVERY tier so a crash mid-run still
+    // leaves everything measured so far on disk.
+    var headlineFields = ""
+    def writeArtifact(): Unit = try {
+      val extra =
+        if (extras.isEmpty) ""
+        else "," + extras.map { case (k, v) => jstr(k) + ":" + v }.mkString(",")
+      val body = s"""{"metric":"total"$headlineFields$extra,"errors":$errorsJson}"""
+      val p = java.nio.file.Paths.get(artifactPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed ($artifactPath): $e")
+    }
+    def emitTier(name: String, obj: String): Unit = {
+      println(s"""{"bench_tier":${jstr(name)},"data":$obj}""")
+      System.out.flush()
+      writeArtifact()
+    }
     def has(dir: String, t: String) = new java.io.File(s"$dir/$t.parquet").exists
     val haveSf1 = ensureTier(sf1Dir, 10)
     val haveSf10 = ensureTier(sf10Dir, 100)
@@ -264,95 +300,113 @@ object Bench {
       Seq(queries.Dedup.minhash, queries.TextAnalysis.tfidf)
     val sf10ScaledSet = bigScaledTpch ++ sf10PipelineSet
 
+    def total(res: Seq[(String, Option[Double])]): Double =
+      res.collect { case (_, Some(v)) => v }.sum
+
+    def tierObj(dir: String, res: Seq[(String, Option[Double])],
+        pipe: Seq[(String, Option[Double])], sc: Seq[(String, Option[Double])],
+        c1: Double, c2: Double): String =
+      s"""{"dir":"$dir","total":${r3(total(res))},"cal":${r3(c1)},"queries":${toJson(res)},"pipeline":${toJson(pipe)},"floor":${floorJson(c1, res, pipe)},"scaling":{"cpus":$fewCpus,"cal":${r3(c2)},"queries":${toJson(sc)}}}"""
+
     // sf0.1 tier
     val (Seq(results, pipeline), cal) =
       cell(cpus, sfDir, Seq(tpch -> 3, pipelineSet -> 2), withProbe = true)
     val (Seq(scaled), calScaled) =
       cell(fewCpus, sfDir, Seq(scaledSet -> 2), withProbe = false)
+    // sf0.1 lives INLINE in the artifact (the format every prior round's
+    // reader knows); the tier line carries the same object.
+    headlineFields =
+      s""","value":${r3(total(results))},"unit":"sec","cal":${r3(cal)},"queries":${toJson(results)},"pipeline":${toJson(pipeline)},"floor":${floorJson(cal, results, pipeline)},"scaling":{"cpus":$fewCpus,"cal":${r3(calScaled)},"queries":${toJson(scaled)}},"sf":"$sfDir""""
+    emitTier("sf0.1", tierObj(sfDir, results, pipeline, scaled, cal, calScaled))
 
     // sf1 tier
-    val (sf1Results, sf1Pipeline, sf1Scaled, sf1Cal, sf1CalScaled) =
-      if (haveSf1) {
-        val (Seq(a, b), c1) =
-          cell(cpus, sf1Dir, Seq(tpch -> 2, sf1PipelineSet -> 2), withProbe = true)
-        val (Seq(c), c2) = cell(fewCpus, sf1Dir, Seq(sf1ScaledSet -> 2), withProbe = false)
-        (a, b, c, c1, c2)
-      } else (Seq.empty, Seq.empty, Seq.empty, 0.0, 0.0)
+    if (haveSf1) {
+      val (Seq(a, b), c1) =
+        cell(cpus, sf1Dir, Seq(tpch -> 2, sf1PipelineSet -> 2), withProbe = true)
+      val (Seq(c), c2) = cell(fewCpus, sf1Dir, Seq(sf1ScaledSet -> 2), withProbe = false)
+      extras("sf1") = tierObj(sf1Dir, a, b, c, c1, c2)
+      emitTier("sf1", extras("sf1"))
+    }
 
     // Containment verification-funnel evidence at sf1 (VERDICT r6 #8):
     // candidate → hashed-prefilter → exact-verified counts, in the JSON
     // so SCALE.md can quote a committed artifact.
-    val funnel: Option[(Long, Long, Long)] =
-      if (haveSf1) {
-        val s = Engine.build()
-        try {
-          val f = queries.Dedup.containmentFunnel(s, sf1Dir)
-          System.err.println(
-            s"[bench] containment funnel @sf1: cand=${f._1} prelim=${f._2} rpairs=${f._3}")
-          Some(f)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] containment funnel failed: $e"); None
-        } finally s.stop()
-      } else None
+    if (haveSf1) {
+      val s = Engine.build()
+      try {
+        val f = queries.Dedup.containmentFunnel(s, sf1Dir)
+        System.err.println(
+          s"[bench] containment funnel @sf1: cand=${f._1} prelim=${f._2} rpairs=${f._3}")
+        extras("containment_funnel_sf1") =
+          s"""{"cand":${f._1},"prelim":${f._2},"rpairs":${f._3}}"""
+        emitTier("containment_funnel_sf1", extras("containment_funnel_sf1"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] containment funnel failed: $e")
+      } finally s.stop()
+    }
 
     // Recall-vs-nProbe trade-off at sf1 (VERDICT r9 #4): recall@10 plus
     // probe latency per probe width — the table an ANN user reads when
     // choosing nProbe; SCALE.md quotes this committed artifact. First
     // point double-timed so cache/codegen warmup isn't billed to nProbe=1.
-    val annSweep: Seq[(Int, Double, Double)] =
-      if (haveSf1) {
-        val s = Engine.build()
-        try {
-          queries.Similarity.ivfTopK(s, sf1Dir)
-            .write.format("noop").mode("overwrite").save()
-          Seq(1, 2, 4, 8, 16).map { np =>
-            def once(): Double = {
-              val t0 = System.nanoTime()
-              queries.Similarity.ivfTopK(s, sf1Dir, nProbe = np)
-                .write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9
-            }
-            val sec = math.min(once(), once())
-            val rec = queries.Similarity.meanRecallAtNProbe(s, sf1Dir, np)
-            System.err.println(f"[bench] ann sweep nProbe=$np: recall@10=$rec%.4f ${sec}%.3fs")
-            (np, rec, sec)
+    if (haveSf1) {
+      val s = Engine.build()
+      try {
+        queries.Similarity.ivfTopK(s, sf1Dir)
+          .write.format("noop").mode("overwrite").save()
+        val sweep = Seq(1, 2, 4, 8, 16).map { np =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            queries.Similarity.ivfTopK(s, sf1Dir, nProbe = np)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
           }
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] ann nProbe sweep failed: $e"); Seq.empty
-        } finally s.stop()
-      } else Seq.empty
+          val sec = math.min(once(), once())
+          val rec = queries.Similarity.meanRecallAtNProbe(s, sf1Dir, np)
+          System.err.println(f"[bench] ann sweep nProbe=$np: recall@10=$rec%.4f ${sec}%.3fs")
+          (np, rec, sec)
+        }
+        extras("ann_nprobe_sweep_sf1") = sweep.map { case (np, rec, sec) =>
+          s""""p$np":{"recall":${math.rint(rec * 10000) / 10000},"sec":${r3(sec)}}"""
+        }.mkString("{", ",", "}")
+        emitTier("ann_nprobe_sweep_sf1", extras("ann_nprobe_sweep_sf1"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ann nProbe sweep failed: $e")
+      } finally s.stop()
+    }
 
     // IVM refresh-cost independence (VERDICT r9 #5): the SAME 10k-row
     // delta applied to views whose bases differ 10× (sf0.1 vs sf1
     // lineitem) must refresh in ~equal time — applyDelta's inputs are the
     // state partials and the delta, never the base. A ratio near 1 is the
     // committed evidence behind SCALE.md's O(|state|+|delta|) claim.
-    val ivmDelta: Option[(Double, Double)] =
-      if (haveSf1) {
-        val s = Engine.build()
-        try {
-          def refreshTime(baseDir: String): Double = {
-            val tmp = java.nio.file.Files
-              .createTempDirectory("graft_bench_ivm_").toString
-            val view = new ivm.IncrementalAggView(s,
-              Seq("l_returnflag", "l_linestatus"),
-              Seq("l_quantity", "l_extendedprice"), tmp)
-            view.initialize(Engine.table(s, baseDir, "lineitem"))
-            val delta = Engine.table(s, sfDir, "lineitem")
-              .filter("l_orderkey % 97 = 0").limit(10000)
-              .withColumn("__freq", org.apache.spark.sql.functions.lit(1L))
-            val t0 = System.nanoTime()
-            view.applyDelta(delta)
-            (System.nanoTime() - t0) / 1e9
-          }
-          val r = (refreshTime(sfDir), refreshTime(sf1Dir))
-          System.err.println(
-            f"[bench] ivm delta refresh: sf0.1 base ${r._1}%.3fs, sf1 base ${r._2}%.3fs")
-          Some(r)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] ivm delta refresh failed: $e"); None
-        } finally s.stop()
-      } else None
+    if (haveSf1) {
+      val s = Engine.build()
+      try {
+        def refreshTime(baseDir: String): Double = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_bench_ivm_").toString
+          val view = new ivm.IncrementalAggView(s,
+            Seq("l_returnflag", "l_linestatus"),
+            Seq("l_quantity", "l_extendedprice"), tmp)
+          view.initialize(Engine.table(s, baseDir, "lineitem"))
+          val delta = Engine.table(s, sfDir, "lineitem")
+            .filter("l_orderkey % 97 = 0").limit(10000)
+            .withColumn("__freq", org.apache.spark.sql.functions.lit(1L))
+          val t0 = System.nanoTime()
+          view.applyDelta(delta)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val r = (refreshTime(sfDir), refreshTime(sf1Dir))
+        System.err.println(
+          f"[bench] ivm delta refresh: sf0.1 base ${r._1}%.3fs, sf1 base ${r._2}%.3fs")
+        extras("ivm_delta_refresh") =
+          s"""{"base_sf01":${r3(r._1)},"base_sf1":${r3(r._2)}}"""
+        emitTier("ivm_delta_refresh", extras("ivm_delta_refresh"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ivm delta refresh failed: $e")
+      } finally s.stop()
+    }
 
     // sf10 tier: best-of-3 TPC-H — the 1.5 GB tier is page-cache
     // sensitive (a cold lineitem read costs ~10 s by itself) and with two
@@ -362,40 +416,19 @@ object Bench {
     // but this VM throws occasional 2-3x outlier runs — with best-of-2 a
     // single outlier pair produced r9's "9.4 s at 32c vs 5.0 s at 8c"
     // phantom inversion; one more pass makes the min robust to one outlier.
-    val (sf10Results, sf10Pipeline, sf10Scaled, sf10Cal, sf10CalScaled) =
-      if (haveSf10) {
-        val (Seq(a, b), c1) =
-          cell(cpus, sf10Dir, Seq(tpch -> 3, sf10PipelineSet -> 3), sf10Probe)
-        val (Seq(c), c2) = cell(fewCpus, sf10Dir, Seq(sf10ScaledSet -> 3), sf10Probe)
-        (a, b, c, c1, c2)
-      } else (Seq.empty, Seq.empty, Seq.empty, 0.0, 0.0)
-
-    def total(res: Seq[(String, Option[Double])]): Double =
-      res.collect { case (_, Some(v)) => v }.sum
-
-    def tierJson(label: String, dir: String, res: Seq[(String, Option[Double])],
-        pipe: Seq[(String, Option[Double])], sc: Seq[(String, Option[Double])],
-        c1: Double, c2: Double): String =
-      s""","$label":{"dir":"$dir","total":${r3(total(res))},"cal":${r3(c1)},"queries":${toJson(res)},"pipeline":${toJson(pipe)},"floor":${floorJson(c1, res, pipe)},"scaling":{"cpus":$fewCpus,"cal":${r3(c2)},"queries":${toJson(sc)}}}"""
-
-    val sf1Section = {
-      val base =
-        if (haveSf1) tierJson("sf1", sf1Dir, sf1Results, sf1Pipeline, sf1Scaled, sf1Cal, sf1CalScaled)
-        else ""
-      base + funnel.map { case (c, p, r) =>
-        s""","containment_funnel_sf1":{"cand":$c,"prelim":$p,"rpairs":$r}"""
-      }.getOrElse("") + {
-        if (annSweep.isEmpty) ""
-        else annSweep.map { case (np, rec, sec) =>
-          s""""p$np":{"recall":${math.rint(rec * 10000) / 10000},"sec":${r3(sec)}}"""
-        }.mkString(""","ann_nprobe_sweep_sf1":{""", ",", "}")
-      } + ivmDelta.map { case (a, b) =>
-        s""","ivm_delta_refresh":{"base_sf01":${r3(a)},"base_sf1":${r3(b)}}"""
-      }.getOrElse("")
+    if (haveSf10) {
+      val (Seq(a, b), c1) =
+        cell(cpus, sf10Dir, Seq(tpch -> 3, sf10PipelineSet -> 3), sf10Probe)
+      val (Seq(c), c2) = cell(fewCpus, sf10Dir, Seq(sf10ScaledSet -> 3), sf10Probe)
+      extras("sf10") = tierObj(sf10Dir, a, b, c, c1, c2)
+      emitTier("sf10", extras("sf10"))
     }
-    val sf10Section =
-      if (haveSf10) tierJson("sf10", sf10Dir, sf10Results, sf10Pipeline, sf10Scaled, sf10Cal, sf10CalScaled)
-      else ""
-    println(s"""{"metric":"total","value":${r3(total(results))},"unit":"sec","cal":${r3(cal)},"queries":${toJson(results)},"pipeline":${toJson(pipeline)},"floor":${floorJson(cal, results, pipeline)},"scaling":{"cpus":$fewCpus,"cal":${r3(calScaled)},"queries":${toJson(scaled)}},"errors":$errorsJson,"sf":"$sfDir"$sf1Section$sf10Section}""")
+
+    writeArtifact()
+    // The LAST stdout line — the one the driver's tail capture parses —
+    // stays compact and fixed-shape: sf0.1 headline + errors + artifact
+    // pointer. Big-tier numbers live in the per-tier lines above and the
+    // committed artifact file; adding tiers can never truncate this line.
+    println(s"""{"metric":"total","value":${r3(total(results))},"unit":"sec","cal":${r3(cal)},"queries":${toJson(results)},"pipeline":${toJson(pipeline)},"errors":$errorsJson,"sf":"$sfDir","artifact":"$artifactPath"}""")
   }
 }
