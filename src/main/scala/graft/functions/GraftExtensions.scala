@@ -45,7 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("quant_stats", "[scale, max_err, mse] of symmetric int8 quantization of a float/double vector",
         exprs => QuantStats(exprs.head)),
       ("rep_stats", "[n_tokens, n_3grams, n_distinct_3grams, top_token_count] of a token array",
-        exprs => RepStats(exprs.head)))
+        exprs => RepStats(exprs.head)),
+      ("text_stats", "[n_tokens, n_stopwords, n_words, n_distinct_words] of a raw document string",
+        exprs => TextStats(exprs.head)))
     val fns = base ++ GraftFunctions.referenceNames.map { case (name, builder) =>
       (name, s"reference registry name $name (cast/predicate semantics)", builder)
     }

@@ -222,6 +222,8 @@ object GraftFunctions {
       "quant_stats", exprs => QuantStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "rep_stats", exprs => RepStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "text_stats", exprs => TextStats(exprs.head), "built-in")
     GraftFunctions.referenceNames.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
