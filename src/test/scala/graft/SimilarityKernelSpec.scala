@@ -88,7 +88,10 @@ class SimilarityKernelSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
     val total = Engine.table(spark, sf, "embeddings").count()
     assert(out.length == total, "every vector must be reported exactly once")
-    assert(out.map(_._2).distinct.forall(c => c >= 0 && c < 16))
+    // C is corpus-sized: smallest power of two with C² ≥ N, floored at 16
+    val c = queries.Similarity.semanticC(total)
+    assert(c * c >= total && (c == 16 || (c / 2) * (c / 2) < total))
+    assert(out.map(_._2).distinct.forall(cell => cell >= 0 && cell < c))
 
     // recompute the keep rule the expensive way: exact within-cell cosine
     val vecs = Engine.table(spark, sf, "embeddings").collect()
