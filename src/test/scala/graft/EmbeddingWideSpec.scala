@@ -116,4 +116,24 @@ class EmbeddingWideSpec extends AnyFunSuite {
           s"vectors entered a candidate-side exchange: $in / $args")
     }
   }
+
+  test("L2-normalized input contract: unnormalized exact duplicates are dropped") {
+    // The verification predicate is the RAW dot product (== cosine only
+    // at unit norm — the documented input contract, ADVICE r10). A pair
+    // of identical vectors at norm 0.5 has dot = ||v||² = 0.25 < 0.9 and
+    // must NOT surface; the same pair scaled to unit norm must.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_embnorm_").toString
+    val unit = normalize(Array.fill(dims)(1.0))
+    val small = unit.map(_ * 0.5)
+    Seq((0L, small.map(_.toFloat), 0), (1L, small.map(_.toFloat), 0),
+      (10L, unit.map(_.toFloat), 0), (11L, unit.map(_.toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val pairs = Dedup.embeddingCosinePairsWide(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((0L, 1L)),
+      "sub-unit-norm duplicates must be dropped by the raw-dot predicate")
+    assert(pairs.contains((10L, 11L)), "unit-norm duplicates must surface")
+  }
 }
