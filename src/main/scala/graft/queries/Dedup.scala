@@ -423,11 +423,13 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4, maxDf: Int = 10): DataFrame = {
     cachedShingles(spark, dir)
-    // The inverted index keys on xxhash64(shingle), not the shingle text:
-    // the doc-frequency shuffle and the candidate self-join then carry
-    // 8-byte keys instead of ~30-byte strings. (A 64-bit collision would
-    // merge two shingles' postings — ~2^-64 per pair, and candidates are
-    // still verified by exact Jaccard on the real shingle sets.)
+    // The inverted index keys on the pre-hashed shingles (hshingles =
+    // sorted xxhash64 of the shingle set, already in the cached
+    // relation): the doc-frequency shuffle and the candidate self-join
+    // carry 8-byte keys instead of ~30-byte strings. (A 64-bit collision
+    // would merge two shingles' postings — ~2^-64 per pair, and
+    // candidates are still verified by exact Jaccard on the real shingle
+    // sets.)
     //
     // No rep collapse here, deliberately: this operator's contract (and
     // oracle) counts doc frequency per COPY, so the df ≤ maxDf cap
@@ -439,23 +441,62 @@ object Dedup {
     // robustness. Contrast dedup_containment, whose EXACT oracle turns
     // the same cap into a correctness hole — there the collapse is
     // load-bearing.
+    //
+    // Candidate admission requires ≥2 SHARED rare shingles per pair
+    // (round 11 — the same tightening containment landed in r10, for the
+    // same reason: random co-occurrences overwhelmingly share exactly
+    // one rare shingle, and at sf10 the 1-shared candidate tail was
+    // ~tens of millions of pairs whose STRING shingle arrays then rode
+    // two verify exchanges — the 208-second slowest-cell artifact of the
+    // r11 bench, with no core scaling because it was shuffle-volume
+    // bound). A true J ≥ 0.4 pair shares ≥ 40% of the shingle union,
+    // rare shingles included, so real pairs clear the bar; docs OWNING
+    // <2 rare shingles can never clear it and fall back to the 1-shared
+    // rule (min(nrare) rides the same pair GROUP BY — no side joins).
+    // The oracle applies the identical admission rule: like the banded
+    // paths, the candidate policy IS part of this operator's declared
+    // (approximate) contract, and the policy is engine-replayed.
+    //
+    // Verification is two-phase as in containment: phase 1 prefilters
+    // candidates on the HASHED arrays via containment_stats64 — max
+    // containment ≥ Jaccard always (|∩|/min(|a|,|b|) ≥ |∩|/|∪|), and
+    // hash collisions only inflate the ratio, so `ch[2] ≥ t` admits a
+    // superset of every true J ≥ t pair at ¼ the exchange payload.
+    // Phase 2 re-joins only the survivors to the string arrays for the
+    // exact merge-walk Jaccard that is reported.
     spark.sql(
-      s"""WITH inv AS (
-         |  SELECT xxhash64(shingle) AS sid, doc_id
-         |  FROM dedup_sh LATERAL VIEW explode(shingles) t AS shingle
-         |),
-         |rare AS (
-         |  SELECT sid FROM inv GROUP BY sid HAVING count(*) <= $maxDf
+      s"""WITH rinv AS (
+         |  SELECT sid, doc_id, count(*) OVER (PARTITION BY doc_id) AS nrare
+         |  FROM (
+         |    SELECT sid, doc_id FROM (
+         |      SELECT sid, doc_id, count(*) OVER (PARTITION BY sid) AS df
+         |      FROM dedup_sh LATERAL VIEW explode(hshingles) t AS sid)
+         |    WHERE df <= $maxDf)
          |),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM inv a JOIN rare r ON a.sid = r.sid
-         |             JOIN inv b ON a.sid = b.sid
-         |  WHERE a.doc_id < b.doc_id
+         |  SELECT id_a, id_b
+         |  FROM (
+         |    SELECT /*+ SHUFFLE_HASH(a) */
+         |           a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nshared,
+         |           min(a.nrare) AS nrare_a, min(b.nrare) AS nrare_b
+         |    FROM rinv a JOIN rinv b ON a.sid = b.sid
+         |    WHERE a.doc_id < b.doc_id
+         |    GROUP BY a.doc_id, b.doc_id
+         |  ) g
+         |  WHERE nshared >= 2 OR nrare_a < 2 OR nrare_b < 2
+         |),
+         |prelim AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b,
+         |      containment_stats64(sa.hshingles, sb.hshingles) AS ch
+         |    FROM cand c
+         |    JOIN dedup_sh sa ON c.id_a = sa.doc_id
+         |    JOIN dedup_sh sb ON c.id_b = sb.doc_id) p
+         |  WHERE ch[2] >= $threshold
          |)
          |SELECT c.id_a, c.id_b,
          |  jaccard_sorted(sa.shingles, sb.shingles) AS jaccard
-         |FROM cand c
+         |FROM prelim c
          |JOIN dedup_sh sa ON c.id_a = sa.doc_id
          |JOIN dedup_sh sb ON c.id_b = sb.doc_id
          |WHERE jaccard_sorted(sa.shingles, sb.shingles) >= $threshold
@@ -464,17 +505,24 @@ object Dedup {
 
   private val ngramOracle =
     s"""WITH sh AS ($shingleDuck),
-       |inv AS (
-       |  SELECT unnest(shingles) AS shingle, doc_id FROM sh
-       |),
-       |rare AS (
-       |  SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 10
+       |rinv AS (
+       |  SELECT shingle, doc_id, count(*) OVER (PARTITION BY doc_id) AS nrare
+       |  FROM (
+       |    SELECT shingle, doc_id FROM (
+       |      SELECT shingle, doc_id, count(*) OVER (PARTITION BY shingle) AS df
+       |      FROM (SELECT unnest(shingles) AS shingle, doc_id FROM sh) i) d
+       |    WHERE df <= 10) r
        |),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM inv a JOIN rare r ON a.shingle = r.shingle
-       |             JOIN inv b ON a.shingle = b.shingle
-       |  WHERE a.doc_id < b.doc_id
+       |  SELECT id_a, id_b
+       |  FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nshared,
+       |           min(a.nrare) AS nrare_a, min(b.nrare) AS nrare_b
+       |    FROM rinv a JOIN rinv b ON a.shingle = b.shingle
+       |    WHERE a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id
+       |  ) g
+       |  WHERE nshared >= 2 OR nrare_a < 2 OR nrare_b < 2
        |)
        |SELECT c.id_a, c.id_b,
        |  ${jaccardDuck("sa.shingles", "sb.shingles")} AS jaccard
