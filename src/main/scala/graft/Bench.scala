@@ -145,10 +145,20 @@ object Bench {
       // clearSwapCaches between QUERIES (not between a query's n runs):
       // each measurement starts from a clean unified-memory pool, so a
       // pipeline's cached intermediate can't tax whatever runs after it.
+      // System.gc() after the release for the same reason at the HEAP
+      // level: the r11 first run measured pipeline_curate at 22.6 s
+      // in-cell vs 4.7-6.9 s standalone in a fresh session (decontam
+      // 19.5 vs 4.9, gapfill 10.4 vs 3.3) — late-cell queries were
+      // paying collection of the prior queries' old-gen debris inside
+      // the 8 GiB driver JVM, a neighborhood effect that scales with
+      // concurrent-task allocation rate and so masqueraded as a 32c>8c
+      // core-scaling inversion. The forced full GC runs BETWEEN
+      // measurements, so its cost is never billed to a query.
       val timed = sets.map { case (set, n) =>
         set.map { q =>
           val t = q.name -> bestOf(n, s, dir)(q)
           Engine.clearSwapCaches(s)
+          System.gc()
           t
         }
       }
