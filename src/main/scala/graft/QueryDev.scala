@@ -1,0 +1,37 @@
+package graft
+
+/** Standalone isolation timing for any census query:
+  * `runMain graft.QueryDev <sfDir> <name>[,<name>...] [n] [cores] [keep]` runs
+  * each named query n times in ONE fresh session (pass 1 pays cache
+  * builds; later passes are the steady-state floor Bench's best-of-N
+  * reports), releasing swap caches + forcing a full GC between passes
+  * exactly like a Bench cell runs between QUERIES — pass `keep` as the
+  * 5th arg to skip the release and measure the all-caches-resident floor
+  * instead (what a Bench best-of pass ≥2 sees WITHIN one query's runs).
+  * This is the adjudication tool SCALE.md's
+  * measurement-hygiene section calls for: when a bench cell number looks
+  * off, the question is whether the WARM FLOOR moved, not what the min
+  * of two contended samples says — this prints every pass so the floor
+  * is visible.
+  */
+object QueryDev {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args(1).split(",").toSeq
+    val n = args.lift(2).map(_.toInt).getOrElse(3)
+    val cores = args.lift(3).map(_.toInt).getOrElse(32)
+    val keep = args.lift(4).contains("keep")
+    val spark = Engine.build(master = s"local[$cores]", shufflePartitions = cores)
+    val qs = SparkEntry.queries
+    names.foreach { name =>
+      val q = qs.getOrElse(name, sys.error(s"unknown query: $name"))
+      (1 to n).foreach { i =>
+        val t0 = System.nanoTime()
+        q(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[querydev] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        if (!keep) { Engine.clearSwapCaches(spark); System.gc() }
+      }
+    }
+    spark.stop()
+  }
+}

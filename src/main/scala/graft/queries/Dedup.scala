@@ -99,7 +99,7 @@ object Dedup {
     * through [[Engine.cacheSwap]] so repeated invocations (bench loops,
     * another scale dir) reuse or replace the ONE live cached epoch
     * instead of leaking a new cached relation per call. */
-  private def cachedShingles(spark: SparkSession, dir: String): Unit = {
+  private[graft] def cachedShingles(spark: SparkSession, dir: String): Unit = {
     docs(spark, dir)
     // Sorted shingle sets: Jaccard verification then merge-walks two
     // sorted arrays in the codegen'd jaccard_sorted kernel (set semantics
@@ -464,26 +464,51 @@ object Dedup {
     // superset of every true J ≥ t pair at ¼ the exchange payload.
     // Phase 2 re-joins only the survivors to the string arrays for the
     // exact merge-walk Jaccard that is reported.
+    // An EXACT count bound stacks on the admission rule (same derivation
+    // as containment's, adapted to Jaccard): shared shingles are rare
+    // (nshared counts them exactly) or common (≤ the smaller owned-common
+    // side), so |∩| ≤ nshared + least(nsh−nrare), while
+    // J = |∩|/|∪| ≥ t forces |∩| ≥ t·|∪| ≥ t·greatest(nsh_a, nsh_b).
+    // Pairs whose bound can't reach t·greatest(nsh) are dropped before
+    // the hashed-array fetch. Provably lossless — it can only shrink the
+    // prefilter exchange, never the result — so the oracle doesn't need
+    // to (and does not) replay it, unlike the admission rule which is
+    // part of the declared contract.
+    // The index is MATERIALIZED once per session (cacheSwap), not a CTE:
+    // Spark inlines multiply-referenced CTEs, so the self-join's two
+    // branches would each re-run the explode + two window shuffles —
+    // the same 2-3× recompute containment's cont_rinv fixed in r10
+    // (measured here: ~19.5 s/pass uncached vs ~13 s with the index
+    // resident). Separate cache key from containment's: this index is
+    // per-COPY (no rep collapse — see the df-cap rationale above).
+    val _ = graft.Engine.cacheSwap("ngram_rinv", spark.sql(
+      s"""SELECT sid, doc_id, nsh, count(*) OVER (PARTITION BY doc_id) AS nrare
+         |FROM (
+         |  SELECT sid, doc_id, nsh FROM (
+         |    SELECT sid, doc_id, nsh, count(*) OVER (PARTITION BY sid) AS df
+         |    FROM (SELECT doc_id, size(hshingles) AS nsh, hshingles
+         |          FROM dedup_sh) s
+         |    LATERAL VIEW explode(hshingles) t AS sid)
+         |  WHERE df <= $maxDf)""".stripMargin))
+      .createOrReplaceTempView("ngram_rinv")
     spark.sql(
       s"""WITH rinv AS (
-         |  SELECT sid, doc_id, count(*) OVER (PARTITION BY doc_id) AS nrare
-         |  FROM (
-         |    SELECT sid, doc_id FROM (
-         |      SELECT sid, doc_id, count(*) OVER (PARTITION BY sid) AS df
-         |      FROM dedup_sh LATERAL VIEW explode(hshingles) t AS sid)
-         |    WHERE df <= $maxDf)
+         |  SELECT * FROM ngram_rinv
          |),
          |cand AS (
          |  SELECT id_a, id_b
          |  FROM (
          |    SELECT /*+ SHUFFLE_HASH(a) */
          |           a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nshared,
-         |           min(a.nrare) AS nrare_a, min(b.nrare) AS nrare_b
+         |           min(a.nrare) AS nrare_a, min(b.nrare) AS nrare_b,
+         |           min(a.nsh) AS nsh_a, min(b.nsh) AS nsh_b
          |    FROM rinv a JOIN rinv b ON a.sid = b.sid
          |    WHERE a.doc_id < b.doc_id
          |    GROUP BY a.doc_id, b.doc_id
          |  ) g
-         |  WHERE nshared >= 2 OR nrare_a < 2 OR nrare_b < 2
+         |  WHERE (nshared >= 2 OR nrare_a < 2 OR nrare_b < 2)
+         |    AND nshared + least(nsh_a - nrare_a, nsh_b - nrare_b)
+         |        >= $threshold * greatest(nsh_a, nsh_b)
          |),
          |prelim AS (
          |  SELECT id_a, id_b FROM (
@@ -596,18 +621,23 @@ object Dedup {
     * ordered. This is a structural bound, not a statistics estimate, so
     * it doesn't violate the no-estimate-broadcast policy
     * (Engine.scala's broadcast threshold notes). */
-  private def cachedRareIndex(spark: SparkSession, maxDf: Int): Unit = {
+  private[graft] def cachedRareIndex(spark: SparkSession, maxDf: Int = 10): Unit = {
     // nrare (rare shingles owned per doc) rides along as a second window
     // over the already-filtered postings: the candidate filter then needs
     // no side-table joins — min(a.nrare)/min(b.nrare) fall out of the
     // pair GROUP BY itself (the two rare_own joins this replaces re-
     // shuffled the full pair stream twice, ~2.2 s of sf1's wall).
+    // nsh (total shingles owned) rides along too: together with nrare it
+    // prices the EXACT count bound the candidate filter applies (see
+    // containmentPairs — shared_common ≤ min owned-common), so the bound
+    // costs two ints per posting and no extra pass.
     val rinv = graft.Engine.cacheSwap("cont_rinv", spark.sql(
-      s"""SELECT sid, doc_id, count(*) OVER (PARTITION BY doc_id) AS nrare
+      s"""SELECT sid, doc_id, nsh, count(*) OVER (PARTITION BY doc_id) AS nrare
          |FROM (
-         |  SELECT sid, doc_id FROM (
-         |    SELECT sid, doc_id, count(*) OVER (PARTITION BY sid) AS df
-         |    FROM (SELECT doc_id, hshingles FROM dedup_sh WHERE is_rep) r
+         |  SELECT sid, doc_id, nsh FROM (
+         |    SELECT sid, doc_id, nsh, count(*) OVER (PARTITION BY sid) AS df
+         |    FROM (SELECT doc_id, size(hshingles) AS nsh, hshingles
+         |          FROM dedup_sh WHERE is_rep) r
          |    LATERAL VIEW explode(hshingles) t AS sid)
          |  WHERE df <= $maxDf)""".stripMargin))
     rinv.createOrReplaceTempView("cont_rinv")
@@ -626,6 +656,20 @@ object Dedup {
     // merge walk — the reported ratios are always the exact ones. At sf1
     // this cut verification from ~8s (4.4M candidate pairs × 3KB string
     // payloads through two exchanges) to the prefilter's hashed cost.
+    // On top of the (contract-level) admission rule, an EXACT count bound
+    // drops candidates BEFORE their arrays are fetched: every shared
+    // shingle is either rare (counted exactly by nshared — the GROUP BY
+    // count over rare postings) or common (bounded by the smaller side's
+    // owned-common count), so
+    //   |∩| ≤ nshared + least(nsh_a − nrare_a, nsh_b − nrare_b)
+    // and max(c_ab, c_ba) = |∩|/least(nsh_a, nsh_b) ≥ t is impossible
+    // when the bound falls below t·least(nsh_a, nsh_b). Provably
+    // lossless (unlike the admission rule, which the corpus gate proves
+    // lossless only empirically), so the oracle needs no replica — it
+    // can never change the result set, only the exchange volume: at sf10
+    // it cuts the array-fetch join from 1.73 M pairs × ~KB hashed arrays
+    // to the near-true tail. All inputs ride the pair GROUP BY as two
+    // extra int mins — no side joins, no extra pass.
     spark.sql(
       s"""WITH rsh AS (
          |  SELECT doc_id, fp, shingles, hshingles FROM dedup_sh WHERE is_rep
@@ -635,12 +679,15 @@ object Dedup {
          |  FROM (
          |    SELECT /*+ SHUFFLE_HASH(a) */
          |           a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nshared,
-         |           min(a.nrare) AS nrare_a, min(b.nrare) AS nrare_b
+         |           min(a.nrare) AS nrare_a, min(b.nrare) AS nrare_b,
+         |           min(a.nsh) AS nsh_a, min(b.nsh) AS nsh_b
          |    FROM cont_rinv a JOIN cont_rinv b ON a.sid = b.sid
          |    WHERE a.doc_id < b.doc_id
          |    GROUP BY a.doc_id, b.doc_id
          |  ) g
-         |  WHERE nshared >= 2 OR nrare_a < 2 OR nrare_b < 2
+         |  WHERE (nshared >= 2 OR nrare_a < 2 OR nrare_b < 2)
+         |    AND nshared + least(nsh_a - nrare_a, nsh_b - nrare_b)
+         |        >= $threshold * least(nsh_a, nsh_b)
          |),
          |prelim AS (
          |  SELECT id_a, id_b FROM (
@@ -710,12 +757,15 @@ object Dedup {
          |  FROM (
          |    SELECT /*+ SHUFFLE_HASH(a) */
          |           a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nshared,
-         |           min(a.nrare) AS nrare_a, min(b.nrare) AS nrare_b
+         |           min(a.nrare) AS nrare_a, min(b.nrare) AS nrare_b,
+         |           min(a.nsh) AS nsh_a, min(b.nsh) AS nsh_b
          |    FROM cont_rinv a JOIN cont_rinv b ON a.sid = b.sid
          |    WHERE a.doc_id < b.doc_id
          |    GROUP BY a.doc_id, b.doc_id
          |  ) g
-         |  WHERE nshared >= 2 OR nrare_a < 2 OR nrare_b < 2
+         |  WHERE (nshared >= 2 OR nrare_a < 2 OR nrare_b < 2)
+         |    AND nshared + least(nsh_a - nrare_a, nsh_b - nrare_b)
+         |        >= $threshold * least(nsh_a, nsh_b)
          |),
          |staged AS (
          |  SELECT
