@@ -4,11 +4,11 @@ package graft
   * `runMain graft.QueryDev <sfDir> <name>[,<name>...] [n] [cores] [keep]` runs
   * each named query n times in ONE fresh session (pass 1 pays cache
   * builds; later passes are the steady-state floor Bench's best-of-N
-  * reports), releasing swap caches + forcing a full GC between passes
-  * exactly like a Bench cell runs between QUERIES — pass `keep` as the
-  * 5th arg to skip the release and measure the all-caches-resident floor
-  * instead (what a Bench best-of pass ≥2 sees WITHIN one query's runs).
-  * This is the adjudication tool SCALE.md's
+  * reports) with EXACTLY a Bench cell's cache discipline: swap caches
+  * released + full GC between QUERIES, kept across one query's n passes.
+  * Pass a 5th arg to change it: `clear` releases between every pass
+  * (per-pass rebuild cost), `keep` never releases (all-caches-resident
+  * floor). This is the adjudication tool SCALE.md's
   * measurement-hygiene section calls for: when a bench cell number looks
   * off, the question is whether the WARM FLOOR moved, not what the min
   * of two contended samples says — this prints every pass so the floor
@@ -20,7 +20,7 @@ object QueryDev {
     val names = args(1).split(",").toSeq
     val n = args.lift(2).map(_.toInt).getOrElse(3)
     val cores = args.lift(3).map(_.toInt).getOrElse(32)
-    val keep = args.lift(4).contains("keep")
+    val mode = args.lift(4).getOrElse("cell") // cell | clear | keep
     val spark = Engine.build(master = s"local[$cores]", shufflePartitions = cores)
     val qs = SparkEntry.queries
     names.foreach { name =>
@@ -29,8 +29,9 @@ object QueryDev {
         val t0 = System.nanoTime()
         q(spark, dir).write.format("noop").mode("overwrite").save()
         println(f"[querydev] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
-        if (!keep) { Engine.clearSwapCaches(spark); System.gc() }
+        if (mode == "clear") { Engine.clearSwapCaches(spark); System.gc() }
       }
+      if (mode == "cell") { Engine.clearSwapCaches(spark); System.gc() }
     }
     spark.stop()
   }

@@ -48,4 +48,35 @@ class BucketedJoinSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("layout_bucketed_join plans with zero Exchange and zero Sort nodes") {
+    // The census surface (Layout.bucketedJoin) goes further than the
+    // test above: it joins AND aggregates on the bucket key and finishes
+    // with ORDER BY + LIMIT — so the whole plan is
+    // scan → SMJ → partial+final agg → TakeOrderedAndProject with NO
+    // exchange ANYWHERE: the join is co-located by bucketing and the
+    // aggregation's distribution requirement is satisfied by the same
+    // bucketing (SortAggregate directly over the join, no re-shuffle),
+    // and the top-50 runs as TakeOrdered, not a global sort. That is the
+    // whole point of bucket-at-ingest at 100 TB: every downstream
+    // orderkey-keyed join/agg stops paying exchanges. The only remaining
+    // Sort nodes are PARTITION-LOCAL (global=false) over the per-bucket
+    // sorted files: Spark ≥3.0 deliberately stopped propagating bucket
+    // sort metadata to the scan's outputOrdering (SPARK-28595 — unsafe
+    // when a bucket has >1 file), so SMJ re-sorts locally; those sorts
+    // carry no exchange and run over already-sorted runs.
+    val df = queries.Layout.bucketedJoin(spark, sf)
+    df.collect() // force AQE-final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+    assert(!plan.contains("Sort [revenue"), s"global sort should be TakeOrdered:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k:\n$plan")
+    // layout independence: same rows as the oracle's plain-join spelling
+    // run over the raw parquet (the oracle SQL is Spark-compatible here)
+    Engine.table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    Engine.table(spark, sf, "orders").createOrReplaceTempView("orders")
+    val plain = spark.sql(queries.Layout.bucketed.oracle.get)
+    assert(df.collect().toSeq == plain.collect().toSeq)
+  }
 }
