@@ -1299,6 +1299,79 @@ object Dedup {
   val clusters: QueryDef =
     QueryDef.sqlBacked("dedup_clusters", clustersOracle)(dedupClusters(_, _))
 
+  // --- canonical selection: keep the best member of each dup cluster ------
+  // Clustering answers "which documents are copies of each other"; a
+  // training pipeline then has to answer "which copy do we KEEP". The
+  // standard heuristic is keep-longest (the fullest copy survives,
+  // truncated mirrors drop — e.g. C4/CCNet-style canonicalization), with
+  // doc_id as the deterministic tiebreak. Composition, not new machinery:
+  // the labels come from the same large-star/small-star closure as
+  // dedup_clusters, and the selection is one window over (cluster_id,
+  // length, doc_id) — the only exchange after clustering carries three
+  // fixed-width columns per doc, never text, so at 100 TB the selection
+  // costs the same shuffle the labels relation already paid.
+  def dedupKeepBest(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, length, lit, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashPairs(spark, dir, threshold).select(col("id_a"), col("id_b"))
+    val docsDf = Engine.table(spark, dir, "documents")
+    val (labels, _) =
+      connectedComponents(docsDf.select(col("doc_id").as("doc")), pairs)
+    val sized = labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
+      .join(docsDf.select(col("doc_id"),
+        length(col("text")).cast("int").as("keep_chars")), Seq("doc_id"))
+    val wAll = Window.partitionBy(col("cluster_id"))
+    val wOrd = wAll.orderBy(col("keep_chars").desc, col("doc_id"))
+    sized
+      .withColumn("n_members", count(lit(1)).over(wAll).cast("int"))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("n_members") >= 2 && col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("keep_chars"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Oracle: the exact-Jaccard recursive closure (same CTEs as
+    * [[clustersOracle]], valid for the same recall-1.0 reason) plus the
+    * identical keep-longest window. The corpus is pure ASCII, so
+    * `length(text)` counts the same units in both engines. */
+  private val keepBestOracle =
+    s"""WITH RECURSIVE sh AS ($shingleDuck),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE ${jaccardDuck("a.shingles", "b.shingles")} >= 0.5
+       |),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |),
+       |reach AS (
+       |  SELECT doc_id AS doc, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.b AS doc, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+       |),
+       |labels AS (
+       |  SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY doc
+       |),
+       |j AS (
+       |  SELECT l.cluster_id, l.doc_id,
+       |    CAST(length(d.text) AS INT) AS keep_chars,
+       |    count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY length(d.text) DESC, l.doc_id) AS rn
+       |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+       |)
+       |SELECT cluster_id, doc_id AS keep_id, keep_chars,
+       |  CAST(n_members AS INT) AS n_members
+       |FROM j WHERE n_members >= 2 AND rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
+  val keepBest: QueryDef =
+    QueryDef.sqlBacked("dedup_keep_best", keepBestOracle)(dedupKeepBest(_, _))
+
   /** DuckDB spellings shared with other query modules' oracles. */
   private[queries] def shingleDuckSql: String = shingleDuck
   private[queries] def hash60SparkSql(x: String): String = portableHash60Spark(x)
@@ -1311,5 +1384,5 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exact, exactHash, minhash, incremental, simhash, ngramJaccard,
       containment, embeddingCosine, embeddingCosineWide,
-      embeddingCosineWidePlanted, clusters)
+      embeddingCosineWidePlanted, clusters, keepBest)
 }
