@@ -262,7 +262,8 @@ object Bench {
       queries.Curate.curate, queries.Curate.sample,
       queries.Curate.decontam, queries.Curate.mix, queries.Curate.pack,
       queries.Curate.chunk, queries.Curate.rag,
-      queries.TextAnalysis.heavyHitters, queries.Events.gapfillSeriesDef)
+      queries.TextAnalysis.heavyHitters, queries.Events.gapfillSeriesDef,
+      queries.Dedup.keepBest)
     // gapfill is benched as its LIBRARY surface (evt_gapfill_series —
     // no global ORDER BY); the total order exists for the oracle compare
     // only and was the sf10 cell's dominant cost (VERDICT r9 #3).
@@ -283,7 +284,8 @@ object Bench {
     val sf10PipelineSet =
       (if (haveSf10 && has(sf10Dir, "documents"))
          Seq(queries.Dedup.minhash, queries.Dedup.containment,
-           queries.Dedup.clusters, queries.Dedup.simhash,
+           queries.Dedup.clusters, queries.Dedup.keepBest,
+           queries.Dedup.simhash,
            queries.Dedup.ngramJaccard, queries.Similarity.semantic,
            queries.TextAnalysis.tfidf,
            queries.Curate.curate, queries.Curate.decontam) else Nil) ++

@@ -290,4 +290,24 @@ class PlanContractSpec extends AnyFunSuite {
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!read.contains("text"), s"shuffle reads document bodies: $read")
   }
+
+  test("dedup_keep_best: selection exchanges carry fixed-width ids, never text") {
+    // The canonical-selection contract: length(text) is computed AT the
+    // scan, so the post-clustering window exchange moves (doc_id,
+    // cluster_id, keep_chars) — three 8-byte columns per doc — and the
+    // top-1-per-cluster prunes map-side via WindowGroupLimit before the
+    // full rank ever materializes. A regression that shuffles document
+    // bodies for the selection would show nowhere in results.
+    val p = plan("dedup_keep_best")
+    val exchangeInputs = """\(\d+\) Exchange\n(Input[^\n]*)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, "no Exchange details found in formatted plan")
+    val textAttr = """\btext#\d+""".r
+    exchangeInputs.foreach { in =>
+      assert(textAttr.findFirstIn(in).isEmpty,
+        s"a selection exchange carries document text: $in")
+    }
+    assert(p.contains("WindowGroupLimit"),
+      "top-1-per-cluster lost its map-side group-limit pruning")
+  }
 }
