@@ -108,17 +108,30 @@ object GenData {
     // embeddings: rotate by r positions (slice is 1-based; r=0 = identity).
     // Once r wraps past the dimensionality the rotation alone would repeat
     // (replicas r and r+dims identical → cosine-1.0 pair explosion at
-    // factor 100 on 64-dim vectors), so odd wrap levels also negate the
-    // vector — norm-preserving, and cos(v, −v) = −1 keeps the replicas
-    // maximally separated for top-k-by-max-cosine workloads.
+    // factor 100 on 64-dim vectors), so wrap levels transform the signs:
+    // level 1 negates the vector (the original scheme — replicas < 2·dims
+    // stay bit-identical to tiers generated before r11), and levels ≥ 2
+    // apply a per-level hash-derived ± pattern per DIMENSION. All three
+    // are norm-preserving; a shared sign pattern cancels inside each
+    // replica (s_d² = 1), so intra-replica dot products — the structure
+    // every ANN/dedup workload measures — are exact copies of replica 0's,
+    // while cross-replica cosines for same-rotation wrap pairs are sums of
+    // ±v_d·w_d with independent signs: mean 0, σ ≈ 1/√dims, so a ≥0.9
+    // threshold sits > 7σ out. This lifts the old factor-2·dims cap (128
+    // at 64 dims) to arbitrary factors — sf100's 1000 replicas included.
     if (wanted("embeddings")) {
       val dims = in("embeddings").selectExpr("size(embedding) AS d").head().getInt(0)
       val rotated =
         s"concat(slice(embedding, (({r}) % $dims) + 1, $dims - (({r}) % $dims)), " +
           s"slice(embedding, 1, ({r}) % $dims))"
+      val sign =
+        s"CASE WHEN ({r} DIV $dims) = 0 THEN 1 " +
+          s"WHEN ({r} DIV $dims) = 1 THEN -1 " +
+          "ELSE 1 - 2 * CAST(abs(xxhash64(concat('sgn_', " +
+          s"CAST({r} DIV $dims AS STRING), '_', CAST(d AS STRING)))) % 2 AS INT) END"
       write(replicate(in("embeddings"), Seq(
         "vec_id + {r} * 1000000 AS vec_id",
-        s"transform($rotated, x -> CAST(x * (1 - 2 * (({r} DIV $dims) % 2)) AS FLOAT)) AS embedding",
+        s"transform($rotated, (x, d) -> CAST(x * ($sign) AS FLOAT)) AS embedding",
         "label")), "embeddings", 8)
     }
 
