@@ -241,16 +241,19 @@ object Dedup {
   // The production dedup shape: the corpus is already signature-indexed
   // (band table persisted at ingest); each new batch computes ONLY its
   // own signatures and probes the index — never corpus × corpus again.
-  // Here the delta is the doc_id % 10 = 0 slice standing in for a new
-  // crawl batch. Scale shape: delta bands are batch-sized (broadcast
-  // hint), the index band table streams through the probe join, the
-  // exact-Jaccard verification touches candidates only — so admitting a
-  // 1 GB batch against a 100 TB index costs one index scan, zero
-  // corpus-wide shuffles. The oracle is the exact delta × index Jaccard
-  // ≥ 0.5 relation: banding must lose no pair (recall 1.0), asymmetric
-  // probe included.
+  // Here the delta is the doc_id % deltaMod = 0 slice standing in for a
+  // new crawl batch (default 10 — the census key and its oracle bind to
+  // that slice; deltaMod is the dev knob that shrinks the batch relative
+  // to the index so the fixed-size-delta asymptote is measurable, see
+  // IncrDev + SCALE.md). Scale shape: delta bands are batch-sized
+  // (broadcast hint), the index band table streams through the probe
+  // join, the exact-Jaccard verification touches candidates only — so
+  // admitting a 1 GB batch against a 100 TB index costs one index scan,
+  // zero corpus-wide shuffles. The oracle is the exact delta × index
+  // Jaccard ≥ 0.5 relation: banding must lose no pair (recall 1.0),
+  // asymmetric probe included.
   def incrementalPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, deltaMod: Int = 10): DataFrame = {
     cachedShingles(spark, dir)
     // Side-aware hot-bucket guard: a re-crawled batch full of pages the
     // index already holds puts D delta copies × I index copies into one
@@ -264,8 +267,8 @@ object Dedup {
     // delta × index oracle still gates it).
     spark.sql(
       s"""WITH base AS (
-         |  SELECT doc_id, fp, shingles, hshingles, doc_id % 10 = 0 AS is_delta,
-         |    doc_id = min(doc_id) OVER (PARTITION BY fp, doc_id % 10 = 0) AS is_side_rep
+         |  SELECT doc_id, fp, shingles, hshingles, doc_id % $deltaMod = 0 AS is_delta,
+         |    doc_id = min(doc_id) OVER (PARTITION BY fp, doc_id % $deltaMod = 0) AS is_side_rep
          |  FROM dedup_sh
          |),
          |sig AS (

@@ -131,6 +131,20 @@ class HotBucketSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) % 10 == 0 && r.getLong(1) % 10 != 0))
   }
 
+  test("incremental probe: deltaMod reslices the boundary, output complete at the new split") {
+    // Same 40-copy corpus under deltaMod=4: ids 0,4,...,36 form a
+    // 10-doc delta, the other 30 the index — 10×30 cross-boundary pairs
+    // at Jaccard exactly 1.0. Pins that the dev knob (IncrDev's
+    // fixed-size-delta measurements) moves BOTH the is_delta flag and
+    // the per-side representative window together; a drifted window
+    // partition would under-produce through the rep-expansion arm.
+    val dir = corpus((0L until 40L).map(i => (i, textX)) :+ (41L -> textZ))
+    val pairs = Dedup.incrementalPairs(spark, dir, deltaMod = 4).collect()
+    assert(pairs.length == 10 * 30, s"pairs: ${pairs.length}")
+    assert(pairs.forall(_.getDouble(2) == 1.0))
+    assert(pairs.forall(r => r.getLong(0) % 4 == 0 && r.getLong(1) % 4 != 0))
+  }
+
   test("simhash path: identical copies emit Hamming-0 pairs without banding copies") {
     val dir = corpus((0L until 120L).map(i => (i, textX)) :+ (120L -> textZ))
     val pairs = Dedup.simhashPairs(spark, dir).collect()
