@@ -253,6 +253,7 @@ object Bench {
     // r6's single-pass numbers moved ±160% on unchanged code).
     val pipelineSet = Seq(
       queries.Dedup.minhash, queries.Dedup.incremental,
+      queries.Dedup.indexed,
       queries.Dedup.containment, queries.Dedup.clusters,
       queries.Similarity.bruteForce, queries.Similarity.ivf,
       queries.Similarity.ivfIndexed,

@@ -323,6 +323,105 @@ object Dedup {
   val incremental: QueryDef =
     QueryDef.sqlBacked("dedup_incremental", incrementalOracle)(incrementalPairs(_, _))
 
+  // --- incremental probe against a PERSISTED band index -------------------
+  // [[incrementalPairs]] derives both sides' signatures in-flight; the
+  // production admission loop doesn't — the index side's bands are
+  // written ONCE at ingest and every batch probes storage (the shape the
+  // reference's freq-compacting write path makes cheap for tables, done
+  // here for signatures; IncrDev's sf100 measurement shows signature
+  // re-derivation dominates the in-flight probe once the delta is
+  // fixed-size). The persisted index is two relations, neither carrying
+  // text or shingles:
+  //   bands  (doc_id, band_idx, band_sig)  — ~24 B × 16 bands per REP
+  //   groups (doc_id, fp)                  — the exact-dup group map for
+  //                                          rep-expansion + same-fp arm
+  // Probe cost at 100 TB: broadcast the batch's bands, stream the stored
+  // band table through the candidate join (no index-side shuffle), then
+  // fetch shingles FOR CANDIDATES ONLY with an id join against the
+  // corpus — one index scan, zero corpus-wide shuffles, no signature
+  // recompute. Output is row-identical to [[incrementalPairs]]
+  // (BandIndexSpec pins it), so the same exact delta × index Jaccard
+  // oracle gates this key.
+
+  /** Ingest-side half: write the band index for the index-side slice. */
+  def writeBandIndex(spark: SparkSession, dir: String, indexPath: String,
+      deltaMod: Int = 10): Unit = {
+    cachedShingles(spark, dir)
+    spark.sql(
+      s"""SELECT doc_id, fp
+         |FROM dedup_sh WHERE doc_id % $deltaMod <> 0""".stripMargin)
+      .write.mode("overwrite").parquet(s"$indexPath/groups")
+    spark.sql(
+      s"""WITH sig AS (
+         |  SELECT doc_id, minhash64(hshingles) AS minhash
+         |  FROM (SELECT doc_id, hshingles, shingles,
+         |          doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_side_rep
+         |        FROM dedup_sh WHERE doc_id % $deltaMod <> 0)
+         |  WHERE is_side_rep AND size(shingles) > 0
+         |)
+         |SELECT doc_id, b AS band_idx,
+         |  xxhash64(concat_ws(',', slice(minhash, b * 4 + 1, 4))) AS band_sig
+         |FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b""".stripMargin)
+      .write.mode("overwrite").parquet(s"$indexPath/bands")
+  }
+
+  /** Batch-side half: signature the delta, probe the STORED bands. */
+  def probeBandIndex(spark: SparkSession, dir: String, indexPath: String,
+      threshold: Double = 0.5, deltaMod: Int = 10): DataFrame = {
+    cachedShingles(spark, dir)
+    spark.read.parquet(s"$indexPath/groups").createOrReplaceTempView("bidx_groups")
+    spark.read.parquet(s"$indexPath/bands").createOrReplaceTempView("bidx_bands")
+    spark.sql(
+      s"""WITH delta AS (
+         |  SELECT doc_id, fp, shingles, hshingles,
+         |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_side_rep
+         |  FROM dedup_sh WHERE doc_id % $deltaMod = 0
+         |),
+         |dsig AS (
+         |  SELECT doc_id, fp, shingles, minhash64(hshingles) AS minhash
+         |  FROM delta WHERE is_side_rep AND size(shingles) > 0
+         |),
+         |dbands AS (
+         |  SELECT doc_id, b AS band_idx,
+         |    xxhash64(concat_ws(',', slice(minhash, b * 4 + 1, 4))) AS band_sig
+         |  FROM dsig LATERAL VIEW explode(sequence(0, 15)) t AS b
+         |),
+         |cand AS (
+         |  SELECT /*+ BROADCAST(d) */ DISTINCT d.doc_id AS delta_id, i.doc_id AS index_id
+         |  FROM dbands d JOIN bidx_bands i
+         |    ON d.band_idx = i.band_idx AND d.band_sig = i.band_sig
+         |),
+         |rpairs AS (
+         |  SELECT c.delta_id, c.index_id, sd.fp AS fp_d, si.fp AS fp_i,
+         |    jaccard_sorted(sd.shingles, si.shingles) AS jaccard
+         |  FROM cand c
+         |  JOIN dsig sd ON c.delta_id = sd.doc_id
+         |  JOIN dedup_sh si ON c.index_id = si.doc_id
+         |  WHERE jaccard_sorted(sd.shingles, si.shingles) >= $threshold
+         |   AND sd.fp <> si.fp
+         |)
+         |SELECT gd.doc_id AS delta_id, gi.doc_id AS index_id, r.jaccard
+         |FROM rpairs r
+         |JOIN delta gd ON gd.fp = r.fp_d
+         |JOIN bidx_groups gi ON gi.fp = r.fp_i
+         |UNION ALL
+         |SELECT d.doc_id AS delta_id, i.doc_id AS index_id,
+         |  CAST(1.0 AS DOUBLE) AS jaccard
+         |FROM delta d JOIN bidx_groups i ON d.fp = i.fp
+         |WHERE CAST(1.0 AS DOUBLE) >= $threshold
+         |ORDER BY delta_id, index_id""".stripMargin)
+  }
+
+  def indexedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_band_index_").resolve("index").toString
+    writeBandIndex(spark, dir, idx)
+    probeBandIndex(spark, dir, idx)
+  }
+
+  val indexed: QueryDef =
+    QueryDef.sqlBacked("dedup_indexed", incrementalOracle)(indexedPairs(_, _))
+
   // --- SimHash near-dup pairs ---------------------------------------------
   // 60-bit simhash per doc from portableHash60 token hashes (60, not 64:
   // DuckDB's checked shift overflows at 1<<63, and bits beyond the hash
@@ -1385,7 +1484,7 @@ object Dedup {
   private[queries] def dotDuckSql(a: String, b: String): String = dotDuck(a, b)
 
   val all: Seq[QueryDef] =
-    Seq(exact, exactHash, minhash, incremental, simhash, ngramJaccard,
-      containment, embeddingCosine, embeddingCosineWide,
+    Seq(exact, exactHash, minhash, incremental, indexed, simhash,
+      ngramJaccard, containment, embeddingCosine, embeddingCosineWide,
       embeddingCosineWidePlanted, clusters, keepBest)
 }
