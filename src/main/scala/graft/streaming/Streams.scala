@@ -112,6 +112,66 @@ object Streams {
       .dropDuplicates("delta_id", "index_id")
   }
 
+  /** Streaming admission against the PERSISTED band index
+    * ([[graft.queries.Dedup.writeBandIndex]]): the steady-state form of
+    * [[nearDupProbe]] — the static side's signatures are never
+    * re-derived in-flight; the stream computes ONLY its own batch's
+    * bands, and every static relation it touches is a storage read (the
+    * band table, the exact-dup group map) or a candidate-driven shingle
+    * fetch from the corpus for verification. Delta docs are banded
+    * per-doc (a stream can't run the per-fp rep window statelessly; the
+    * banding cost is bounded by the micro-batch, while the index side —
+    * where the corpus-sized hot-bucket risk lives — IS rep-collapsed in
+    * storage). Verified rep matches re-expand through the group map and
+    * exact duplicates surface through the same-fp arm, so the pair set
+    * matches [[graft.queries.Dedup.probeBandIndex]] on the same slice
+    * (StreamingSpec pins stream ≡ batch ≡ `dedup_indexed`). The final
+    * per-pair dedup is the one stateful step — bound it with
+    * dropDuplicatesWithinWatermark at production rates, exactly like
+    * [[nearDupProbe]]. Batch-callable for the equality proof. */
+  def indexedNearDupProbe(newDocs: DataFrame, corpusDocs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      threshold: Double = 0.5): DataFrame = {
+    val bands = spark.read.parquet(s"$indexPath/bands")
+      .select(col("doc_id").as("rep_id"), col("band_idx").as("i_idx"),
+        col("band_sig").as("i_sig"))
+    val groups = spark.read.parquet(s"$indexPath/groups")
+    val repFp = groups.select(col("doc_id").as("rep_id2"), col("fp").as("rep_fp"))
+    val members = groups.select(col("doc_id").as("index_id"), col("fp").as("m_fp"))
+    val shingleExpr =
+      """sort_array(array_distinct(transform(sequence(0, size(tokens)-3),
+        |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))))""".stripMargin
+    val corpusSh = corpusDocs
+      .selectExpr("doc_id AS c_id", "filter(split(text, ' '), x -> x <> '') AS tokens")
+      .where("size(tokens) >= 3")
+      .selectExpr("c_id", s"$shingleExpr AS c_sh")
+    // one stream branch carries everything both arms need (fp + shingles)
+    val dsh = newDocs
+      .selectExpr("doc_id AS delta_id", "md5(text) AS d_fp",
+        "filter(split(text, ' '), x -> x <> '') AS tokens")
+      .where("size(tokens) >= 3")
+      .selectExpr("delta_id", "d_fp", s"$shingleExpr AS d_sh")
+    val dbands = dsh
+      .selectExpr("delta_id", "d_fp", "d_sh",
+        "minhash64(transform(d_sh, x -> xxhash64(x))) AS minhash")
+      .selectExpr("delta_id", "d_fp", "d_sh",
+        "explode(sequence(0, 15)) AS band_idx", "minhash")
+      .selectExpr("delta_id", "d_fp", "d_sh", "band_idx",
+        "xxhash64(concat_ws(',', slice(minhash, band_idx * 4 + 1, 4))) AS band_sig")
+    val banded = dbands
+      .join(bands, col("band_idx") === col("i_idx") && col("band_sig") === col("i_sig"))
+      .join(corpusSh, col("rep_id") === col("c_id"))
+      .filter(expr(s"jaccard_sorted(d_sh, c_sh) >= $threshold"))
+      .join(repFp, col("rep_id") === col("rep_id2"))
+      .filter(col("d_fp") =!= col("rep_fp"))
+      .join(members, col("m_fp") === col("rep_fp"))
+      .selectExpr("delta_id", "index_id", "jaccard_sorted(d_sh, c_sh) AS jaccard")
+    val exactArm = dsh.join(members, col("m_fp") === col("d_fp"))
+      .where(s"1.0 >= $threshold")
+      .selectExpr("delta_id", "index_id", "CAST(1.0 AS DOUBLE) AS jaccard")
+    banded.unionByName(exactArm).dropDuplicates("delta_id", "index_id")
+  }
+
   /** Streaming per-window top-k (most active event types per hour).
     * Rank-over-aggregate cannot run inside one append-mode streaming
     * query — a window's ranks keep changing until it closes — so the

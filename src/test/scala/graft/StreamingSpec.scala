@@ -290,6 +290,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming probe of the PERSISTED band index equals batch and dedup_indexed") {
+    val docs = Engine.table(spark, sf, "documents").select("doc_id", "text")
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val indexDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_stream_bidx_").resolve("index").toString
+    queries.Dedup.writeBandIndex(spark, sf, idx)
+
+    // batch call ≡ the oracle-gated stored-index census operator
+    val expected = queries.Dedup.probeBandIndex(spark, sf, idx)
+      .collect().map(key).sorted
+    assert(expected.nonEmpty, "probe corpus has no near-dups — test is vacuous")
+    val viaStream = Streams.indexedNearDupProbe(newDocs, indexDocs, spark, idx)
+      .collect().map(key).sorted
+    assert(viaStream.sameElements(expected),
+      s"batch-called streaming probe diverged: ${viaStream.length} vs ${expected.length}")
+
+    // the same plan as a real stream over the delta batch
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bidx_src_").toString
+    newDocs.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = Streams.indexedNearDupProbe(stream, indexDocs, spark, idx)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bidx_probe_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bidx_probe_out").collect().map(key).sorted
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+
   test("streaming multiset ingestion equals batch appends; replay is a no-op") {
     import graft.sources.MultisetStore
     val region = Engine.table(spark, sf, "region")
