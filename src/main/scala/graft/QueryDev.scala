@@ -29,7 +29,13 @@ object QueryDev {
         val t0 = System.nanoTime()
         q(spark, dir).write.format("noop").mode("overwrite").save()
         println(f"[querydev] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
-        if (mode == "clear") { Engine.clearSwapCaches(spark); System.gc() }
+        // Bench's inter-pass discipline (r11): a full GC lets the
+        // ContextCleaner drop the previous pass's shuffle files — without
+        // it a big query's passes ACCUMULATE spill until the disk fills
+        // (the sf100 ngram pass-2 failure mode), which measures the
+        // harness, not the plan. `clear` additionally drops the caches.
+        if (mode == "clear") Engine.clearSwapCaches(spark)
+        System.gc()
       }
       if (mode == "cell") { Engine.clearSwapCaches(spark); System.gc() }
     }

@@ -991,8 +991,10 @@ object Dedup {
   // variant linear-ish at any N:
   //  1. BAND WIDTH SIZED TO THE CORPUS. Random collisions per band are
   //     ~C(N,2)/2^bits, so bits must grow with log2(N) — 16-bit bands
-  //     give 65 536 buckets (~5 M candidates at sf10, ~0.3 T at 100 TB
-  //     scale with bits raised to 24; the knob, not the shape, changes).
+  //     give 65 536 buckets (~5 M candidates at sf10; r11 wired the
+  //     default to the corpus via [[wideBandBits]] after a static 16 at
+  //     sf100's 2 M vectors spilled the disk — 24 bits there, 16 at
+  //     every oracle tier).
   //  2. CENTERED plane components. The default's components are all
   //     positive (hash%1000/1000 ∈ [0,1)), which makes every hyperplane
   //     point into the positive orthant — planes pairwise-correlated, so
@@ -1085,12 +1087,33 @@ object Dedup {
     * [[embeddingCosinePairs]]; normalizing inside the operator would
     * change every double against the committed oracles for no gain on
     * conforming input. */
+  /** Band width sized to the corpus: random collisions per band are
+    * ~C(N,2)/2^bits, so holding total candidates to O(N) needs
+    * 2^bits ≈ 8·N — bits = ⌈log₂N⌉+3, floored at the gate tiers' 16
+    * (every oracle-checked corpus is ≤2 k vectors, so the static
+    * (16,16)-parameterized DuckDB oracle text stays exact there) and
+    * capped at 30 (hyperplane_sig packs one band into an int). Round 11
+    * learned this the hard way: the DOCUMENTED knob was not wired to the
+    * default, and the static 16 bits at sf100's 2 M vectors meant
+    * ~5·10⁸ random band collisions — the DISTINCT over them filled a
+    * 69 GB disk with shuffle spill before any result. Same failure
+    * class as r10's fixed-C semantic dedup: a scale knob that exists
+    * but never moves. */
+  private[graft] def wideBandBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(30, math.max(16, ceilLog2 + 3))
+  }
+
   def embeddingCosinePairsWide(spark: SparkSession, dir: String,
-      threshold: Double = 0.9, nBands: Int = 16, bits: Int = 16,
+      threshold: Double = 0.9, nBands: Int = 16, bits: Int = 0,
       plantNearDups: Boolean = false): DataFrame = {
     Engine.table(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
     requireDims64(spark, dir)
     val src = if (plantNearDups) plantedSrcSpark else "embeddings"
+    // bits ≤ 0 = auto-size to the corpus (parquet metadata count — cheap)
+    val bitsEff =
+      if (bits > 0) bits
+      else wideBandBits(spark.sql(s"SELECT count(*) FROM $src s").head().getLong(0))
     val cacheKey = if (plantNearDups) "emb_grp_planted" else "emb_grp"
     val grp = graft.Engine.cacheSwap(cacheKey, spark.sql(
       s"""SELECT vec_id, v, min(vec_id) OVER (PARTITION BY v) AS rep
@@ -1099,9 +1122,9 @@ object Dedup {
     grp.createOrReplaceTempView("emb_grp")
     spark.sql(
       s"""WITH planes AS (
-         |  SELECT b, transform(sequence(0, ${bits - 1}), q ->
+         |  SELECT b, transform(sequence(0, ${bitsEff - 1}), q ->
          |    transform(sequence(0, 63), d ->
-         |      ${planeCSpark(s"b * $bits + q", "d")})) AS pm
+         |      ${planeCSpark(s"b * $bitsEff + q", "d")})) AS pm
          |  FROM (SELECT explode(sequence(0, ${nBands - 1})) AS b)
          |),
          |reps AS (SELECT vec_id, v FROM emb_grp WHERE vec_id = rep),

@@ -69,6 +69,25 @@ class EmbeddingWideSpec extends AnyFunSuite {
     Dedup.embeddingCosinePairsWide(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
+  test("band width auto-sizes to the corpus; oracle tiers stay at the static 16") {
+    // the sizing law: 2^bits ~ 8N, floored at 16 (every oracle-checked
+    // corpus: sf0.01 = 500 vectors, sf0.1 audit = 2k) and capped at 30
+    // (hyperplane_sig packs one band into an int)
+    assert(Dedup.wideBandBits(500L) == 16)      // sf0.01 gate
+    assert(Dedup.wideBandBits(2000L) == 16)     // sf0.1 audit
+    assert(Dedup.wideBandBits(20000L) == 18)    // sf1
+    assert(Dedup.wideBandBits(200000L) == 21)   // sf10
+    assert(Dedup.wideBandBits(2000000L) == 24)  // sf100 — the disk-filler fixed
+    assert(Dedup.wideBandBits(Long.MaxValue / 2) == 30)
+    // and the default invocation at gate scale IS the explicit-16 plan:
+    // identical result relation, so the static (16,16) oracle text the
+    // census key commits to remains exact wherever the driver compares
+    val explicit = Dedup.embeddingCosinePairsWide(spark, dir, bits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val auto = result.toSeq.map { case ((a, b), c) => (a, b, c) }.sorted
+    assert(explicit.toSeq == auto)
+  }
+
   test("every reported pair is a true >=0.9 pair with the exact cosine") {
     assert(result.nonEmpty, "no pairs found at all")
     result.foreach { case (k, c) =>
