@@ -272,6 +272,7 @@ object Bench {
     // merge-walk verification, window/generate).
     val sf1PipelineSet = Seq(
       queries.Dedup.minhash, queries.Dedup.incremental,
+      queries.Dedup.indexed,
       queries.Dedup.containment,
       queries.Dedup.clusters, queries.Dedup.embeddingCosineWide,
       queries.TextAnalysis.tfidf,
@@ -284,7 +285,8 @@ object Bench {
     // committed 100×-tier number, not just a plan pin.
     val sf10PipelineSet =
       (if (haveSf10 && has(sf10Dir, "documents"))
-         Seq(queries.Dedup.minhash, queries.Dedup.containment,
+         Seq(queries.Dedup.minhash, queries.Dedup.indexed,
+           queries.Dedup.containment,
            queries.Dedup.clusters, queries.Dedup.keepBest,
            queries.Dedup.simhash,
            queries.Dedup.ngramJaccard, queries.Similarity.semantic,

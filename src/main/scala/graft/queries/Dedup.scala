@@ -343,26 +343,37 @@ object Dedup {
   // (BandIndexSpec pins it), so the same exact delta × index Jaccard
   // oracle gates this key.
 
-  /** Ingest-side half: write the band index for the index-side slice. */
+  /** Ingest-side half: write the band index for the index-side slice.
+    * With mode = "append" this is INCREMENTAL index maintenance — each
+    * admitted batch (restricted via `pred`, default the whole index
+    * side) lands as extra files beside the existing index, exactly like
+    * the ANN path's writeIvfIndex append. An appended batch computes
+    * per-BATCH representatives, so an exact-dup group spanning appends
+    * owns one banded rep per batch; [[probeBandIndex]] tolerates the
+    * redundancy by verifying at rep level and expanding DISTINCT
+    * fp-pairs, which makes append ≡ rebuild in the RESULT relation
+    * (BandIndexSpec pins it, fp-spanning case included) while storage
+    * stays append-only — no read-modify-write of a 100 TB index. */
   def writeBandIndex(spark: SparkSession, dir: String, indexPath: String,
-      deltaMod: Int = 10): Unit = {
+      deltaMod: Int = 10, mode: String = "overwrite",
+      pred: String = "true"): Unit = {
     cachedShingles(spark, dir)
     spark.sql(
       s"""SELECT doc_id, fp
-         |FROM dedup_sh WHERE doc_id % $deltaMod <> 0""".stripMargin)
-      .write.mode("overwrite").parquet(s"$indexPath/groups")
+         |FROM dedup_sh WHERE doc_id % $deltaMod <> 0 AND ($pred)""".stripMargin)
+      .write.mode(mode).parquet(s"$indexPath/groups")
     spark.sql(
       s"""WITH sig AS (
          |  SELECT doc_id, minhash64(hshingles) AS minhash
          |  FROM (SELECT doc_id, hshingles, shingles,
          |          doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_side_rep
-         |        FROM dedup_sh WHERE doc_id % $deltaMod <> 0)
+         |        FROM dedup_sh WHERE doc_id % $deltaMod <> 0 AND ($pred))
          |  WHERE is_side_rep AND size(shingles) > 0
          |)
          |SELECT doc_id, b AS band_idx,
          |  xxhash64(concat_ws(',', slice(minhash, b * 4 + 1, 4))) AS band_sig
          |FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b""".stripMargin)
-      .write.mode("overwrite").parquet(s"$indexPath/bands")
+      .write.mode(mode).parquet(s"$indexPath/bands")
   }
 
   /** Batch-side half: signature the delta, probe the STORED bands. */
@@ -401,7 +412,11 @@ object Dedup {
          |   AND sd.fp <> si.fp
          |)
          |SELECT gd.doc_id AS delta_id, gi.doc_id AS index_id, r.jaccard
-         |FROM rpairs r
+         |-- DISTINCT at fp level: an appended index holds one banded rep
+         |-- per BATCH, so a group spanning appends verifies once per rep;
+         |-- jaccard is a pure function of the two texts, so the triple
+         |-- collapses the redundancy and append ≡ rebuild in the result
+         |FROM (SELECT DISTINCT fp_d, fp_i, jaccard FROM rpairs) r
          |JOIN delta gd ON gd.fp = r.fp_d
          |JOIN bidx_groups gi ON gi.fp = r.fp_i
          |UNION ALL

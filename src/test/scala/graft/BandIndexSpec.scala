@@ -26,6 +26,7 @@ class BandIndexSpec extends AnyFunSuite {
   }
 
   private val textX = "the quick brown fox jumps over the lazy dog again and again"
+  private val textY = "the quick brown fox jumps over the lazy dog again and again today"
 
   test("stored-index probe is row-identical to the in-flight incremental probe") {
     val viaIndex = Dedup.indexedPairs(spark, sf).collect()
@@ -47,6 +48,34 @@ class BandIndexSpec extends AnyFunSuite {
     assert(pairs.length == 4 * 36, s"pairs: ${pairs.length}")
     assert(pairs.forall(_.getDouble(2) == 1.0))
     assert(pairs.forall(r => r.getLong(0) % 10 == 0 && r.getLong(1) % 10 != 0))
+  }
+
+  test("appended index batches probe identically to a one-shot rebuild") {
+    // 6 docs: delta {0}; index {1,2} = exact copies of X, {21,22,23} =
+    // copies of Y (X~Y at Jaccard 10/11). Expected pairs: (0,1),(0,2)
+    // via the same-fp arm at 1.0 plus (0,21),(0,22),(0,23) via banding.
+    val dir = corpus(Seq(0L -> textX, 1L -> textX, 2L -> textX,
+      21L -> textY, 22L -> textY, 23L -> textY))
+    val one = java.nio.file.Files
+      .createTempDirectory("graft_bidx_one_").resolve("i").toString
+    Dedup.writeBandIndex(spark, dir, one)
+    val expected = Dedup.probeBandIndex(spark, dir, one).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(expected.length == 5, s"one-shot index should yield 5 pairs: ${expected.length}")
+
+    // same index built as TWO appended batches, split so BOTH dup groups
+    // span the appends (X reps 1 and 2, Y reps 21 and 22 — two banded
+    // reps per fp group). The probe must verify through either rep yet
+    // emit each member pair exactly once: without the DISTINCT fp-pair
+    // collapse, the three Y pairs would double.
+    val app = java.nio.file.Files
+      .createTempDirectory("graft_bidx_app_").resolve("i").toString
+    Dedup.writeBandIndex(spark, dir, app, pred = "doc_id % 2 = 1")
+    Dedup.writeBandIndex(spark, dir, app, mode = "append", pred = "doc_id % 2 = 0")
+    val got = Dedup.probeBandIndex(spark, dir, app).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got.toSeq == expected.toSeq,
+      s"append diverged from rebuild: ${got.length} vs ${expected.length} rows")
   }
 
   test("probe plan reads bands from storage and broadcasts the batch side") {
