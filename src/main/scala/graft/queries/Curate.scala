@@ -578,7 +578,65 @@ object Curate {
   val shuffle: QueryDef =
     QueryDef.sqlBacked("pipeline_shuffle", shuffleOracle)(shuffleShards(_, _))
 
+  // --- per-source document cap --------------------------------------------
+  // Web-scale corpora are dominated by a few giant hosts; the standard
+  // counter (CCNet-style per-domain budgets, RefinedWeb's host-level
+  // caps — Penedo et al. 2023 §3) keeps at most `cap` documents per
+  // source, chosen as a DETERMINISTIC uniform sample: priority = portable
+  // hash of the doc, keep the `cap` smallest. The naive spelling — one
+  // row_number() window partitioned by source — is exactly what fails at
+  // 100 TB: a single hot domain collapses into one window partition that
+  // must sort host-sized data on one task. So the selection runs in two
+  // exact phases: (1) a SALTED window over (source, salt-of-doc) — no
+  // partition ever holds more than n_source/nSalts rows — keeps each
+  // bucket's `cap` best, which provably covers the global per-source
+  // best-`cap` (any doc in the global top-cap has < cap better docs in
+  // the WHOLE source, a fortiori in its own bucket); (2) the true window
+  // over the ≤ nSalts·cap survivors per source, a relation bounded by
+  // #sources, not corpus size. The oracle needs no salt — one window is
+  // fine at oracle scale and pins that the two-phase plan is lossless.
+  private val srcCap = 10
+  private val srcSalts = 8
+
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH pri AS (
+         |  SELECT doc_id, source,
+         |    ${Dedup.hash60SparkSql("concat('p_', CAST(doc_id AS STRING))")} AS pri,
+         |    ${Dedup.hash60SparkSql("concat('b_', CAST(doc_id AS STRING))")}
+         |      % $srcSalts AS salt
+         |  FROM documents),
+         |local AS (
+         |  SELECT doc_id, source, pri FROM (
+         |    SELECT doc_id, source, pri,
+         |      row_number() OVER (PARTITION BY source, salt
+         |        ORDER BY pri, doc_id) AS lrn
+         |    FROM pri) b
+         |  WHERE lrn <= $srcCap)
+         |SELECT doc_id, source, rn FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY pri, doc_id) AS rn
+         |  FROM local) f
+         |WHERE rn <= $srcCap
+         |ORDER BY source, rn""".stripMargin)
+  }
+
+  private val sourceCapOracle =
+    s"""SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${Dedup.hash60DuckSql("concat('p_', CAST(doc_id AS VARCHAR))")},
+       |               doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $srcCap
+       |ORDER BY source, rn""".stripMargin
+
+  val srcCapQ: QueryDef =
+    QueryDef.sqlBacked("pipeline_source_cap", sourceCapOracle)(sourceCap(_, _))
+
   val all: Seq[QueryDef] =
     Seq(curate, sample, sampleExact, decontam, mix, pack, chunk, stats, rag,
-      split, shuffle)
+      split, shuffle, srcCapQ)
 }

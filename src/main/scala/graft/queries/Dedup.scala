@@ -1512,6 +1512,120 @@ object Dedup {
   val keepBest: QueryDef =
     QueryDef.sqlBacked("dedup_keep_best", keepBestOracle)(dedupKeepBest(_, _))
 
+  // --- span-level exact dedup (repeated substrings, not whole docs) -------
+  // Everything above answers "are these two DOCUMENTS copies"; the other
+  // axis in the dedup literature is repeated SPANS — boilerplate, license
+  // headers, quoted passages duplicated across otherwise-distinct pages.
+  // The reference technique is suffix-array ExactSubstr (Lee et al. 2021,
+  // arXiv:2107.06499 §4.1: drop any ≥50-token substring that appears
+  // twice); a global suffix array is the wrong shape for a shared-nothing
+  // engine — it sorts EVERY suffix of the corpus through one order. The
+  // distributed re-expression has a subtle trap: fixed-STRIDE sampled
+  // windows (hash chars [i, i+W) for i ∈ {1, 1+S, …}) only match when the
+  // two copies of a repeat are aligned mod S — a repeated passage at
+  // arbitrary offsets is missed with probability (S−1)/S. The
+  // alignment-FREE construction is winnowing (Schleimer et al., SIGMOD
+  // 2003 — the same kernel shape as ta_winnow, here at span-scale
+  // parameters): hash every k-gram, slide a window of w consecutive
+  // hashes, select the min per window (rightmost on ties). Because
+  // selection depends only on CONTENT, both copies of a repeated region
+  // pick identical anchors wherever the region lands: any exact repeat
+  // of length ≥ w+k−1 = 79 normalized chars contains one full
+  // hash-window in each copy, and that window's selected fingerprint is
+  // equal in both — deterministic coverage, zero alignment assumption.
+  //
+  // Parameter split, chosen for PRECISION as well as recall: ta_winnow's
+  // k=8 grams are a similarity heuristic — at k=8 a shared fingerprint
+  // only proves a shared 8-char phrase, and on this corpus that flags
+  // 86% of docs as "duplicated". Here k=64: a fingerprint match IS an
+  // exact 64-char repeat (the gram is the span), so evidence ≈ claim,
+  // with w=16 setting anchor density (2/(w+1) ≈ 12% of positions) and
+  // the 79-char guarantee ≈ Lee et al.'s repeat-length floor. The
+  // match key is the full 60-bit gram hash carried via min_by (the
+  // 30-bit field inside the order-encoding m would birthday-collide on
+  // corpus-scale anchor counts); m keeps selection/tie order exactly as
+  // ta_winnow. A doc's anchors whose fingerprint occurs in ≥2 distinct
+  // docs are its duplicated-span evidence; dup_frac ≈ the fraction of
+  // the doc inside cross-doc repeated regions.
+  //
+  // Scale shape: per-position hashing is the price of alignment freedom
+  // (every alignment-free detector pays it; a rolling Rabin hash makes
+  // the constant cheap — md5 here is the engine-portability spelling, see
+  // ta_winnow). It is per-row scan work that never shuffles: the ONLY
+  // exchanges carry selected-anchor triples (doc_id, m, fp BIGINT) at
+  // ~2/(w+1) of corpus positions, then (fp, doc_id) groups, then
+  // per-doc counts — document bodies never move. Anchors are derived
+  // ONCE; the dup-fingerprint marking rides a count(*) window over the
+  // (fp, doc_id) groups instead of a second scan→anchor pass.
+  private val spanK = 64 // gram width = the repeated span evidence (chars)
+  private val spanWin = 16 // hashes per winnow window → guarantee w+k-1 = 79
+  private val spanPosSpace = 1L << 32
+  private val spanHashSpace = 1L << 30
+
+  private def spanSql(duck: Boolean): String = {
+    val hash =
+      if (duck) portableHash60Duck(s"substr(t, CAST(p AS INT), $spanK)")
+      else portableHash60Spark(s"substring(t, p, $spanK)")
+    val enum =
+      if (duck) s"FROM (SELECT doc_id, t, n, unnest(range(1, n + 1)) AS p FROM g0) g"
+      else s"FROM g0 LATERAL VIEW explode(sequence(1, n)) s AS p"
+    val ws = if (duck) "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    else "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    s"""WITH norm AS (
+       |  SELECT doc_id, $ws AS t
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, t, length(t) - $spanK + 1 AS n
+       |  FROM norm WHERE length(t) >= ${spanWin + spanK - 1}),
+       |h AS (
+       |  SELECT doc_id, p, n, $hash AS h60
+       |  $enum),
+       |sel AS (
+       |  SELECT doc_id, p, n,
+       |    min(h60 % $spanHashSpace * $spanPosSpace + (${spanPosSpace - 1} - p))
+       |      OVER w AS m,
+       |    min_by(h60, h60 % $spanHashSpace * $spanPosSpace + (${spanPosSpace - 1} - p))
+       |      OVER w AS fp
+       |  FROM h
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY p
+       |               ROWS BETWEEN CURRENT ROW AND ${spanWin - 1} FOLLOWING)),
+       |anchors AS (
+       |  SELECT DISTINCT doc_id, m, fp FROM sel WHERE p <= n - $spanWin + 1),
+       |grp AS (
+       |  SELECT fp, doc_id, count(*) AS cnt
+       |  FROM anchors GROUP BY fp, doc_id),
+       |marked AS (
+       |  SELECT doc_id, cnt,
+       |    count(*) OVER (PARTITION BY fp) AS n_docs
+       |  FROM grp)
+       |SELECT doc_id,
+       |  CAST(sum(cnt) AS INT) AS n_anchors,
+       |  CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS INT)
+       |    AS n_dup_anchors,
+       |  CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+       |    / sum(cnt) AS dup_frac
+       |FROM marked GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+    spark.sql(spanSql(duck = false))
+  }
+
+  /** Oracle: the identical winnow selection (same encoding arithmetic as
+    * [[TextAnalysis]]'s ta_winnow, whose Spark↔DuckDB agreement is
+    * already census-pinned) followed by the same fp-group marking — one
+    * template, two hash/enumeration spellings. The corpus is pure ASCII
+    * so length()/substr count the same units; the h30·2³²+(2³²−1−pos)
+    * order encoding cannot overflow on any representable string (see
+    * ta_winnow's field-width note), and min_by rides the same encoded
+    * value so both engines resolve ties to the identical anchor. */
+  private val spanDedupOracle = spanSql(duck = true)
+
+  val spanExact: QueryDef =
+    QueryDef.sqlBacked("dedup_span_exact", spanDedupOracle)(spanDedup(_, _))
+
   /** DuckDB spellings shared with other query modules' oracles. */
   private[queries] def shingleDuckSql: String = shingleDuck
   private[queries] def hash60SparkSql(x: String): String = portableHash60Spark(x)
@@ -1524,5 +1638,5 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exact, exactHash, minhash, incremental, indexed, simhash,
       ngramJaccard, containment, embeddingCosine, embeddingCosineWide,
-      embeddingCosineWidePlanted, clusters, keepBest)
+      embeddingCosineWidePlanted, clusters, keepBest, spanExact)
 }
