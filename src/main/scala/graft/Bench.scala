@@ -264,7 +264,7 @@ object Bench {
       queries.Curate.decontam, queries.Curate.mix, queries.Curate.pack,
       queries.Curate.chunk, queries.Curate.rag,
       queries.TextAnalysis.heavyHitters, queries.Events.gapfillSeriesDef,
-      queries.Dedup.keepBest)
+      queries.Dedup.keepBest, queries.Dedup.spanExact, queries.Curate.srcCapQ)
     // gapfill is benched as its LIBRARY surface (evt_gapfill_series —
     // no global ORDER BY); the total order exists for the oracle compare
     // only and was the sf10 cell's dominant cost (VERDICT r9 #3).
@@ -275,6 +275,7 @@ object Bench {
       queries.Dedup.indexed,
       queries.Dedup.containment,
       queries.Dedup.clusters, queries.Dedup.embeddingCosineWide,
+      queries.Dedup.spanExact,
       queries.TextAnalysis.tfidf,
       queries.Events.gapfillSeriesDef, queries.Similarity.ivfC256)
     // sf10 docs is where banding/explode become compute-bound (at sf1 the
@@ -289,7 +290,8 @@ object Bench {
            queries.Dedup.containment,
            queries.Dedup.clusters, queries.Dedup.keepBest,
            queries.Dedup.simhash,
-           queries.Dedup.ngramJaccard, queries.Similarity.semantic,
+           queries.Dedup.ngramJaccard, queries.Dedup.spanExact,
+           queries.Similarity.semantic,
            queries.TextAnalysis.tfidf,
            queries.Curate.curate, queries.Curate.decontam) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "embeddings"))

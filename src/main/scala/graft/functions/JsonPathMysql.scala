@@ -224,6 +224,9 @@ object GraftFunctions {
       "rep_stats", exprs => RepStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "text_stats", exprs => TextStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_anchors", exprs => WinnowAnchors(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]), "built-in")
     GraftFunctions.referenceNames.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }

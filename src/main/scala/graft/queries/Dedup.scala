@@ -1548,52 +1548,35 @@ object Dedup {
   // docs are its duplicated-span evidence; dup_frac ≈ the fraction of
   // the doc inside cross-doc repeated regions.
   //
-  // Scale shape: per-position hashing is the price of alignment freedom
-  // (every alignment-free detector pays it; a rolling Rabin hash makes
-  // the constant cheap — md5 here is the engine-portability spelling, see
-  // ta_winnow). It is per-row scan work that never shuffles: the ONLY
-  // exchanges carry selected-anchor triples (doc_id, m, fp BIGINT) at
-  // ~2/(w+1) of corpus positions, then (fp, doc_id) groups, then
-  // per-doc counts — document bodies never move. Anchors are derived
-  // ONCE; the dup-fingerprint marking rides a count(*) window over the
-  // (fp, doc_id) groups instead of a second scan→anchor pass.
+  // Scale shape: anchor selection runs INSIDE the scan projection as one
+  // codegen kernel pass (functions/WinnowAnchors: O(1)-per-position
+  // rolling polynomial hashes + monotonic-deque window min — no
+  // per-position md5, and critically no doc-keyed exchange+sort of every
+  // position row, which is what the relational window spelling of the
+  // same selection costs: ~16 bytes × n_chars rows ≈ 16× corpus bytes
+  // through one shuffle). The ONLY rows that leave the scan are the
+  // selected anchors at ~2/(w+1) of positions, as (doc_id, fp BIGINT)
+  // pairs; then (fp, doc_id) groups; then per-doc counts — document
+  // bodies never move, and the dup-fingerprint marking rides a count(*)
+  // window over the groups instead of a second scan→anchor pass.
   private val spanK = 64 // gram width = the repeated span evidence (chars)
   private val spanWin = 16 // hashes per winnow window → guarantee w+k-1 = 79
   private val spanPosSpace = 1L << 32
-  private val spanHashSpace = 1L << 30
+  private val spanM31 = 1L << 31
+  private val spanM30 = 1L << 30
 
-  private def spanSql(duck: Boolean): String = {
-    val hash =
-      if (duck) portableHash60Duck(s"substr(t, CAST(p AS INT), $spanK)")
-      else portableHash60Spark(s"substring(t, p, $spanK)")
-    val enum =
-      if (duck) s"FROM (SELECT doc_id, t, n, unnest(range(1, n + 1)) AS p FROM g0) g"
-      else s"FROM g0 LATERAL VIEW explode(sequence(1, n)) s AS p"
-    val ws = if (duck) "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-    else "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
-    s"""WITH norm AS (
-       |  SELECT doc_id, $ws AS t
-       |  FROM documents),
-       |g0 AS (
-       |  SELECT doc_id, t, length(t) - $spanK + 1 AS n
-       |  FROM norm WHERE length(t) >= ${spanWin + spanK - 1}),
-       |h AS (
-       |  SELECT doc_id, p, n, $hash AS h60
-       |  $enum),
-       |sel AS (
-       |  SELECT doc_id, p, n,
-       |    min(h60 % $spanHashSpace * $spanPosSpace + (${spanPosSpace - 1} - p))
-       |      OVER w AS m,
-       |    min_by(h60, h60 % $spanHashSpace * $spanPosSpace + (${spanPosSpace - 1} - p))
-       |      OVER w AS fp
-       |  FROM h
-       |  WINDOW w AS (PARTITION BY doc_id ORDER BY p
-       |               ROWS BETWEEN CURRENT ROW AND ${spanWin - 1} FOLLOWING)),
-       |anchors AS (
-       |  SELECT DISTINCT doc_id, m, fp FROM sel WHERE p <= n - $spanWin + 1),
-       |grp AS (
+  /** B^(k−1−j) mod 2³¹ for j ∈ [0,k): the power table the oracle's
+    * direct O(k)-per-position replay of the kernel's rolling hash needs
+    * (SQL has no sequential recurrence; the kernel has no table). */
+  private def spanPowers(b: Long): IndexedSeq[Long] = {
+    val up = (0 until spanK).scanLeft(1L)((acc, _) => (acc * b) % spanM31)
+    (0 until spanK).map(j => up(spanK - 1 - j))
+  }
+
+  private def spanTail(anchorsCte: String): String =
+    s"""grp AS (
        |  SELECT fp, doc_id, count(*) AS cnt
-       |  FROM anchors GROUP BY fp, doc_id),
+       |  FROM $anchorsCte GROUP BY fp, doc_id),
        |marked AS (
        |  SELECT doc_id, cnt,
        |    count(*) OVER (PARTITION BY fp) AS n_docs
@@ -1606,22 +1589,63 @@ object Dedup {
        |    / sum(cnt) AS dup_frac
        |FROM marked GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
-  }
 
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir)
-    spark.sql(spanSql(duck = false))
+    spark.sql(
+      s"""WITH norm AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS t
+         |  FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, t FROM norm
+         |  WHERE length(t) >= ${spanWin + spanK - 1}),
+         |anchors AS (
+         |  SELECT doc_id, explode(winnow_anchors(t, $spanK, $spanWin)) AS fp
+         |  FROM g0),
+         |${spanTail("anchors")}""".stripMargin)
   }
 
-  /** Oracle: the identical winnow selection (same encoding arithmetic as
-    * [[TextAnalysis]]'s ta_winnow, whose Spark↔DuckDB agreement is
-    * already census-pinned) followed by the same fp-group marking — one
-    * template, two hash/enumeration spellings. The corpus is pure ASCII
-    * so length()/substr count the same units; the h30·2³²+(2³²−1−pos)
-    * order encoding cannot overflow on any representable string (see
-    * ta_winnow's field-width note), and min_by rides the same encoded
-    * value so both engines resolve ties to the identical anchor. */
-  private val spanDedupOracle = spanSql(duck = true)
+  /** Oracle: the kernel's selection replayed relationally — per-position
+    * polynomial hashes from a precomputed power table (identical exact
+    * integer arithmetic: Σ ord·B^(k−1−j) mod 2³¹ — terms < 2³⁸, 64-term
+    * sums < 2⁴⁵, no overflow), the same h30·2³²+(2³²−1−pos) order
+    * encoding as ta_winnow (min picks smallest 30-bit hash, rightmost
+    * tie), min_by carrying the 62-bit h1·2³¹+h2 match key, DISTINCT per
+    * (doc, anchor), then the same fp-group marking. WinnowKernelSpec
+    * pins the kernel equal to this spelling row for row on the Spark
+    * side; the corpus is pure ASCII so ord/substr count the kernel's
+    * bytes. */
+  private val spanDedupOracle = {
+    val pw1 = spanPowers(131L).mkString("[", ", ", "]")
+    val pw2 = spanPowers(137L).mkString("[", ", ", "]")
+    val orderKey =
+      s"h1 % $spanM30 * $spanPosSpace + (${spanPosSpace - 1} - p)"
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, t, length(t) - $spanK + 1 AS n
+       |  FROM norm WHERE length(t) >= ${spanWin + spanK - 1}),
+       |h AS (
+       |  SELECT doc_id, p, n,
+       |    list_sum(list_transform(range(0, $spanK),
+       |      j -> CAST(ord(substr(t, CAST(p + j AS INT), 1)) AS BIGINT) * ($pw1)[CAST(j + 1 AS INT)]))
+       |      % $spanM31 AS h1,
+       |    list_sum(list_transform(range(0, $spanK),
+       |      j -> CAST(ord(substr(t, CAST(p + j AS INT), 1)) AS BIGINT) * ($pw2)[CAST(j + 1 AS INT)]))
+       |      % $spanM31 AS h2
+       |  FROM (SELECT doc_id, t, n, unnest(range(1, n + 1)) AS p FROM g0) g),
+       |sel AS (
+       |  SELECT doc_id, p, n,
+       |    min($orderKey) OVER w AS m,
+       |    min_by(h1 * $spanM31 + h2, $orderKey) OVER w AS fp
+       |  FROM h
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY p
+       |               ROWS BETWEEN CURRENT ROW AND ${spanWin - 1} FOLLOWING)),
+       |anchors AS (
+       |  SELECT DISTINCT doc_id, m, fp FROM sel WHERE p <= n - $spanWin + 1),
+       |${spanTail("anchors")}""".stripMargin
+  }
 
   val spanExact: QueryDef =
     QueryDef.sqlBacked("dedup_span_exact", spanDedupOracle)(spanDedup(_, _))
