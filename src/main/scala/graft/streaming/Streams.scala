@@ -112,6 +112,32 @@ object Streams {
       .dropDuplicates("delta_id", "index_id")
   }
 
+  /** Streaming span-level admission control: each incoming document's
+    * winnowed anchor fingerprints (the `winnow_anchors` kernel —
+    * `dedup_span_exact`'s selection, so any ≥79-char region the new doc
+    * shares with the corpus is guaranteed to surface at any alignment)
+    * are probed against the static corpus' anchor set. Emits one row per
+    * matched (delta doc, fingerprint): the ingest gate that catches
+    * boilerplate/licence-header reuse where whole-doc near-dup probes
+    * ([[nearDupProbe]]) don't fire. Stream-legal by construction — the
+    * kernel is a stateless projection, the probe one stream-static
+    * equi-join on a BIGINT key, the per-pair dedup the one stateful step
+    * (bound with dropDuplicatesWithinWatermark at production rates).
+    * Batch-callable for the stream ≡ batch proof. */
+  def spanDupProbe(newDocs: DataFrame, indexDocs: DataFrame): DataFrame = {
+    def anchors(df: DataFrame, idCol: String, fpCol: String): DataFrame =
+      df.select(col("doc_id").as(idCol),
+          expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").as("t"))
+        .filter(length(col("t")) >= 79)
+        .select(col(idCol), explode(expr("winnow_anchors(t, 64, 16)")).as(fpCol))
+    val delta = anchors(newDocs, "delta_id", "fp")
+    val index = anchors(indexDocs, "index_id", "i_fp")
+      .select(col("i_fp")).distinct()
+    delta.join(index, col("fp") === col("i_fp"))
+      .select(col("delta_id"), col("fp"))
+      .dropDuplicates("delta_id", "fp")
+  }
+
   /** Streaming admission against the PERSISTED band index
     * ([[graft.queries.Dedup.writeBandIndex]]): the steady-state form of
     * [[nearDupProbe]] — the static side's signatures are never

@@ -290,6 +290,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span-anchor probe equals batch and a first-principles anchor match") {
+    val docs = Engine.table(spark, sf, "documents").select("doc_id", "text")
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val indexDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val expected = Streams.spanDupProbe(newDocs, indexDocs)
+      .collect().map(key).sorted
+    assert(expected.nonEmpty, "no shared spans between the slices — test is vacuous")
+
+    // first-principles: kernel anchors computed directly per doc in Scala
+    def anchorsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map { r =>
+        val t = r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+        r.getLong(0) ->
+          graft.functions.WinnowAnchors.compute(t.getBytes("UTF-8"), 64, 16).toSet
+      }.toMap
+    val idxFps = anchorsOf(indexDocs).values.flatten.toSet
+    val direct = (for {
+      (id, fps) <- anchorsOf(newDocs).toSeq
+      fp <- fps if idxFps.contains(fp)
+    } yield (id, fp)).sorted
+    assert(expected.sameElements(direct),
+      s"probe diverged from direct anchor match: ${expected.length} vs ${direct.length}")
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_span_src_").toString
+    newDocs.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = Streams.spanDupProbe(stream, indexDocs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("span_probe_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("span_probe_out").collect().map(key).sorted
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+
   test("streaming probe of the PERSISTED band index equals batch and dedup_indexed") {
     val docs = Engine.table(spark, sf, "documents").select("doc_id", "text")
     val newDocs = docs.filter(col("doc_id") % 10 === 0)
