@@ -1606,9 +1606,12 @@ object Dedup {
   }
 
   /** Oracle: the kernel's selection replayed relationally — per-position
-    * polynomial hashes from a precomputed power table (identical exact
-    * integer arithmetic: Σ ord·B^(k−1−j) mod 2³¹ — terms < 2³⁸, 64-term
-    * sums < 2⁴⁵, no overflow), the same h30·2³²+(2³²−1−pos) order
+    * polynomial hashes as a dot product of the doc's code list against a
+    * precomputed power table (identical exact integer arithmetic:
+    * Σ ord·B^(k−1−j) mod 2³¹ — terms < 2³⁸, 64-term sums < 2⁴⁵, so even
+    * list_dot_product's double accumulation is EXACT, every intermediate
+    * being < 2⁵³; the 64-lambda list_sum spelling of the same sum costs
+    * 120× more wall in DuckDB), the same h30·2³²+(2³²−1−pos) order
     * encoding as ta_winnow (min picks smallest 30-bit hash, rightmost
     * tie), min_by carrying the 62-bit h1·2³¹+h2 match key, DISTINCT per
     * (doc, anchor), then the same fp-group marking. WinnowKernelSpec
@@ -1618,6 +1621,7 @@ object Dedup {
   private val spanDedupOracle = {
     val pw1 = spanPowers(131L).mkString("[", ", ", "]")
     val pw2 = spanPowers(137L).mkString("[", ", ", "]")
+    val slice = s"cs[CAST(p AS INT):CAST(p + ${spanK - 1} AS INT)]"
     val orderKey =
       s"h1 % $spanM30 * $spanPosSpace + (${spanPosSpace - 1} - p)"
     s"""WITH norm AS (
@@ -1626,15 +1630,15 @@ object Dedup {
        |g0 AS (
        |  SELECT doc_id, t, length(t) - $spanK + 1 AS n
        |  FROM norm WHERE length(t) >= ${spanWin + spanK - 1}),
+       |codes AS (
+       |  SELECT doc_id, n, list_transform(range(1, length(t) + 1),
+       |    i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+       |  FROM g0),
        |h AS (
        |  SELECT doc_id, p, n,
-       |    list_sum(list_transform(range(0, $spanK),
-       |      j -> CAST(ord(substr(t, CAST(p + j AS INT), 1)) AS BIGINT) * ($pw1)[CAST(j + 1 AS INT)]))
-       |      % $spanM31 AS h1,
-       |    list_sum(list_transform(range(0, $spanK),
-       |      j -> CAST(ord(substr(t, CAST(p + j AS INT), 1)) AS BIGINT) * ($pw2)[CAST(j + 1 AS INT)]))
-       |      % $spanM31 AS h2
-       |  FROM (SELECT doc_id, t, n, unnest(range(1, n + 1)) AS p FROM g0) g),
+       |    CAST(list_dot_product($slice, $pw1) AS BIGINT) % $spanM31 AS h1,
+       |    CAST(list_dot_product($slice, $pw2) AS BIGINT) % $spanM31 AS h2
+       |  FROM (SELECT doc_id, n, cs, unnest(range(1, n + 1)) AS p FROM codes) g),
        |sel AS (
        |  SELECT doc_id, p, n,
        |    min($orderKey) OVER w AS m,
