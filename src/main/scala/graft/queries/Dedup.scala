@@ -1590,18 +1590,21 @@ object Dedup {
        |FROM marked GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Kernel-side anchor derivation: (doc_id, fp) per distinct selected
+    * anchor, over the docs matching `filter`. The whole selection runs
+    * inside the scan projection (see WinnowAnchors). */
+  private def spanAnchorsSpark(filter: String = "true"): String =
+    s"""SELECT doc_id, explode(winnow_anchors(t, $spanK, $spanWin)) AS fp
+       |FROM (SELECT doc_id,
+       |        regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS t
+       |      FROM documents WHERE $filter)
+       |WHERE length(t) >= ${spanWin + spanK - 1}""".stripMargin
+
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir)
     spark.sql(
-      s"""WITH norm AS (
-         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS t
-         |  FROM documents),
-         |g0 AS (
-         |  SELECT doc_id, t FROM norm
-         |  WHERE length(t) >= ${spanWin + spanK - 1}),
-         |anchors AS (
-         |  SELECT doc_id, explode(winnow_anchors(t, $spanK, $spanWin)) AS fp
-         |  FROM g0),
+      s"""WITH anchors AS (
+         |${spanAnchorsSpark()}),
          |${spanTail("anchors")}""".stripMargin)
   }
 
@@ -1618,13 +1621,15 @@ object Dedup {
     * pins the kernel equal to this spelling row for row on the Spark
     * side; the corpus is pure ASCII so ord/substr count the kernel's
     * bytes. */
-  private val spanDedupOracle = {
+  /** The oracle-side anchor chain (norm → codes → h → sel → a CTE named
+    * `anchors` with (doc_id, m, fp)); both span oracles share it. */
+  private val spanAnchorsDuck: String = {
     val pw1 = spanPowers(131L).mkString("[", ", ", "]")
     val pw2 = spanPowers(137L).mkString("[", ", ", "]")
     val slice = s"cs[CAST(p AS INT):CAST(p + ${spanK - 1} AS INT)]"
     val orderKey =
       s"h1 % $spanM30 * $spanPosSpace + (${spanPosSpace - 1} - p)"
-    s"""WITH norm AS (
+    s"""norm AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents),
        |g0 AS (
@@ -1647,12 +1652,82 @@ object Dedup {
        |  WINDOW w AS (PARTITION BY doc_id ORDER BY p
        |               ROWS BETWEEN CURRENT ROW AND ${spanWin - 1} FOLLOWING)),
        |anchors AS (
-       |  SELECT DISTINCT doc_id, m, fp FROM sel WHERE p <= n - $spanWin + 1),
-       |${spanTail("anchors")}""".stripMargin
+       |  SELECT DISTINCT doc_id, m, fp FROM sel WHERE p <= n - $spanWin + 1)""".stripMargin
   }
+
+  private val spanDedupOracle =
+    s"""WITH $spanAnchorsDuck,
+       |${spanTail("anchors")}""".stripMargin
 
   val spanExact: QueryDef =
     QueryDef.sqlBacked("dedup_span_exact", spanDedupOracle)(spanDedup(_, _))
+
+  // --- span probe against a PERSISTED anchor index ------------------------
+  // The admission-loop form of span dedup, mirroring writeBandIndex /
+  // probeBandIndex for the minhash family: the corpus' anchor postings
+  // (doc_id, fp BIGINT — 16 B per anchor, ~2/(w+1) of corpus positions,
+  // never text) are written ONCE at ingest; each new batch computes only
+  // its own anchors with the kernel and probes storage. The index is
+  // APPEND-SAFE by construction — anchors are per-doc facts with no
+  // cross-doc collapsing, so admitting a batch appends its postings and
+  // append ≡ rebuild in the result relation (SpanDedupSpec pins it).
+  // Probe cost at 100 TB: broadcast the batch's anchors, stream the
+  // stored posting table through one BIGINT equi-join, aggregate the
+  // matched pairs — one index scan, zero corpus-wide shuffles, no
+  // re-derivation of corpus anchors.
+
+  /** Ingest-side half: persist anchor postings for the index-side slice
+    * (or any `pred`-restricted batch of it, with mode = "append"). */
+  def writeAnchorIndex(spark: SparkSession, dir: String, indexPath: String,
+      deltaMod: Int = 10, mode: String = "overwrite",
+      pred: String = "true"): Unit = {
+    docs(spark, dir)
+    spark.sql(
+      s"""SELECT doc_id, fp FROM (
+         |${spanAnchorsSpark(s"doc_id % $deltaMod <> 0 AND ($pred)")})""".stripMargin)
+      .write.mode(mode).parquet(s"$indexPath/anchors")
+  }
+
+  /** Probe-side half: the delta slice's kernel anchors against the
+    * stored postings; one row per (delta doc, index doc) pair with the
+    * count of distinct shared fingerprints — each shared fingerprint is
+    * an exact ≥64-char span both docs contain. */
+  def probeAnchorIndex(spark: SparkSession, dir: String, indexPath: String,
+      deltaMod: Int = 10): DataFrame = {
+    docs(spark, dir)
+    val index = spark.read.parquet(s"$indexPath/anchors")
+      .select(col("doc_id").as("index_id"), col("fp"))
+    val delta = spark.sql(
+      s"""SELECT doc_id AS delta_id, fp FROM (
+         |${spanAnchorsSpark(s"doc_id % $deltaMod = 0")})""".stripMargin)
+    import org.apache.spark.sql.functions.{broadcast, countDistinct}
+    broadcast(delta).join(index, Seq("fp"))
+      .groupBy(col("delta_id"), col("index_id"))
+      .agg(countDistinct(col("fp")).cast("int").as("n_shared"))
+      .orderBy(col("delta_id"), col("index_id"))
+  }
+
+  def spanIndexedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_span_idx_").resolve("index").toString
+    writeAnchorIndex(spark, dir, idx)
+    probeAnchorIndex(spark, dir, idx)
+  }
+
+  /** Oracle: both slices' anchors from the shared replay chain, one fp
+    * join, count of DISTINCT shared fingerprints per cross-slice pair. */
+  private val spanIndexedOracle =
+    s"""WITH $spanAnchorsDuck,
+       |d AS (SELECT doc_id AS delta_id, fp FROM anchors WHERE doc_id % 10 = 0),
+       |i AS (SELECT doc_id AS index_id, fp FROM anchors WHERE doc_id % 10 <> 0)
+       |SELECT d.delta_id, i.index_id,
+       |  CAST(count(DISTINCT d.fp) AS INT) AS n_shared
+       |FROM d JOIN i USING (fp)
+       |GROUP BY d.delta_id, i.index_id
+       |ORDER BY delta_id, index_id""".stripMargin
+
+  val spanIndexed: QueryDef =
+    QueryDef.sqlBacked("dedup_span_indexed", spanIndexedOracle)(spanIndexedPairs(_, _))
 
   /** DuckDB spellings shared with other query modules' oracles. */
   private[queries] def shingleDuckSql: String = shingleDuck
@@ -1666,5 +1741,5 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exact, exactHash, minhash, incremental, indexed, simhash,
       ngramJaccard, containment, embeddingCosine, embeddingCosineWide,
-      embeddingCosineWidePlanted, clusters, keepBest, spanExact)
+      embeddingCosineWidePlanted, clusters, keepBest, spanExact, spanIndexed)
 }

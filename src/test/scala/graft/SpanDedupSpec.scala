@@ -88,6 +88,45 @@ class SpanDedupSpec extends AnyFunSuite {
       s"guarantee-length repeat missed: ${res(1L)}, ${res(2L)}")
   }
 
+  test("anchor index: append equals rebuild, and the probe matches a direct anchor join") {
+    val sf = "/root/testdata/sf0.001"
+    val rebuilt = {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_spanidx_a_").resolve("index").toString
+      Dedup.writeAnchorIndex(spark, sf, idx)
+      Dedup.probeAnchorIndex(spark, sf, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    }
+    assert(rebuilt.nonEmpty, "no cross-slice shared spans — test is vacuous")
+
+    // incremental maintenance: index side lands as two appended batches
+    val appended = {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_spanidx_b_").resolve("index").toString
+      Dedup.writeAnchorIndex(spark, sf, idx, pred = "doc_id % 2 = 0")
+      Dedup.writeAnchorIndex(spark, sf, idx, mode = "append", pred = "doc_id % 2 <> 0")
+      Dedup.probeAnchorIndex(spark, sf, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    }
+    assert(appended.sorted == rebuilt.sorted,
+      "appended anchor index diverges from a rebuild")
+
+    // first principles: direct kernel-anchor join over collected docs
+    val docs = Engine.table(spark, sf, "documents").select("doc_id", "text")
+      .collect().map { r =>
+        val t = r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+        r.getLong(0) ->
+          graft.functions.WinnowAnchors.compute(t.getBytes("UTF-8"), 64, 16).toSet
+      }.toMap
+    val direct = (for {
+      (d, dFps) <- docs.toSeq if d % 10 == 0
+      (i, iFps) <- docs.toSeq if i % 10 != 0
+      shared = (dFps intersect iFps).size if shared > 0
+    } yield (d, i, shared)).sorted
+    assert(rebuilt.sorted == direct,
+      s"probe diverges from the direct join: ${rebuilt.length} vs ${direct.length}")
+  }
+
   test("plan: no exchange carries document text; anchors shuffle as encoded ids") {
     val p = Dedup.spanDedup(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
