@@ -1573,22 +1573,30 @@ object Dedup {
     (0 until spanK).map(j => up(spanK - 1 - j))
   }
 
-  private def spanTail(anchorsCte: String): String =
-    s"""grp AS (
-       |  SELECT fp, doc_id, count(*) AS cnt
-       |  FROM $anchorsCte GROUP BY fp, doc_id),
-       |marked AS (
-       |  SELECT doc_id, cnt,
-       |    count(*) OVER (PARTITION BY fp) AS n_docs
-       |  FROM grp)
-       |SELECT doc_id,
-       |  CAST(sum(cnt) AS INT) AS n_anchors,
-       |  CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS INT)
-       |    AS n_dup_anchors,
-       |  CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
-       |    / sum(cnt) AS dup_frac
-       |FROM marked GROUP BY doc_id
-       |ORDER BY doc_id""".stripMargin
+  // The dup marking joins the anchor groups against ONLY the duplicated
+  // fingerprints, never all of them. Two rejected spellings, both
+  // measured at the 1000× tier: a count(*) window over fp sorts the
+  // whole anchor relation (100 s — the sort spills); joining against
+  // per-fp counts for EVERY fingerprint makes the build side ∝ unique
+  // content, i.e. corpus-sized (the ShuffledHashJoin build OOMs under 32
+  // concurrent tasks). `dupf` instead is ∝ duplicate density — the same
+  // economics as every banded path's candidate set — and its rows are
+  // bare 8-byte fps, so whichever join AQE picks builds tiny. Per-doc
+  // totals come from a doc-keyed aggregate that never touches fp.
+  private def spanTail(grpRel: String): String =
+    s"""dupf AS (
+       |  SELECT fp FROM $grpRel GROUP BY fp HAVING count(*) >= 2),
+       |hits AS (
+       |  SELECT /*+ SHUFFLE_HASH(d) */ g.doc_id, sum(g.cnt) AS n_dup
+       |  FROM $grpRel g JOIN dupf d ON g.fp = d.fp GROUP BY g.doc_id),
+       |tot AS (
+       |  SELECT doc_id, sum(cnt) AS n_all FROM $grpRel GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(t.n_all AS INT) AS n_anchors,
+       |  CAST(coalesce(h.n_dup, 0) AS INT) AS n_dup_anchors,
+       |  CAST(coalesce(h.n_dup, 0) AS DOUBLE) / t.n_all AS dup_frac
+       |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   /** Kernel-side anchor derivation: (doc_id, fp) per distinct selected
     * anchor, over the docs matching `filter`. The whole selection runs
@@ -1600,12 +1608,26 @@ object Dedup {
        |      FROM documents WHERE $filter)
        |WHERE length(t) >= ${spanWin + spanK - 1}""".stripMargin
 
-  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The (fp, doc_id, cnt) anchor groups, materialized ONCE per session
+    * (same policy as [[cachedShingles]]): the tail consumes this relation
+    * three times (dupf, hits, tot) and `WITH` CTEs inline, so an uncached
+    * spelling re-runs the scan→kernel→explode→aggregate chain — the
+    * operator's whole cost — three times over (measured at the 1000×
+    * tier before this materialization). */
+  private[graft] def cachedSpanGroups(spark: SparkSession, dir: String): Unit = {
     docs(spark, dir)
+    val grp = Engine.cacheSwap("span_grp",
+      spark.sql(
+        s"""SELECT fp, doc_id, count(*) AS cnt FROM (
+           |${spanAnchorsSpark()}) a GROUP BY fp, doc_id""".stripMargin))
+    grp.createOrReplaceTempView("span_grp")
+  }
+
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    cachedSpanGroups(spark, dir)
     spark.sql(
-      s"""WITH anchors AS (
-         |${spanAnchorsSpark()}),
-         |${spanTail("anchors")}""".stripMargin)
+      s"""WITH grp AS (SELECT * FROM span_grp),
+         |${spanTail("grp")}""".stripMargin)
   }
 
   /** Oracle: the kernel's selection replayed relationally — per-position
@@ -1657,7 +1679,10 @@ object Dedup {
 
   private val spanDedupOracle =
     s"""WITH $spanAnchorsDuck,
-       |${spanTail("anchors")}""".stripMargin
+       |grp AS (
+       |  SELECT fp, doc_id, count(*) AS cnt
+       |  FROM anchors GROUP BY fp, doc_id),
+       |${spanTail("grp")}""".stripMargin
 
   val spanExact: QueryDef =
     QueryDef.sqlBacked("dedup_span_exact", spanDedupOracle)(spanDedup(_, _))
