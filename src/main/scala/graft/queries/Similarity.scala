@@ -255,6 +255,103 @@ object Similarity {
 
   val ivf: QueryDef = QueryDef.sqlBacked("ann_ivf_topk", ivfOracle)(ivfTopK(_, _))
 
+  // --- filtered vector search (metadata predicate + top-k) -----------------
+  // The production ANN query is rarely unconstrained: retrieval filters on
+  // tenant / language / split alongside the vector ("filtered vector
+  // search"). Here each query keeps only candidates sharing ITS OWN label
+  // (~10% selectivity on this corpus) — the predicate rides the candidate
+  // join and is applied BEFORE ranking, so the top-k window sees only
+  // qualifying rows and the scan's label column prunes/pushes like any
+  // relational predicate (with the cell-partitioned index this composes
+  // with DPP: cells prune by probe, files filter by label). The standard
+  // recall caveat is made explicit by the parameter choice: a filter that
+  // keeps 1/10 of candidates thins every probed cell 10×, so nProbe is
+  // raised (8 vs the unfiltered key's 4) — the knob the nProbe sweep
+  // already quantifies. Oracle: the identical probed+filtered relational
+  // replay; FilteredAnnSpec pins label correctness and exact equality with
+  // filtered brute force restricted to the probed cells.
+  def ivfFilteredTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 8): DataFrame = {
+    emb(spark, dir)
+    spark.sql(
+      s"""WITH cent AS ($centroidSql),
+         |e AS (
+         |  SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |corpus AS (
+         |  SELECT vec_id AS cand_id, label, v AS cv,
+         |    argmax_dot(v, $centroidMatrixSql) AS cell
+         |  FROM e
+         |),
+         |queries AS (
+         |  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+         |  FROM e WHERE vec_id < $nQueries
+         |),
+         |probes AS (
+         |  SELECT query_id, qlabel, qv, cid AS cell FROM (
+         |    SELECT q.query_id, q.qlabel, q.qv, cent.cid,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        dot_product(q.qv, cent.cv) DESC, cent.cid) AS pr
+         |    FROM queries q CROSS JOIN cent) t
+         |  WHERE pr <= $nProbe
+         |)
+         |SELECT query_id, cand_id, label, score, rnk FROM (
+         |  SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id, c.label,
+         |    dot_product(p.qv, c.cv) AS score,
+         |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |      dot_product(p.qv, c.cv) DESC, c.cand_id) AS rnk
+         |  FROM probes p JOIN corpus c
+         |    ON p.cell = c.cell AND c.label = p.qlabel
+         |   AND p.query_id <> c.cand_id) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  private val ivfFilteredOracle =
+    s"""WITH cent AS ($centroidDuck),
+       |e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${Dedup.dotDuckSql("e.v", "cent.cv")} DESC, cent.cid) AS rn
+       |    FROM e CROSS JOIN cent) t
+       |  WHERE rn = 1
+       |),
+       |corpus AS (
+       |  SELECT e.vec_id AS cand_id, e.label, e.v AS cv, a.cell
+       |  FROM e JOIN assign a ON e.vec_id = a.vec_id
+       |),
+       |queries AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+       |  FROM e WHERE vec_id < 8
+       |),
+       |probes AS (
+       |  SELECT query_id, qlabel, qv, cid AS cell FROM (
+       |    SELECT q.query_id, q.qlabel, q.qv, cent.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${Dedup.dotDuckSql("q.qv", "cent.cv")} DESC, cent.cid) AS pr
+       |    FROM queries q CROSS JOIN cent) t
+       |  WHERE pr <= 8
+       |)
+       |SELECT query_id, cand_id, label, score, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT p.query_id, c.cand_id, c.label,
+       |    ${Dedup.dotDuckSql("p.qv", "c.cv")} AS score,
+       |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |      ${Dedup.dotDuckSql("p.qv", "c.cv")} DESC, c.cand_id) AS rnk
+       |  FROM probes p JOIN corpus c
+       |    ON p.cell = c.cell AND c.label = p.qlabel
+       |   AND p.query_id <> c.cand_id) t
+       |WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val ivfFiltered: QueryDef =
+    QueryDef.sqlBacked("ann_filtered", ivfFilteredOracle)(ivfFilteredTopK(_, _))
+
   // --- IVF at production C through the broadcast-matrix kernel ------------
   // The same probed search with C=256 — past what a foldable SQL literal
   // can reasonably carry — exercising the scale path end-to-end: corpus
@@ -624,5 +721,6 @@ object Similarity {
     QueryDef.sqlBacked("dedup_semantic", semanticOracle)(semanticDedup(_, _))
 
   val all: Seq[QueryDef] =
-    Seq(bruteForce, ivf, ivfC256, ivfIndexed, quantized, semantic, recall)
+    Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, quantized, semantic,
+      recall)
 }
