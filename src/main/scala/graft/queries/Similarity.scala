@@ -720,7 +720,190 @@ object Similarity {
   val semantic: QueryDef =
     QueryDef.sqlBacked("dedup_semantic", semanticOracle)(semanticDedup(_, _))
 
+  // --- k-means centroid TRAINING (Lloyd's iterations) ----------------------
+  // Everything IVF-shaped above runs against the deterministic HASH
+  // centroids — fine as a partitioning function, but real IVF quality
+  // comes from centroids fitted to the corpus (recall at a given nProbe
+  // rises when cells follow the data's density). This is the training
+  // half: spherical k-means via Lloyd's iterations, seeded from the same
+  // hashCentroids family so the whole pipeline stays RNG-free.
+  //
+  // 100 TB shape — the classic distributed-k-means contract (same as
+  // Spark MLlib's KMeans, re-derived here so arithmetic is oracle-
+  // replayable): per iteration, ONE projection pass over the corpus
+  // (cell = argmax-dot against the BROADCAST centroid matrix — no join,
+  // no exchange before the cell column exists), then a partial-aggregated
+  // shuffle keyed (cell, dim) carrying ≤ partitions×C×d rows, landing
+  // C×d rows on the driver. Driver state is C×d doubles — bounded by the
+  // model size, NEVER by the corpus (at C=√N=10⁴, d=64 that is 640k
+  // doubles ≈ 5 MB; past that you'd treeAggregate the partials, nothing
+  // else changes). The corpus projection is cached once across the
+  // iters+1 passes.
+  //
+  // Oracle-exact arithmetic, the part that makes this verifiable at all:
+  //   - per-dim sums run in SCALED FIXED-POINT (floor(x·1e7 + 0.5) as
+  //     BIGINT) — integer adds are order-independent, so Spark's
+  //     arbitrary partial-agg order and DuckDB's single-threaded sum
+  //     produce the same bits;
+  //   - the mean back to double is (CAST(s) / CAST(n)) / 1e7 — two IEEE
+  //     divisions, exactly specified, identical on both engines;
+  //   - assignment replays dot_product's index-order fold with
+  //     first-max-wins ties (row_number ORDER BY dot DESC, cid in the
+  //     oracle — the pinned ArgmaxDotBroadcast contract);
+  //   - empty cells keep their previous centroid (standard Lloyd's
+  //     practice), expressed as the same LEFT JOIN + coalesce on both
+  //     engines.
+  /** Unit-normalize in index-order IEEE arithmetic (fold order matches
+    * the DuckDB list_reduce; sqrt and division are correctly rounded on
+    * both engines, so normalized components agree bit for bit).
+    * Zero-norm rows pass through unchanged — the drop-to-previous rule. */
+  private def unitRow(row: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var d = 0
+    while (d < row.length) { s += row(d) * row(d); d += 1 }
+    if (s > 0.0) { val n = math.sqrt(s); row.map(_ / n) } else row
+  }
+
+  /** Train C centroids with `iters` Lloyd rounds; returns the fitted
+    * matrix (feed it to [[writeIvfIndexAt]] for a trained IVF index).
+    * SPHERICAL k-means: every centroid — seed included — is kept at unit
+    * norm, so argmax-dot assignment IS argmax-cosine and the normalized
+    * within-cell mean is the exact per-cell optimum (Cauchy-Schwarz) —
+    * Lloyd's monotone-ascent guarantee holds, which KmeansSpec pins
+    * empirically. Without the normalization, raw means of near-orthogonal
+    * unit vectors shrink toward 0 and high-norm centroids capture
+    * everything — the first KmeansSpec run measured the objective
+    * DROPPING 0.51 → 0.10 exactly that way. */
+  def trainCentroids(spark: SparkSession, dir: String, c: Int = 16,
+      iters: Int = 2): (Array[Array[Double]], Array[Long]) = {
+    emb(spark, dir)
+    val vecs = Engine.cacheSwap("kmeans_vecs", spark.sql(
+      """SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings""".stripMargin))
+    var centroids = hashCentroids(c).map(unitRow)
+    var lastSums = Array.fill(c)(0L)
+    for (_ <- 1 to iters) {
+      // ≤ C×64 rows cross the collect boundary — model-sized, not data-sized
+      val agg = assignCells(vecs, "v", "cell", centroids)
+        .selectExpr("cell", "posexplode(v) AS (d, x)")
+        .selectExpr("cell", "d",
+          "CAST(floor(x * 10000000.0D + 0.5D) AS BIGINT) AS sx")
+        .groupBy("cell", "d")
+        .agg(sum("sx").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone)
+      val sums = Array.fill(c)(0L)
+      val touched = Array.fill(c)(false)
+      agg.foreach { r =>
+        val cell = r.getAs[Int]("cell")
+        val d = r.getAs[Int]("d")
+        val s = r.getAs[Long]("s")
+        val n = r.getAs[Long]("n")
+        next(cell)(d) = s.toDouble / n.toDouble / 10000000.0
+        sums(cell) += s
+        touched(cell) = true
+      }
+      // untouched OR zero-norm-mean cells keep the previous (unit)
+      // centroid — never re-normalized, so their bits are stable across
+      // rounds on both engines
+      centroids = Array.tabulate(c) { ci =>
+        if (!touched(ci)) centroids(ci)
+        else {
+          val u = unitRow(next(ci))
+          if (u eq next(ci)) centroids(ci) else u // zero norm → previous
+        }
+      }
+      lastSums = sums
+    }
+    (centroids, lastSums)
+  }
+
+  /** The verifiable training summary: one row per centroid — final member
+    * count, first fitted component, and the fixed-point component-sum
+    * fingerprint of the last update (a bit-exact digest of the whole
+    * centroid without shipping arrays through the compare). */
+  def kmeansTrain(spark: SparkSession, dir: String, c: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val (centroids, lastSums) = trainCentroids(spark, dir, c, iters)
+    val vecs = spark.sql(
+      """SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings""".stripMargin)
+    val counts = assignCells(vecs, "v", "cell", centroids)
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+    import spark.implicits._
+    val trained = (0 until c).map(ci => (ci, centroids(ci)(0), lastSums(ci)))
+      .toDF("cid", "c0", "ssum")
+    trained.join(counts, trained("cid") === counts("cell"), "left")
+      .selectExpr("cid", "CAST(coalesce(cnt, 0) AS BIGINT) AS cnt", "c0", "ssum")
+      .orderBy("cid")
+  }
+
+  // DuckDB replay: aN = assignment round, uN = fixed-point update, cN =
+  // fitted centroids after round N. Same fold order, same tie-break, same
+  // fixed-point arithmetic as the Spark path above.
+  private def kmAssignDuck(centRel: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${Dedup.dotDuckSql("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN $centRel c) t
+       |  WHERE rn = 1)""".stripMargin
+
+  private def kmUpdateDuck(assignRel: String, out: String): String =
+    s"""$out AS (
+       |  SELECT cell, d,
+       |    CAST(sum(CAST(floor(v[d + 1] * 10000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM $assignRel CROSS JOIN range(0, 64) t(d)
+       |  GROUP BY cell, d)""".stripMargin
+
+  // normalized mean, drop-to-previous on untouched or zero-norm cells —
+  // the same rule as the Scala path, expressed as LEFT JOIN + CASE
+  private def kmNextDuck(prevCent: String, updRel: String, out: String): String =
+    s"""$out AS (
+       |  SELECT p.cid,
+       |    CASE WHEN u.n2 IS NULL OR u.n2 <= 0 THEN p.cv
+       |         ELSE list_transform(u.cv2, x -> x / sqrt(u.n2)) END AS cv
+       |  FROM $prevCent p LEFT JOIN (
+       |    SELECT cid, cv2, ${Dedup.dotDuckSql("cv2", "cv2")} AS n2 FROM (
+       |      SELECT cell AS cid,
+       |        list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 10000000.0 ORDER BY d) AS cv2
+       |      FROM $updRel GROUP BY cell) t0) u USING (cid))""".stripMargin
+
+  private val kmeansOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |craw AS (${centroidDuckAt(16)}),
+       |cseed AS (
+       |  SELECT cid, CASE WHEN n2 <= 0 THEN cv
+       |    ELSE list_transform(cv, x -> x / sqrt(n2)) END AS cv
+       |  FROM (SELECT cid, cv, ${Dedup.dotDuckSql("cv", "cv")} AS n2 FROM craw) t0
+       |),
+       |${kmAssignDuck("cseed", "a1")},
+       |${kmUpdateDuck("a1", "u1")},
+       |${kmNextDuck("cseed", "u1", "c1")},
+       |${kmAssignDuck("c1", "a2")},
+       |${kmUpdateDuck("a2", "u2")},
+       |${kmNextDuck("c1", "u2", "c2")},
+       |${kmAssignDuck("c2", "a3")}
+       |SELECT CAST(c2.cid AS INT) AS cid,
+       |  CAST(coalesce(k.cnt, 0) AS BIGINT) AS cnt,
+       |  CAST(c2.cv[1] AS DOUBLE) AS c0,
+       |  CAST(coalesce(s2.ssum, 0) AS BIGINT) AS ssum
+       |FROM c2
+       |LEFT JOIN (SELECT cell, count(*) AS cnt FROM a3 GROUP BY cell) k
+       |  ON c2.cid = k.cell
+       |LEFT JOIN (SELECT cell, CAST(sum(s) AS BIGINT) AS ssum FROM u2 GROUP BY cell) s2
+       |  ON c2.cid = s2.cell
+       |ORDER BY cid""".stripMargin
+
+  val kmeans: QueryDef =
+    QueryDef.sqlBacked("ann_kmeans_train", kmeansOracle)(kmeansTrain(_, _))
+
   val all: Seq[QueryDef] =
     Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, quantized, semantic,
-      recall)
+      recall, kmeans)
 }

@@ -1,0 +1,91 @@
+package graft
+
+import graft.queries.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for k-means centroid training (`ann_kmeans_train`).
+  *
+  * What must hold:
+  *   - training MOVES: fitted centroids differ from the hash seed (a
+  *     no-op "training" loop that returned the seed would still produce
+  *     a schema-valid summary);
+  *   - the summary is a partition: per-centroid member counts sum to the
+  *     corpus size exactly;
+  *   - quality improves: the mean best-dot objective (what spherical
+  *     k-means ascends) is strictly higher under the fitted centroids
+  *     than under the seed on this deterministic corpus;
+  *   - determinism: two independent trainings produce bit-identical
+  *     matrices — the RNG-free contract every oracle compare rests on;
+  *   - empty cells keep the seed centroid and report cnt = 0 (Lloyd's
+  *     drop-to-seed rule) — forced by training C > corpus cardinality
+  *     shape on the tiny tier.
+  */
+class KmeansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+  private val tiny = "/root/testdata/sf0.001"
+
+  private def meanBestDot(dir: String, cents: Array[Array[Double]]): Double = {
+    val vecs = Engine.table(spark, dir, "embeddings")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    vecs.map { v =>
+      cents.map(c => v.indices.map(d => v(d) * c(d)).sum).max
+    }.sum / vecs.length
+  }
+
+  // the training seed is the UNIT-normalized hash matrix (spherical
+  // k-means keeps every centroid at unit norm)
+  private def unitSeed(c: Int): Array[Array[Double]] =
+    Similarity.hashCentroids(c).map { r =>
+      val n = math.sqrt(r.map(x => x * x).sum)
+      r.map(_ / n)
+    }
+
+  test("fitted centroids differ from the (normalized) seed") {
+    val (fitted, _) = Similarity.trainCentroids(spark, sf)
+    val seed = unitSeed(16)
+    assert(fitted.zip(seed).exists { case (f, s) => !f.sameElements(s) },
+      "training returned the seed matrix unchanged")
+  }
+
+  test("member counts partition the corpus") {
+    val rows = Similarity.kmeansTrain(spark, sf).collect()
+    val n = Engine.table(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == n)
+    assert(rows.length == 16)
+    assert(rows.map(_.getAs[Int]("cid")).toSeq == (0 until 16))
+  }
+
+  test("training raises the spherical k-means objective over the seed") {
+    val (fitted, _) = Similarity.trainCentroids(spark, sf)
+    val before = meanBestDot(sf, unitSeed(16))
+    val after = meanBestDot(sf, fitted)
+    assert(after > before,
+      f"objective did not improve: seed $before%.6f vs fitted $after%.6f")
+  }
+
+  test("training is deterministic — two runs, identical matrices") {
+    val (a, sa) = Similarity.trainCentroids(spark, sf)
+    val (b, sb) = Similarity.trainCentroids(spark, sf)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    assert(sa.sameElements(sb))
+  }
+
+  test("empty cells keep the previous centroid and a zero fingerprint") {
+    val c = 256 // far more cells than the tiny tier's 500 vectors populate
+    // one Lloyd round so "previous centroid" is the seed — identifiable
+    // exactly: ssum == 0 ⇔ the cell got no members in the update round
+    val rows = Similarity.kmeansTrain(spark, tiny, c = c, iters = 1).collect()
+    val seed = unitSeed(c)
+    val empty = rows.filter(_.getAs[Long]("ssum") == 0L)
+    assert(empty.nonEmpty, "expected at least one unpopulated cell at C=256")
+    empty.foreach { r =>
+      val cid = r.getAs[Int]("cid")
+      assert(r.getAs[Double]("c0") == seed(cid)(0),
+        s"empty cell $cid drifted from its seed centroid")
+    }
+    assert(rows.map(_.getAs[Long]("cnt")).sum ==
+      Engine.table(spark, tiny, "embeddings").count())
+  }
+}
