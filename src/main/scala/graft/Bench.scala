@@ -406,6 +406,26 @@ object Bench {
       } finally s.stop()
     }
 
+    // Trained-vs-hash recall at equal probe budget — the PAYOFF
+    // measurement for ann_kmeans_train: same C, same nProbe, only the
+    // centroid model differs; recall@10 against the exact ground truth.
+    if (haveSf1) {
+      val s = Engine.build()
+      try {
+        val (fit, _) = queries.Similarity.trainCentroids(s, sf1Dir, c = 16, iters = 2)
+        val pts = Seq(1, 2, 4, 8).map { np =>
+          val h = queries.Similarity.meanRecallAtNProbe(s, sf1Dir, np)
+          val t = queries.Similarity.meanRecallWith(s, sf1Dir, fit, np)
+          System.err.println(f"[bench] kmeans recall np=$np hash=$h%.4f trained=$t%.4f")
+          s""""p$np":{"hash":${math.rint(h * 10000) / 10000},"trained":${math.rint(t * 10000) / 10000}}"""
+        }
+        extras("kmeans_recall_sf1") = pts.mkString("{", ",", "}")
+        emitTier("kmeans_recall_sf1", extras("kmeans_recall_sf1"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] kmeans recall failed: $e")
+      } finally s.stop()
+    }
+
     // IVM refresh-cost independence (VERDICT r9 #5): the SAME 10k-row
     // delta applied to views whose bases differ 10× (sf0.1 vs sf1
     // lineitem) must refresh in ~equal time — applyDelta's inputs are the

@@ -489,6 +489,64 @@ object Similarity {
          |  GROUP BY b.query_id)""".stripMargin).head().getDouble(0)
   }
 
+  /** Probed top-k against an ARBITRARY centroid matrix (the fitted model
+    * from [[trainCentroids]], or any C×d array): corpus assignment runs
+    * through the broadcast argmax kernel (projection, no Exchange), probe
+    * selection against the same matrix rendered as a C-row relation —
+    * model-sized, broadcast by AQE. This is how a TRAINED index is
+    * served; [[meanRecallWith]] scores it against the exact ground truth
+    * so "training lifted recall@10 by X at the same probe budget" is a
+    * measured statement (Bench's kmeans_recall_sf1 commits it). */
+  def ivfTopKWith(spark: SparkSession, dir: String,
+      cents: Array[Array[Double]], nQueries: Int = 8, k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    emb(spark, dir)
+    assignCells(spark.sql(
+      """SELECT vec_id AS cand_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |FROM embeddings""".stripMargin), "cv", "cell", cents)
+      .createOrReplaceTempView("ivfw_corpus")
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (cv, i) => (i, cv.toSeq) }
+      .toDF("cid", "cv").createOrReplaceTempView("ivfw_cent")
+    spark.sql(
+      s"""WITH queries AS (
+         |  SELECT vec_id AS query_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < $nQueries
+         |),
+         |probes AS (
+         |  SELECT query_id, qv, cid AS cell FROM (
+         |    SELECT q.query_id, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        dot_product(q.qv, c.cv) DESC, c.cid) AS pr
+         |    FROM queries q CROSS JOIN ivfw_cent c) t
+         |  WHERE pr <= $nProbe
+         |)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id,
+         |    dot_product(p.qv, c.cv) AS score,
+         |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |      dot_product(p.qv, c.cv) DESC, c.cand_id) AS rnk
+         |  FROM probes p JOIN ivfw_corpus c
+         |    ON p.cell = c.cell AND p.query_id <> c.cand_id) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  /** Mean recall@k of the probed search under an arbitrary centroid
+    * model — [[meanRecallAtNProbe]]'s twin for trained centroids. */
+  def meanRecallWith(spark: SparkSession, dir: String,
+      cents: Array[Array[Double]], nProbe: Int, k: Int = 10): Double = {
+    bruteForceTopK(spark, dir, k = k).createOrReplaceTempView("ann_sweep_bf")
+    ivfTopKWith(spark, dir, cents, k = k, nProbe = nProbe)
+      .createOrReplaceTempView("ann_sweep_ivfw")
+    spark.sql(
+      s"""SELECT avg(r) FROM (
+         |  SELECT CAST(count(i.cand_id) AS DOUBLE) / $k.0 AS r
+         |  FROM ann_sweep_bf b LEFT JOIN ann_sweep_ivfw i
+         |    ON b.query_id = i.query_id AND b.cand_id = i.cand_id
+         |  GROUP BY b.query_id)""".stripMargin).head().getDouble(0)
+  }
+
   // --- IVF with a MATERIALIZED cell-partitioned index ---------------------
   // The write-time half of the IVF promise ("the centroid assignment
   // becomes the partition key"): the corpus is written ONCE, partitioned

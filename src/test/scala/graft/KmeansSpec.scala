@@ -72,6 +72,28 @@ class KmeansSpec extends AnyFunSuite {
     assert(sa.sameElements(sb))
   }
 
+  test("ivfTopKWith(hash matrix) reproduces the oracle-pinned ivfTopK row for row") {
+    val a = Similarity.ivfTopK(spark, sf).collect().map(_.toString).toSeq
+    val b = Similarity.ivfTopKWith(spark, sf, Similarity.hashCentroids(16))
+      .collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b,
+      "arbitrary-matrix serving path diverged from the oracle-checked one")
+  }
+
+  test("training lifts recall@10 over the hash model at the same probe budget") {
+    val (fitted, _) = Similarity.trainCentroids(spark, sf)
+    val hash = Similarity.hashCentroids(16)
+    // measured on this deterministic corpus: 0.15 -> 0.2125 at nProbe=1,
+    // 0.2250 -> 0.3875 at nProbe=2 — pin non-strictly so an unrelated
+    // corpus regen fails loudly rather than flakily
+    Seq(1, 2).foreach { np =>
+      val h = Similarity.meanRecallWith(spark, sf, hash, np)
+      val t = Similarity.meanRecallWith(spark, sf, fitted, np)
+      assert(t > h,
+        f"training did not lift recall at nProbe=$np: hash $h%.4f vs trained $t%.4f")
+    }
+  }
+
   test("empty cells keep the previous centroid and a zero fingerprint") {
     val c = 256 // far more cells than the tiny tier's 500 vectors populate
     // one Lloyd round so "previous centroid" is the seed — identifiable
