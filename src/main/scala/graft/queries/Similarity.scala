@@ -625,6 +625,46 @@ object Similarity {
   val ivfIndexed: QueryDef =
     QueryDef.sqlBacked("ann_ivf_indexed", ivfOracle)(ivfIndexedTopK(_, _))
 
+  /** [[probeIvfIndex]] for a TRAINED (or any arbitrary-matrix) index:
+    * probe selection runs against the same model the index was written
+    * with — the matrix the caller got from [[trainCentroids]] — rendered
+    * as a model-sized relation; candidate scan, DPP pruning and top-k are
+    * identical to the hash-index path. Together with [[writeIvfIndexAt]]
+    * this closes the trained serving loop: train → write cell-partitioned
+    * index → probe with the fitted model (KmeansSpec pins the composition
+    * ≡ the in-memory [[ivfTopKWith]] row for row). */
+  def probeIvfIndexWith(spark: SparkSession, dir: String, indexPath: String,
+      cents: Array[Array[Double]], nQueries: Int = 8, k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    emb(spark, dir)
+    spark.read.parquet(indexPath).createOrReplaceTempView("ivfw_index")
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (cv, i) => (i, cv.toSeq) }
+      .toDF("cid", "cv").createOrReplaceTempView("ivfw_cent")
+    spark.sql(
+      s"""WITH queries AS (
+         |  SELECT vec_id AS query_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < $nQueries
+         |),
+         |probes AS (
+         |  SELECT query_id, qv, cid AS cell FROM (
+         |    SELECT q.query_id, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        dot_product(q.qv, c.cv) DESC, c.cid) AS pr
+         |    FROM queries q CROSS JOIN ivfw_cent c) t
+         |  WHERE pr <= $nProbe
+         |)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id,
+         |    dot_product(p.qv, c.cv) AS score,
+         |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |      dot_product(p.qv, c.cv) DESC, c.cand_id) AS rnk
+         |  FROM probes p JOIN ivfw_index c
+         |    ON p.cell = c.cell AND p.query_id <> c.cand_id) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
   // --- int8 symmetric quantization (storage/compression path) -------------
   // The standard embedding-compression step before writing an index:
   // per-vector symmetric int8 quantization (scale = max|x| / 127, value

@@ -108,6 +108,22 @@ class KmeansSpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("ssum")).toSeq != full.map(_.getAs[Long]("ssum")).toSeq)
   }
 
+  test("train -> write index -> probe composes: trained-index probe == in-memory trained search") {
+    val (fitted, _) = Similarity.trainCentroids(spark, sf)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_kmeans_idx_").resolve("index").toString
+    Similarity.writeIvfIndexAt(
+      Engine.table(spark, sf, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"),
+      idx, fitted)
+    val mem = Similarity.ivfTopKWith(spark, sf, fitted)
+      .collect().map(_.toString).toSeq
+    val viaIndex = Similarity.probeIvfIndexWith(spark, sf, idx, fitted)
+      .collect().map(_.toString).toSeq
+    assert(mem.nonEmpty && mem == viaIndex,
+      "materialized trained index diverged from the in-memory trained search")
+  }
+
   test("empty cells keep the previous centroid and a zero fingerprint") {
     val c = 256 // far more cells than the tiny tier's 500 vectors populate
     // one Lloyd round so "previous centroid" is the seed — identifiable
