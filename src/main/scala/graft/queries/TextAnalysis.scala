@@ -565,7 +565,53 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("tok"))
   }
 
+  // --- BPE merge-pair counting: the tokenizer-training inner loop ---------
+  // One round of byte-pair-encoding training = "count every adjacent
+  // symbol pair across the corpus, weighted by occurrence; the argmax is
+  // the next merge" (Sennrich et al. 2016 — the algorithm behind
+  // GPT-2/LLaMA tokenizers). The 100 TB shape is the same two-level
+  // split real trainers use: ONE corpus-scale pass builds the DISTINCT
+  // word table with frequencies (explode + map-side-combining hash agg —
+  // the only shuffle that sees corpus-sized data), then pair extraction
+  // and the merge ranking run entirely on the vocabulary relation, which
+  // is corpus-size-independent (Heaps' law: ~10⁵-10⁶ rows at any scale).
+  // Iterating T merge rounds re-enters at the word table, never the
+  // corpus — each further round costs O(|vocab|), which is why BPE
+  // training is feasible at all on web-scale text.
+  val bpePairs: QueryDef = QueryDef.sqlBacked(
+    "ta_bpe_pairs",
+    """WITH words AS (
+      |  SELECT w, count(*) AS wf FROM (
+      |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      |    FROM documents) t
+      |  GROUP BY w),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> substr(w, CAST(i AS INT), 2))) AS pair, wf
+      |  FROM words WHERE len(w) >= 2)
+      |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY pair
+      |ORDER BY cnt DESC, pair
+      |LIMIT 100""".stripMargin
+  ) { (spark, dir) =>
+    docs(spark, dir)
+    spark.sql(
+      """WITH words AS (
+        |  SELECT w, count(*) AS wf FROM (
+        |    SELECT explode(filter(split(lower(text), ' '), x -> x <> '')) AS w
+        |    FROM documents) t
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, i, 2) AS pair, wf
+        |  FROM words LATERAL VIEW explode(sequence(1, length(w) - 1)) t AS i
+        |  WHERE length(w) >= 2)
+        |SELECT pair, sum(wf) AS cnt
+        |FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair
+        |LIMIT 100""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, winnow, vocab, tfidf,
-      repetition, pii, boilerplate, heavyHitters)
+      repetition, pii, boilerplate, heavyHitters, bpePairs)
 }
