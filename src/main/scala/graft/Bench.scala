@@ -273,7 +273,8 @@ object Bench {
       queries.Curate.chunk, queries.Curate.rag,
       queries.TextAnalysis.heavyHitters, queries.Events.gapfillSeriesDef,
       queries.Dedup.keepBest, queries.Dedup.spanExact, queries.Curate.srcCapQ,
-      queries.Similarity.ivfFiltered, queries.Similarity.kmeans)
+      queries.Similarity.ivfFiltered, queries.Similarity.kmeans,
+      queries.Similarity.hybrid)
     // gapfill is benched as its LIBRARY surface (evt_gapfill_series —
     // no global ORDER BY); the total order exists for the oracle compare
     // only and was the sf10 cell's dominant cost (VERDICT r9 #3).

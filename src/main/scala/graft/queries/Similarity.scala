@@ -1013,6 +1013,92 @@ object Similarity {
   val kmeans: QueryDef =
     QueryDef.sqlBacked("ann_kmeans_train", kmeansOracle)(kmeansTrain(_, _))
 
+  // --- hybrid retrieval: lexical ⊕ vector via reciprocal-rank fusion ------
+  // The production RAG retrieval shape (Cormack/Clarke/Buettcher RRF,
+  // the default fusion in Elasticsearch/OpenSearch/Vespa): run a lexical
+  // arm and a vector arm independently, fuse by Σ 1/(60 + rank) — rank
+  // fusion needs no score calibration between arms, which is why it won.
+  // Lexical arm: shared-distinct-token count against the corpus token
+  // inverted index (the ta_vocab pass); the query side is a handful of
+  // rows, so the candidate join is "broadcast 8 token lists against the
+  // posting relation" — one corpus-scale explode + a partial-agg shuffle
+  // carrying (query, cand, count) triples, never documents. Vector arm:
+  // the oracle-pinned IVF probe, reused verbatim. Fusion is a
+  // FULL OUTER JOIN of two ≤ k·|queries|-row relations — size-independent
+  // of the corpus. 1/(60+r) on both engines is one IEEE division of the
+  // same ints, so fused scores hash-match bit for bit. A doc missing
+  // from one arm contributes 0 from it (standard RRF). At thousands of
+  // concurrent queries the lexical join wants a df-capped token filter
+  // (drop stopword postings); at the census scale the full index is
+  // exact and cheap.
+  def hybridRrf(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    ivfTopK(spark, dir, nQueries = nQueries, k = k)
+      .createOrReplaceTempView("hybrid_vec")
+    spark.sql(
+      s"""WITH tok AS (
+         |  SELECT doc_id, explode(array_distinct(
+         |    filter(split(lower(text), ' '), x -> x <> ''))) AS tk
+         |  FROM documents),
+         |qtok AS (SELECT doc_id AS query_id, tk FROM tok WHERE doc_id < $nQueries),
+         |lex AS (
+         |  SELECT query_id, cand_id, rnk FROM (
+         |    SELECT /*+ BROADCAST(q) */ q.query_id, t.doc_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY count(*) DESC, t.doc_id) AS rnk
+         |    FROM qtok q JOIN tok t ON q.tk = t.tk AND t.doc_id <> q.query_id
+         |    GROUP BY q.query_id, t.doc_id) s
+         |  WHERE rnk <= $k),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |         coalesce(l.cand_id, v.cand_id) AS cand_id,
+         |         coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rnk), CAST(0.0 AS DOUBLE))
+         |           + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rnk), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM lex l FULL OUTER JOIN hybrid_vec v
+         |    ON l.query_id = v.query_id AND l.cand_id = v.cand_id)
+         |SELECT query_id, cand_id, rrf, CAST(rn AS INT) AS rnk FROM (
+         |  SELECT query_id, cand_id, rrf,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, cand_id) AS rn
+         |  FROM fused) f
+         |WHERE rn <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  private val hybridOracle =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS tk
+       |  FROM documents),
+       |qtok AS (SELECT doc_id AS query_id, tk FROM tok WHERE doc_id < 8),
+       |lex AS (
+       |  SELECT query_id, cand_id, rnk FROM (
+       |    SELECT q.query_id, t.doc_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY count(*) DESC, t.doc_id) AS rnk
+       |    FROM qtok q JOIN tok t ON q.tk = t.tk AND t.doc_id <> q.query_id
+       |    GROUP BY q.query_id, t.doc_id) s
+       |  WHERE rnk <= 10),
+       |vec AS ($ivfOracle),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |         coalesce(l.cand_id, v.cand_id) AS cand_id,
+       |         coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rnk), CAST(0.0 AS DOUBLE))
+       |           + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rnk), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON l.query_id = v.query_id AND l.cand_id = v.cand_id)
+       |SELECT query_id, cand_id, rrf, CAST(rn AS INT) AS rnk FROM (
+       |  SELECT query_id, cand_id, rrf,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, cand_id) AS rn
+       |  FROM fused) f
+       |WHERE rn <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val hybrid: QueryDef =
+    QueryDef.sqlBacked("ann_hybrid_rrf", hybridOracle)(hybridRrf(_, _))
+
   /** Bench-only corpus-sized-C training (same √N rule as semanticDedup's
     * [[semanticC]]): C is a MODEL-SIZE knob — cost is O(N·C·d) per round
     * through the broadcast projection, so the honest big-tier number
@@ -1029,5 +1115,5 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, quantized, semantic,
-      recall, kmeans)
+      recall, kmeans, hybrid)
 }
