@@ -310,4 +310,49 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       "top-1-per-cluster lost its map-side group-limit pruning")
   }
+
+  private def exchangeInputs(p: String): Seq[String] =
+    """\(\d+\) Exchange\n(Input[^\n]*)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+
+  private val textAttrRe = """\btext#\d+""".r
+
+  test("ann_hybrid_rrf: fusion exchanges carry tokens and ranks, never document text") {
+    // The lexical arm tokenizes AT the scan; everything that crosses an
+    // exchange afterwards is (token) or (query_id, cand_id, count/rank)
+    // triples. A regression that shuffles bodies would be invisible in
+    // results and ruinous at corpus scale.
+    val p = plan("ann_hybrid_rrf")
+    val ins = exchangeInputs(p)
+    assert(ins.nonEmpty, "no Exchange details found in formatted plan")
+    ins.foreach { in =>
+      assert(textAttrRe.findFirstIn(in).isEmpty,
+        s"a fusion exchange carries document text: $in")
+    }
+  }
+
+  test("ta_bpe_pairs: the only corpus-scale exchange is the word table; text never shuffles") {
+    val p = plan("ta_bpe_pairs")
+    val ins = exchangeInputs(p)
+    assert(ins.nonEmpty, "no Exchange details found in formatted plan")
+    ins.foreach { in =>
+      assert(textAttrRe.findFirstIn(in).isEmpty,
+        s"a BPE exchange carries document text: $in")
+    }
+    // word counting must combine map-side — the corpus-scale explode
+    // exchanges one row per DISTINCT word per partition, not per token
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "word-frequency aggregation lost its map-side combine")
+  }
+
+  test("ann_kmeans_train: assignment is the broadcast kernel; vectors never cross an exchange") {
+    val p = plan("ann_kmeans_train")
+    assert(p.contains("argmax_dot_bc"),
+      "cell assignment no longer runs through the broadcast argmax kernel")
+    val vecAttr = """\b(v|embedding)#\d+""".r
+    exchangeInputs(p).foreach { in =>
+      assert(vecAttr.findFirstIn(in).isEmpty,
+        s"a training exchange carries embedding vectors: $in")
+    }
+  }
 }
