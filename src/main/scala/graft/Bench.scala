@@ -303,7 +303,7 @@ object Bench {
            queries.Dedup.simhash,
            queries.Dedup.ngramJaccard, queries.Dedup.spanExact,
            queries.Similarity.semantic,
-           queries.TextAnalysis.tfidf,
+           queries.TextAnalysis.tfidf, queries.TextAnalysis.bpePairs,
            queries.Curate.curate, queries.Curate.decontam) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "embeddings"))
          // the WIDE configuration: the 4×4-band default is Θ(N²/16) by
