@@ -532,6 +532,43 @@ object Similarity {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
+  /** The probed search over ARBITRARY query/corpus relations —
+    * `queries(query_id, qv)` against `corpus(cand_id, cv[, cell])` under
+    * any centroid model. The core [[ivfTopKWith]] and the streaming
+    * vector-search path ([[graft.streaming.Streams.vectorSearch]]) share:
+    * a corpus already carrying a `cell` column (e.g. read back from a
+    * [[writeIvfIndexAt]] index) is probed as-is — partition pruning
+    * intact — otherwise assignment runs through the broadcast kernel. */
+  def searchVectors(queries: DataFrame, corpus: DataFrame,
+      cents: Array[Array[Double]], k: Int = 10, nProbe: Int = 4): DataFrame = {
+    // Pure DataFrame composition — no temp views: inside foreachBatch the
+    // micro-batch runs in its own session whose view catalog does not see
+    // registrations made through the static side's session.
+    import org.apache.spark.sql.expressions.Window
+    val s = queries.sparkSession
+    import s.implicits._
+    val assigned =
+      if (corpus.columns.contains("cell")) corpus
+      else assignCells(corpus, "cv", "cell", cents)
+    val cent = cents.zipWithIndex.toSeq.map { case (cv, i) => (i, cv.toSeq) }
+      .toDF("cid", "ccv")
+    val probes = queries.crossJoin(cent)
+      .withColumn("pdot", expr("dot_product(qv, ccv)"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("pdot").desc, col("cid").asc)))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("qcell"))
+    broadcast(probes)
+      .join(assigned, probes("qcell") === assigned("cell") &&
+        probes("query_id") =!= assigned("cand_id"))
+      .withColumn("score", expr("dot_product(qv, cv)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("score"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Mean recall@k of the probed search under an arbitrary centroid
     * model — [[meanRecallAtNProbe]]'s twin for trained centroids. */
   def meanRecallWith(spark: SparkSession, dir: String,

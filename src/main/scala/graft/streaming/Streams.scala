@@ -221,6 +221,28 @@ object Streams {
       .start()
   }
 
+  /** Streaming vector search: a stream of query vectors — `(query_id,
+    * qv: array<double>)` — retrieves its exact IVF top-k from a STATIC
+    * corpus per micro-batch (the online-retrieval half of the ANN
+    * family; the model can be [[graft.queries.Similarity.trainCentroids]]'
+    * fitted matrix or the hash default). Same production idiom as
+    * [[hourlyTopTypes]]: rank-over-aggregate can't run inside one
+    * append-mode query, but a query vector's candidate set is COMPLETE
+    * within its own micro-batch — the probe is a stream-static join, no
+    * cross-batch state exists — so ranking inside foreachBatch is exact,
+    * not an approximation. Pass a corpus already carrying `cell` (read
+    * back from a [[graft.queries.Similarity.writeIvfIndexAt]] index) and
+    * each batch's fetch partition-prunes to its probed cells; state is
+    * zero regardless of stream length. */
+  def vectorSearch(queries: DataFrame, corpus: DataFrame,
+      cents: Array[Array[Double]], k: Int = 10, nProbe: Int = 4)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.queries.Similarity.searchVectors(batch, corpus, cents, k, nProbe))
+      }
+      .start()
+
   /** Stream → multiset-table ingestion: every micro-batch lands as ONE
     * O(|batch|) freq delta in the [[graft.sources.MultisetStore]] chain —
     * the streaming twin of the reference's TableInsert write path, wired

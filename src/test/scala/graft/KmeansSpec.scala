@@ -124,6 +124,51 @@ class KmeansSpec extends AnyFunSuite {
       "materialized trained index diverged from the in-memory trained search")
   }
 
+  test("streaming vector search equals the batch trained search, query for query") {
+    val (fitted, _) = Similarity.trainCentroids(spark, sf)
+    val expected = Similarity.ivfTopKWith(spark, sf, fitted)
+      .collect().map(_.toString).toSet
+    // the corpus relation (static side) and the query stream source
+    val corpus = Engine.table(spark, sf, "embeddings")
+      .selectExpr("vec_id AS cand_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS cv")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_vs_src_").toString
+    Engine.table(spark, sf, "embeddings")
+      .filter("vec_id < 8")
+      .selectExpr("vec_id AS query_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS qv")
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = graft.streaming.Streams.vectorSearch(stream, corpus, fitted) { ranked =>
+      got ++= ranked.collect().map(_.toString)
+    }
+    try {
+      q.processAllAvailable()
+      assert(got.nonEmpty && got.toSet == expected,
+        s"streaming search diverged: got ${got.size} rows, expected ${expected.size}")
+    } finally q.stop()
+  }
+
+  test("searchVectors over an indexed corpus (cell column present) equals the assign-on-read path") {
+    val (fitted, _) = Similarity.trainCentroids(spark, sf)
+    val corpus = Engine.table(spark, sf, "embeddings")
+      .selectExpr("vec_id AS cand_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS cv")
+    val queries = Engine.table(spark, sf, "embeddings")
+      .filter("vec_id < 8")
+      .selectExpr("vec_id AS query_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS qv")
+    val direct = Similarity.searchVectors(queries, corpus, fitted)
+      .collect().map(_.toString).toSeq
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_vs_idx_").resolve("index").toString
+    Similarity.writeIvfIndexAt(
+      corpus.selectExpr("cand_id AS vec_id", "cv AS v"), idx, fitted)
+    val viaIndex = Similarity.searchVectors(
+      queries, spark.read.parquet(idx), fitted)
+      .collect().map(_.toString).toSeq
+    assert(direct.nonEmpty && direct == viaIndex,
+      "indexed-corpus search diverged from assign-on-read search")
+  }
+
   test("empty cells keep the previous centroid and a zero fingerprint") {
     val c = 256 // far more cells than the tiny tier's 500 vectors populate
     // one Lloyd round so "previous centroid" is the seed — identifiable
