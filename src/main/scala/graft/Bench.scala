@@ -274,7 +274,7 @@ object Bench {
       queries.TextAnalysis.heavyHitters, queries.Events.gapfillSeriesDef,
       queries.Dedup.keepBest, queries.Dedup.spanExact, queries.Curate.srcCapQ,
       queries.Similarity.ivfFiltered, queries.Similarity.kmeans,
-      queries.Similarity.hybrid)
+      queries.Similarity.hybrid, queries.Similarity.ivfSq8)
     // gapfill is benched as its LIBRARY surface (evt_gapfill_series —
     // no global ORDER BY); the total order exists for the oracle compare
     // only and was the sf10 cell's dominant cost (VERDICT r9 #3).

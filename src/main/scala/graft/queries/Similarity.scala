@@ -1136,6 +1136,135 @@ object Similarity {
   val hybrid: QueryDef =
     QueryDef.sqlBacked("ann_hybrid_rrf", hybridOracle)(hybridRrf(_, _))
 
+  // --- IVF-SQ8: int8-quantized scoring + exact re-rank ---------------------
+  // The FAISS-default memory path (IndexIVFScalarQuantizer): inside each
+  // probed cell, candidates score with the INT8 codes (4× less memory
+  // bandwidth than float32 — at 100 TB the quantized corpus is what fits
+  // in cluster page cache), then only the top `rerank` survivors fetch
+  // their float vectors for the exact re-scoring that orders the final
+  // top-k. Quantization is emb_quantize's exact convention (q =
+  // floor(x·127/maxabs + 0.5) clamped, scale = maxabs/127). Everything
+  // the approximate stage computes is INTEGER arithmetic (Σ q_a·q_b in
+  // BIGINT — order-independent) scaled by two IEEE multiplies, so the
+  // DuckDB oracle replays approximate ranks, survivor set, and final
+  // scores bit for bit. The re-rank join is `rerank·|queries|` rows —
+  // corpus-size-independent.
+  def ivfSq8TopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10, nProbe: Int = 4, rerank: Int = 50): DataFrame = {
+    emb(spark, dir)
+    spark.sql(
+      s"""WITH cent AS ($centroidSql),
+         |e AS (
+         |  SELECT vec_id, v, array_max(transform(v, x -> abs(x))) AS maxabs
+         |  FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings)
+         |),
+         |qz AS (
+         |  SELECT vec_id, v, maxabs / 127.0 AS scale,
+         |    transform(v, x -> greatest(CAST(-127 AS BIGINT),
+         |      least(CAST(127 AS BIGINT),
+         |        CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)))) AS q8
+         |  FROM e WHERE maxabs > 0
+         |),
+         |corpus AS (
+         |  SELECT vec_id AS cand_id, v AS cv, scale AS cscale, q8 AS cq,
+         |    argmax_dot(v, $centroidMatrixSql) AS cell
+         |  FROM qz
+         |),
+         |queries AS (
+         |  SELECT vec_id AS query_id, v AS qv, scale AS qscale, q8 AS qq
+         |  FROM qz WHERE vec_id < $nQueries
+         |),
+         |probes AS (
+         |  SELECT query_id, qv, qscale, qq, cid AS cell FROM (
+         |    SELECT q.query_id, q.qv, q.qscale, q.qq, cent.cid,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        dot_product(q.qv, cent.cv) DESC, cent.cid) AS pr
+         |    FROM queries q CROSS JOIN cent) t
+         |  WHERE pr <= $nProbe
+         |),
+         |approx AS (
+         |  SELECT query_id, cand_id, qv, cv,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ascore DESC, cand_id) AS arnk
+         |  FROM (
+         |    SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id, p.qv, c.cv,
+         |      CAST(aggregate(zip_with(p.qq, c.cq, (x, y) -> x * y),
+         |        0L, (acc, pr) -> acc + pr) AS DOUBLE) * p.qscale * c.cscale AS ascore
+         |    FROM probes p JOIN corpus c
+         |      ON p.cell = c.cell AND p.query_id <> c.cand_id) raw
+         |)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT query_id, cand_id, dot_product(qv, cv) AS score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      dot_product(qv, cv) DESC, cand_id) AS rnk
+         |  FROM approx WHERE arnk <= $rerank) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  private val ivfSq8Oracle =
+    s"""WITH cent AS ($centroidDuck),
+       |e AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings)
+       |),
+       |qz AS (
+       |  SELECT vec_id, v, maxabs / 127.0 AS scale,
+       |    list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+       |      least(CAST(127 AS BIGINT),
+       |        CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)))) AS q8
+       |  FROM e WHERE maxabs > 0
+       |),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT qz.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY qz.vec_id ORDER BY
+       |        ${Dedup.dotDuckSql("qz.v", "cent.cv")} DESC, cent.cid) AS rn
+       |    FROM qz CROSS JOIN cent) t
+       |  WHERE rn = 1
+       |),
+       |corpus AS (
+       |  SELECT qz.vec_id AS cand_id, qz.v AS cv, qz.scale AS cscale,
+       |    qz.q8 AS cq, a.cell
+       |  FROM qz JOIN assign a ON qz.vec_id = a.vec_id
+       |),
+       |queries AS (
+       |  SELECT vec_id AS query_id, v AS qv, scale AS qscale, q8 AS qq
+       |  FROM qz WHERE vec_id < 8
+       |),
+       |probes AS (
+       |  SELECT query_id, qv, qscale, qq, cid AS cell FROM (
+       |    SELECT q.query_id, q.qv, q.qscale, q.qq, cent.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${Dedup.dotDuckSql("q.qv", "cent.cv")} DESC, cent.cid) AS pr
+       |    FROM queries q CROSS JOIN cent) t
+       |  WHERE pr <= 4
+       |),
+       |approx AS (
+       |  SELECT query_id, cand_id, qv, cv,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ascore DESC, cand_id) AS arnk
+       |  FROM (
+       |    SELECT p.query_id, c.cand_id, p.qv, c.cv,
+       |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, len(p.qq) + 1), i -> p.qq[i] * c.cq[i])),
+       |        (x, y) -> x + y) AS DOUBLE) * p.qscale * c.cscale AS ascore
+       |    FROM probes p JOIN corpus c
+       |      ON p.cell = c.cell AND p.query_id <> c.cand_id) raw
+       |)
+       |SELECT query_id, cand_id, score, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT query_id, cand_id, ${Dedup.dotDuckSql("qv", "cv")} AS score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      ${Dedup.dotDuckSql("qv", "cv")} DESC, cand_id) AS rnk
+       |  FROM approx WHERE arnk <= 50) t
+       |WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val ivfSq8: QueryDef =
+    QueryDef.sqlBacked("ann_ivf_sq8", ivfSq8Oracle)(ivfSq8TopK(_, _))
+
   /** Bench-only corpus-sized-C training (same √N rule as semanticDedup's
     * [[semanticC]]): C is a MODEL-SIZE knob — cost is O(N·C·d) per round
     * through the broadcast projection, so the honest big-tier number
@@ -1152,5 +1281,5 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, quantized, semantic,
-      recall, kmeans, hybrid)
+      recall, kmeans, hybrid, ivfSq8)
 }

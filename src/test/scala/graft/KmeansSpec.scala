@@ -169,6 +169,18 @@ class KmeansSpec extends AnyFunSuite {
       "indexed-corpus search diverged from assign-on-read search")
   }
 
+  test("IVF-SQ8 with 50-deep re-rank recovers the exact IVF top-k completely") {
+    // int8 scoring prunes to 50 approximate survivors; the exact re-rank
+    // then orders them with the same float dot as ivfTopK — at the gate
+    // tier the final rows are IDENTICAL (recall 1.0), which pins both
+    // that quantized ranking is sane and that the re-rank uses the exact
+    // kernel, not the approximation.
+    val sq8 = Similarity.ivfSq8TopK(spark, sf).collect().map(_.toString).toSeq
+    val ivf = Similarity.ivfTopK(spark, sf).collect().map(_.toString).toSeq
+    assert(sq8.nonEmpty && sq8 == ivf,
+      "SQ8+re-rank diverged from the exact IVF search at the gate tier")
+  }
+
   test("empty cells keep the previous centroid and a zero fingerprint") {
     val c = 256 // far more cells than the tiny tier's 500 vectors populate
     // one Lloyd round so "previous centroid" is the seed — identifiable
