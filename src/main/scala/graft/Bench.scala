@@ -122,8 +122,7 @@ object Bench {
   // measured separately (best-of-2 over one build).
   private def ivfProbeTime(s: SparkSession, dir: String): Option[Double] = {
     try {
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_bench_ivf_").resolve("index").toString
+      val idx = Engine.scratchDir("graft_bench_ivf_") + "/index"
       queries.Similarity.buildIvfIndex(s, dir, idx)
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -436,8 +435,7 @@ object Bench {
       val s = Engine.build()
       try {
         def refreshTime(baseDir: String): Double = {
-          val tmp = java.nio.file.Files
-            .createTempDirectory("graft_bench_ivm_").toString
+          val tmp = Engine.scratchDir("graft_bench_ivm_")
           val view = new ivm.IncrementalAggView(s,
             Seq("l_returnflag", "l_linestatus"),
             Seq("l_quantity", "l_extendedprice"), tmp)

@@ -212,6 +212,26 @@ object Engine {
     })
   }
 
+  /** Scratch directory for run-local materialized indexes (the census /
+    * bench builds of the IVF and span-anchor indexes): created under
+    * java.io.tmpdir and deleted RECURSIVELY on JVM exit, so repeated
+    * census/bench invocations can't accumulate unbounded parquet under
+    * the system temp dir (ADVICE r11 — spanIndexedPairs wrote a fresh
+    * never-reclaimed index per call). Persisted PRODUCTION indexes go
+    * through the write/probe pairs with caller-owned paths; this is
+    * only for the self-contained oracle-key compositions. */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        val _ = f.delete()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Register every table as a temp view so `spark.sql` works naturally —
     * the Spark analog of the reference's `resolve_tables` catalog pass
     * (/root/reference/src/planner/src/p1_validation/resolve_tables.rs:8-66).

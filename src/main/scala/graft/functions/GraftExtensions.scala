@@ -48,9 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => RepStats(exprs.head)),
       ("text_stats", "[n_tokens, n_stopwords, n_words, n_distinct_words] of a raw document string",
         exprs => TextStats(exprs.head)),
-      ("winnow_anchors", "62-bit fingerprints of a string's distinct winnowed k-gram anchors (args: text, k, w)",
-        exprs => WinnowAnchors(exprs(0),
-          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+      ("winnow_anchors", "62-bit fingerprints of a string's distinct winnowed anchor positions (fingerprints may repeat; args: text, k, w)",
+        exprs => WinnowAnchors.build(exprs)))
     val fns = base ++ GraftFunctions.referenceNames.map { case (name, builder) =>
       (name, s"reference registry name $name (cast/predicate semantics)", builder)
     }

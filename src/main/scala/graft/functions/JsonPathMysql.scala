@@ -225,8 +225,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "text_stats", exprs => TextStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
-      "winnow_anchors", exprs => WinnowAnchors(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]), "built-in")
+      "winnow_anchors", exprs => WinnowAnchors.build(exprs), "built-in")
     GraftFunctions.referenceNames.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }

@@ -4,14 +4,20 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing anchor selection (Schleimer et al., SIGMOD 2003) as ONE
   * codegen pass: `winnow_anchors(t, k, w)` returns the 62-bit
-  * fingerprints of the distinct selected anchors of `t` — for every
-  * window of `w` consecutive k-gram hashes, the minimum hash (rightmost
-  * on ties, the robust-winnowing rule), deduplicated per document.
+  * fingerprints of the distinct selected anchor POSITIONS of `t` — for
+  * every window of `w` consecutive k-gram hashes, the minimum hash
+  * (rightmost on ties, the robust-winnowing rule), deduplicated on the
+  * selection order key (hash, position). The same k-gram selected at
+  * multiple positions of a highly repetitive document therefore emits
+  * its fingerprint once PER POSITION — fingerprints may repeat in the
+  * output (ADVICE r11); downstream consumers group/countDistinct/join
+  * on fp, for which repeats are harmless, and the DuckDB replay has the
+  * identical per-position contract.
   *
   * This replaces the naive relational spelling of the same selection
   * (explode every gram position → per-position hash → doc-partitioned
@@ -75,6 +81,31 @@ case class WinnowAnchors(child: Expression, k: Int, w: Int)
 }
 
 object WinnowAnchors {
+
+  /** Validated SQL-registry builder shared by both function registries
+    * (GraftExtensions + GraftFunctions): the bare `exprs(1).eval()`
+    * spelling threw IndexOutOfBounds on wrong arity and an opaque
+    * ClassCast/unbound-eval error on non-literal k/w (ADVICE r11); k and
+    * w parameterize generated code, so they MUST be plan-time integer
+    * constants — reject anything else with a clear analysis-time error. */
+  def build(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"winnow_anchors expects 3 arguments (text, k INT, w INT); got ${exprs.length}")
+    def intLit(i: Int, name: String): Int = {
+      val e = exprs(i)
+      if (!e.foldable || e.dataType != IntegerType)
+        throw new IllegalArgumentException(
+          s"winnow_anchors: $name must be a foldable INT literal, got ${e.sql}")
+      e.eval() match {
+        case v: Int => v
+        case _ => throw new IllegalArgumentException(
+          s"winnow_anchors: $name must be a non-null INT literal")
+      }
+    }
+    WinnowAnchors(exprs.head, intLit(1, "k"), intLit(2, "w"))
+  }
+
   private val M31 = (1L << 31) - 1 // mask for mod 2^31
   private val M30 = (1L << 30) - 1 // 30-bit field inside the order key
   private val PosSpace = 1L << 32

@@ -653,8 +653,7 @@ object Similarity {
 
   def ivfIndexedTopK(spark: SparkSession, dir: String,
       nQueries: Int = 8, k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_ivf_index_").resolve("index").toString
+    val idx = Engine.scratchDir("graft_ivf_index_") + "/index"
     buildIvfIndex(spark, dir, idx)
     probeIvfIndex(spark, dir, idx, nQueries, k, nProbe)
   }
@@ -1149,6 +1148,16 @@ object Similarity {
   // DuckDB oracle replays approximate ranks, survivor set, and final
   // scores bit for bit. The re-rank join is `rerank·|queries|` rows —
   // corpus-size-independent.
+  //
+  // Domain note (ADVICE r11): the qz stage's `WHERE maxabs > 0` excludes
+  // all-zero vectors from BOTH the query set and the candidate corpus —
+  // symmetric quantization is undefined at maxabs = 0 (scale = 0/127,
+  // q = x·127/0). This is a deliberate declared contract, replayed
+  // identically by the oracle: a zero vector has cosine 0 against
+  // everything, so it can neither rank nor be meaningfully ranked, and
+  // the wide-embedding ingestion contract (requireDims64 + L2-norm)
+  // keeps such vectors out of real corpora anyway. ivfTopK, which never
+  // divides by a norm, keeps them — the documented domain divergence.
   def ivfSq8TopK(spark: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 10, nProbe: Int = 4, rerank: Int = 50): DataFrame = {
     emb(spark, dir)

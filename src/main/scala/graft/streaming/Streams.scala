@@ -125,11 +125,15 @@ object Streams {
     * (bound with dropDuplicatesWithinWatermark at production rates).
     * Batch-callable for the stream ≡ batch proof. */
   def spanDupProbe(newDocs: DataFrame, indexDocs: DataFrame): DataFrame = {
+    // span parameters come from Dedup's constants — the single source of
+    // dedup_span_exact's anchor selection (ADVICE r11: inline 64/16/79
+    // literals here could drift from the batch path unnoticed)
+    val (k, w) = (graft.queries.Dedup.spanK, graft.queries.Dedup.spanWin)
     def anchors(df: DataFrame, idCol: String, fpCol: String): DataFrame =
       df.select(col("doc_id").as(idCol),
           expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").as("t"))
-        .filter(length(col("t")) >= 79)
-        .select(col(idCol), explode(expr("winnow_anchors(t, 64, 16)")).as(fpCol))
+        .filter(length(col("t")) >= w + k - 1)
+        .select(col(idCol), explode(expr(s"winnow_anchors(t, $k, $w)")).as(fpCol))
     val delta = anchors(newDocs, "delta_id", "fp")
     val index = anchors(indexDocs, "index_id", "i_fp")
       .select(col("i_fp")).distinct()
