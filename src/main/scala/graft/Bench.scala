@@ -147,6 +147,26 @@ object Bench {
     }
   }
 
+  // Stored-code SQ8 twin of ivfProbeTime: build the quantized index once,
+  // time the probe that scores from stored int8 codes (code-only column
+  // read) + float re-rank. Compared against ann_ivf_probe this cell
+  // prices the quantized scan's I/O win (VERDICT r11 #5).
+  private def sq8ProbeTime(s: SparkSession, dir: String): Option[Double] = {
+    try {
+      val idx = Engine.scratchDir("graft_bench_sq8_") + "/index"
+      queries.Similarity.writeIvfSq8Index(s, dir, idx)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        queries.Similarity.probeIvfSq8Index(s, dir, idx)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Some(math.min(once(), once()))
+    } catch { case e: Throwable =>
+      recordError(QueryDef.rowsOnly("ann_sq8_probe")((_, _) => null), dir, e); None
+    }
+  }
+
   /** One (tier × core-count) measurement cell in its own session: warm
     * codegen on sf0.001, calibrate, time each query, stop the session.
     * Returns the per-set timings, the cell's calibration constant, and
@@ -206,7 +226,9 @@ object Bench {
         if (withProbe && timed.nonEmpty) {
           val probe = "ann_ivf_probe" -> ivfProbeTime(s, dir)
           cellcal += ("ann_ivf_probe" -> Some(calibrate(s)))
-          timed.init :+ (timed.last :+ probe)
+          val sq8p = "ann_sq8_probe" -> sq8ProbeTime(s, dir)
+          cellcal += ("ann_sq8_probe" -> Some(calibrate(s)))
+          timed.init :+ (timed.last :+ probe :+ sq8p)
         } else timed
       (withP, cal, cellcal.result())
     } finally s.stop()

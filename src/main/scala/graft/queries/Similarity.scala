@@ -1049,6 +1049,76 @@ object Similarity {
   val kmeans: QueryDef =
     QueryDef.sqlBacked("ann_kmeans_train", kmeansOracle)(kmeansTrain(_, _))
 
+  // --- trained-IVF serving, end to end (VERDICT r11 #4) --------------------
+  // Training (ann_kmeans_train) and hash-model serving (ann_ivf_topk /
+  // ann_ivf_indexed) were each oracle-green, but the composition a
+  // production deployment actually runs — train on the corpus, WRITE the
+  // fitted cell-partitioned index, probe the stored index with the
+  // fitted model — was only spec-pinned. This key runs that exact
+  // composition: trainCentroids (C=16, 2 rounds — the bit-exact
+  // replayable config) → writeIvfIndexAt (cell assignment through the
+  // broadcast argmax kernel, cell = partition dir) → probeIvfIndexWith
+  // (DPP-pruned scan of the probed cells only). The oracle replays the
+  // identical two Lloyd rounds relationally (the ann_kmeans_train chain)
+  // and then the probed search under the fitted centroids — so a single
+  // hash compare covers fitted-model equality across all 64 components
+  // (any divergence reorders a top-k somewhere), the write/read
+  // roundtrip, and the probe arithmetic.
+  def ivfTrainedTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val (fit, _) = trainCentroids(spark, dir, c = 16, iters = 2)
+    emb(spark, dir)
+    val idx = Engine.scratchDir("graft_ivf_trained_") + "/index"
+    writeIvfIndexAt(spark.sql(
+      """SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings""".stripMargin), idx, fit)
+    probeIvfIndexWith(spark, dir, idx, fit, nQueries, k, nProbe)
+  }
+
+  private val ivfTrainedOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |craw AS (${centroidDuckAt(16)}),
+       |cseed AS (
+       |  SELECT cid, CASE WHEN n2 <= 0 THEN cv
+       |    ELSE list_transform(cv, x -> x / sqrt(n2)) END AS cv
+       |  FROM (SELECT cid, cv, ${Dedup.dotDuckSql("cv", "cv")} AS n2 FROM craw) t0
+       |),
+       |${kmAssignDuck("cseed", "a1")},
+       |${kmUpdateDuck("a1", "u1")},
+       |${kmNextDuck("cseed", "u1", "c1")},
+       |${kmAssignDuck("c1", "a2")},
+       |${kmUpdateDuck("a2", "u2")},
+       |${kmNextDuck("c1", "u2", "c2")},
+       |${kmAssignDuck("c2", "a3")},
+       |corpus AS (
+       |  SELECT vec_id AS cand_id, v AS cv, cell FROM a3
+       |),
+       |queries AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+       |),
+       |probes AS (
+       |  SELECT query_id, qv, cid AS cell FROM (
+       |    SELECT q.query_id, q.qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${Dedup.dotDuckSql("q.qv", "c.cv")} DESC, c.cid) AS pr
+       |    FROM queries q CROSS JOIN c2 c) t
+       |  WHERE pr <= 4
+       |)
+       |SELECT query_id, cand_id, score, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT p.query_id, c.cand_id,
+       |    ${Dedup.dotDuckSql("p.qv", "c.cv")} AS score,
+       |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |      ${Dedup.dotDuckSql("p.qv", "c.cv")} DESC, c.cand_id) AS rnk
+       |  FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.cand_id) t
+       |WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val ivfTrained: QueryDef =
+    QueryDef.sqlBacked("ann_ivf_trained", ivfTrainedOracle)(ivfTrainedTopK(_, _))
+
   // --- hybrid retrieval: lexical ⊕ vector via reciprocal-rank fusion ------
   // The production RAG retrieval shape (Cormack/Clarke/Buettcher RRF,
   // the default fusion in Elasticsearch/OpenSearch/Vespa): run a lexical
@@ -1274,6 +1344,107 @@ object Similarity {
   val ivfSq8: QueryDef =
     QueryDef.sqlBacked("ann_ivf_sq8", ivfSq8Oracle)(ivfSq8TopK(_, _))
 
+  // --- IVF-SQ8 with STORED codes (VERDICT r11 #5) --------------------------
+  // ann_ivf_sq8 quantizes the corpus inside the query — fine for the
+  // arithmetic gate, but it forfeits the FAISS memory argument its own
+  // comment makes: the production shape stores the int8 codes + scale in
+  // the cell-partitioned index ONCE and scores every probe from them.
+  // This pair is that shape. The index persists
+  // (cand_id, cv, cscale, cq TINYINT[], cell) partitioned by cell;
+  // a probe's approximate stage reads ONLY (cand_id, cscale, cq, cell) —
+  // parquet column pruning keeps the float vectors out of the scan, so
+  // the bytes-per-candidate drops ~4× (the I/O win measured by the
+  // ann_sq8_probe bench cell) — and only the `rerank` survivors per
+  // query fetch their float vectors back by cand_id for the exact
+  // re-rank. Quantization is deterministic, so stored codes ≡ in-flight
+  // codes and the key shares ann_ivf_sq8's oracle verbatim; KmeansSpec
+  // pins stored-probe == in-flight row for row, AnnIndexSpec pins the
+  // DPP + pruned-schema plan shape.
+  def writeIvfSq8Index(spark: SparkSession, dir: String, indexPath: String,
+      mode: String = "overwrite"): Unit = {
+    emb(spark, dir)
+    spark.sql(
+      s"""SELECT vec_id AS cand_id, v AS cv, maxabs / 127.0 AS cscale,
+         |  transform(v, x -> CAST(greatest(CAST(-127 AS BIGINT),
+         |    least(CAST(127 AS BIGINT),
+         |      CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))) AS TINYINT)) AS cq,
+         |  argmax_dot(v, $centroidMatrixSql) AS cell
+         |FROM (
+         |  SELECT vec_id, v, array_max(transform(v, x -> abs(x))) AS maxabs
+         |  FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings))
+         |WHERE maxabs > 0""".stripMargin)
+      .write.mode(mode).partitionBy("cell").parquet(indexPath)
+  }
+
+  /** Probe a stored-code index: queries quantize in-flight (they are
+    * nQueries rows), candidates score from the STORED codes, survivors
+    * re-rank from the stored float column. Identical results to
+    * [[ivfSq8TopK]] by construction. */
+  def probeIvfSq8Index(spark: SparkSession, dir: String, indexPath: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    emb(spark, dir)
+    spark.read.parquet(indexPath).createOrReplaceTempView("sq8_index")
+    spark.sql(
+      s"""WITH cent AS ($centroidSql),
+         |qz AS (
+         |  SELECT vec_id, v, maxabs / 127.0 AS scale,
+         |    transform(v, x -> greatest(CAST(-127 AS BIGINT),
+         |      least(CAST(127 AS BIGINT),
+         |        CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)))) AS q8
+         |  FROM (
+         |    SELECT vec_id, v, array_max(transform(v, x -> abs(x))) AS maxabs
+         |    FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |          FROM embeddings WHERE vec_id < $nQueries))
+         |  WHERE maxabs > 0
+         |),
+         |probes AS (
+         |  SELECT query_id, qscale, qq, cid AS cell FROM (
+         |    SELECT q.vec_id AS query_id, q.scale AS qscale, q.q8 AS qq, cent.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        dot_product(q.v, cent.cv) DESC, cent.cid) AS pr
+         |    FROM qz q CROSS JOIN cent) t
+         |  WHERE pr <= $nProbe
+         |),
+         |approx AS (
+         |  SELECT query_id, cand_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ascore DESC, cand_id) AS arnk
+         |  FROM (
+         |    SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id,
+         |      CAST(aggregate(zip_with(p.qq, c.cq, (x, y) -> x * CAST(y AS BIGINT)),
+         |        0L, (acc, pr) -> acc + pr) AS DOUBLE) * p.qscale * c.cscale AS ascore
+         |    FROM probes p JOIN sq8_index c
+         |      ON p.cell = c.cell AND p.query_id <> c.cand_id) raw
+         |),
+         |surv AS (SELECT query_id, cand_id FROM approx WHERE arnk <= $rerank)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT /*+ BROADCAST(s) */ s.query_id, s.cand_id,
+         |    dot_product(q.v, f.cv) AS score,
+         |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+         |      dot_product(q.v, f.cv) DESC, s.cand_id) AS rnk
+         |  FROM surv s
+         |  JOIN qz q ON s.query_id = q.vec_id
+         |  JOIN sq8_index f ON s.cand_id = f.cand_id) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  /** Self-contained census composition: write the stored-code index to a
+    * session scratch path, probe it. Same oracle as ann_ivf_sq8 — the
+    * storage layout is invisible in the result. */
+  def ivfSq8IndexedTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    val idx = Engine.scratchDir("graft_sq8_idx_") + "/index"
+    writeIvfSq8Index(spark, dir, idx)
+    probeIvfSq8Index(spark, dir, idx, nQueries, k, nProbe, rerank)
+  }
+
+  val ivfSq8Indexed: QueryDef =
+    QueryDef.sqlBacked("ann_ivf_sq8_idx", ivfSq8Oracle)(ivfSq8IndexedTopK(_, _))
+
   /** Bench-only corpus-sized-C training (same √N rule as semanticDedup's
     * [[semanticC]]): C is a MODEL-SIZE knob — cost is O(N·C·d) per round
     * through the broadcast projection, so the honest big-tier number
@@ -1290,5 +1461,5 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, quantized, semantic,
-      recall, kmeans, hybrid, ivfSq8)
+      recall, kmeans, ivfTrained, hybrid, ivfSq8, ivfSq8Indexed)
 }

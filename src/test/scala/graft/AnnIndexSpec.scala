@@ -49,6 +49,47 @@ class AnnIndexSpec extends AnyFunSuite {
       "partition filters on cell missing from the index scan")
   }
 
+  test("the TRAINED-index probe prunes partitions and matches the in-memory trained search") {
+    // ann_ivf_trained (VERDICT r11 #4): train -> writeIvfIndexAt ->
+    // probeIvfIndexWith must keep the same DPP shape as the hash-index
+    // probe — the fitted model changes cell CONTENTS, never the pruning
+    // contract — and return exactly what the in-memory trained search
+    // (KmeansSpec's pinned ivfTopKWith) returns.
+    val df = queries.Similarity.ivfTrainedTopK(spark, dir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("dynamicpruningexpression"),
+      "trained index scan lost its dynamic partition pruning subquery:\n" + physical)
+    val (fit, _) = queries.Similarity.trainCentroids(spark, dir, c = 16, iters = 2)
+    val mem = queries.Similarity.ivfTopKWith(spark, dir, fit).collect()
+    val idx = df.collect()
+    assert(idx.nonEmpty && idx.length == mem.length)
+    idx.zip(mem).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("the SQ8 index probe prunes partitions and its approx scan never reads the float column") {
+    // The FAISS memory argument, pinned in the plan: the approximate
+    // stage scores from the stored int8 codes, so its index scan must
+    // (a) carry the dynamic-partition-pruning subquery on cell like
+    // every probe, and (b) read a schema WITHOUT the float vectors —
+    // parquet column pruning is what makes the stored-code path ~4x
+    // lighter per candidate. The re-rank fetch is the only scan allowed
+    // to touch cv.
+    val idx = Engine.scratchDir("graft_sq8_plan_") + "/index"
+    queries.Similarity.writeIvfSq8Index(spark, dir, idx)
+    val df = queries.Similarity.probeIvfSq8Index(spark, dir, idx)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("dynamicpruningexpression"),
+      "SQ8 index scan lost its dynamic partition pruning subquery:\n" + physical)
+    val indexScans = physical.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("graft_sq8_plan_"))
+      .toSeq
+    assert(indexScans.size == 2, s"expected approx + rerank index scans:\n$physical")
+    assert(indexScans.exists(l => l.contains("cq") && !l.contains("cv#")),
+      "no index scan with a code-only (cv-free) read schema:\n" + indexScans.mkString("\n"))
+    assert(indexScans.exists(l => l.contains("cv#") && !l.contains("cq")),
+      "no re-rank index scan reading only the float column:\n" + indexScans.mkString("\n"))
+  }
+
   test("recall@10 floor at the default probe width; exhaustive probe is exact") {
     // The tuning loop's committed quality bar (VERDICT r9 #4): the default
     // nProbe=4 of 16 cells must keep recall@10 at or above its measured

@@ -181,6 +181,18 @@ class KmeansSpec extends AnyFunSuite {
       "SQ8+re-rank diverged from the exact IVF search at the gate tier")
   }
 
+  test("stored-code SQ8 probe equals the in-flight SQ8 search row for row") {
+    // ann_ivf_sq8_idx (VERDICT r11 #5): quantization is deterministic,
+    // so codes written to the index and codes computed in the query are
+    // the same bytes — the storage layout must be invisible in the
+    // result. Approximate ranks, survivor set, and exact re-rank scores
+    // all have to agree, which this row-for-row compare covers at once.
+    val stored = Similarity.ivfSq8IndexedTopK(spark, sf).collect().map(_.toString).toSeq
+    val inflight = Similarity.ivfSq8TopK(spark, sf).collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inflight,
+      "stored-code SQ8 probe diverged from the in-flight SQ8 search")
+  }
+
   test("empty cells keep the previous centroid and a zero fingerprint") {
     val c = 256 // far more cells than the tiny tier's 500 vectors populate
     // one Lloyd round so "previous centroid" is the seed — identifiable
