@@ -593,20 +593,15 @@ object Dedup {
     // part of the declared contract.
     // The index is MATERIALIZED once per session (cacheSwap), not a CTE:
     // Spark inlines multiply-referenced CTEs, so the self-join's two
-    // branches would each re-run the explode + two window shuffles —
+    // branches would each re-run the explode + df subtree —
     // the same 2-3× recompute containment's cont_rinv fixed in r10
     // (measured here: ~19.5 s/pass uncached vs ~13 s with the index
     // resident). Separate cache key from containment's: this index is
     // per-COPY (no rep collapse — see the df-cap rationale above).
-    val _ = graft.Engine.cacheSwap("ngram_rinv", spark.sql(
-      s"""SELECT sid, doc_id, nsh, count(*) OVER (PARTITION BY doc_id) AS nrare
-         |FROM (
-         |  SELECT sid, doc_id, nsh FROM (
-         |    SELECT sid, doc_id, nsh, count(*) OVER (PARTITION BY sid) AS df
-         |    FROM (SELECT doc_id, size(hshingles) AS nsh, hshingles
-         |          FROM dedup_sh) s
-         |    LATERAL VIEW explode(hshingles) t AS sid)
-         |  WHERE df <= $maxDf)""".stripMargin))
+    // Construction is the sort-free rareIndex build shared with
+    // containment (see rareIndex's doc for the df-aggregate/anti-join
+    // derivation that replaced the two window sorts of r11).
+    val _ = rareIndex(spark, "ngram_rinv", maxDf, repOnly = false)
       .createOrReplaceTempView("ngram_rinv")
     spark.sql(
       s"""WITH rinv AS (
@@ -719,14 +714,44 @@ object Dedup {
   // funnel; the oracle hash-compare proves the tightening lossless on
   // the corpus.
   /** Materialize the rare-shingle posting list (the candidate index) ONCE
-    * per session. The SQL-CTE formulation recomputed the explode + df
-    * subtree 3× (Spark inlines multiply-referenced CTEs: the self-join's
-    * two branches plus rare_own each re-ran it — 7.75 s of sf1
-    * containment's 9.4 s was candidate generation for that reason, not
-    * pair volume). df comes from a count window over the exploded
-    * postings — ONE shuffle by sid instead of groupBy-then-rejoin's two
-    * passes over the same rows. The 100 TB shape materializes the index
-    * relation before any self-join, exactly as here.
+    * per session — sort-free (round 12; VERDICT r11 #3).
+    *
+    * The r11 construction computed df with `count(*) OVER (PARTITION BY
+    * sid)` and nrare with a second window over doc_id: two posting-level
+    * exchanges, each of which SORTS its partitions (window operators
+    * materialize + sort every partition) — at sf100 that pair of sorts
+    * was the 520 s / tens-of-GB-spill cold path, because ~500 M posting
+    * rows rode two full sort-exchanges before the self-join ever ran.
+    * Neither sort buys anything: df and nrare are plain counts.
+    *
+    * This build gets the same relation with hash work only:
+    *   1. df via a map-side-combined HashAggregate on the 8-byte sid,
+    *      keeping only the COMMON head (df > maxDf). The exchange
+    *      carries (sid, partial count) pairs — 16 bytes, no sort, and
+    *      the HAVING reduces to a relation whose SIZE is bounded by the
+    *      Zipf head: shingle TYPES with more than maxDf occurrences are
+    *      the head of the frequency distribution (few types, many
+    *      tokens), measured at thousands of rows per million docs. The
+    *      result is cached and broadcast.
+    *   2. rare postings = explode LEFT ANTI JOIN the broadcast common
+    *      set: O(1) per posting against a per-task hash set, NO exchange
+    *      — postings never leave their scan partitions.
+    *   3. nrare = count per doc over the rare postings: each doc's
+    *      postings are contiguous in one partition (they come from one
+    *      cached row), so the partial aggregate collapses them to ONE
+    *      row per doc before the exchange — |docs| 16-byte rows.
+    *   4. one SHUFFLE_HASH join attaches nrare back to the postings: the
+    *      single posting-level exchange left in the build, hash-only (no
+    *      SMJ sort). The self-join that consumes the index re-shuffles
+    *      it by sid anyway, so this doc-keyed exchange is the floor.
+    * Same rows out (df filter and counts are definitionally identical),
+    * so neither oracle moves — the r12 hash-green keys are the proof.
+    *
+    * nrare (rare shingles owned per doc) and nsh (total owned) ride on
+    * every posting so the candidate filter needs no side-table joins —
+    * min(a.nrare)/min(b.nrare) and the EXACT count bound's inputs fall
+    * out of the pair GROUP BY itself (the rare_own joins this replaced
+    * in r10 re-shuffled the full pair stream twice).
     *
     * The pair self-join over this index carries a SHUFFLE_HASH hint: the
     * build side is this relation — fixed-width 24-byte rows whose
@@ -737,26 +762,32 @@ object Dedup {
     * SMJ's two O(n log n) sorts buy nothing for a key we never need
     * ordered. This is a structural bound, not a statistics estimate, so
     * it doesn't violate the no-estimate-broadcast policy
-    * (Engine.scala's broadcast threshold notes). */
+    * (Engine.scala's broadcast threshold notes). The BROADCAST(c) hint
+    * in step 2 is likewise structural: the common set's row count is
+    * capped by total_postings/maxDf in the adversarial worst case but is
+    * Zipf-head-sized on any natural corpus, and each row is one long. */
+  private def rareIndex(spark: SparkSession, key: String, maxDf: Int,
+      repOnly: Boolean): DataFrame = {
+    val repFilter = if (repOnly) " WHERE is_rep" else ""
+    val common = graft.Engine.cacheSwap(s"${key}_common", spark.sql(
+      s"""SELECT sid FROM (
+         |  SELECT explode(hshingles) AS sid FROM dedup_sh$repFilter)
+         |GROUP BY sid HAVING count(*) > $maxDf""".stripMargin))
+    common.createOrReplaceTempView(s"${key}_common")
+    graft.Engine.cacheSwap(key, spark.sql(
+      s"""WITH rare AS (
+         |  SELECT /*+ BROADCAST(c) */ p.sid, p.doc_id, p.nsh
+         |  FROM (SELECT doc_id, size(hshingles) AS nsh, explode(hshingles) AS sid
+         |        FROM dedup_sh$repFilter) p
+         |  LEFT ANTI JOIN ${key}_common c ON p.sid = c.sid)
+         |SELECT /*+ SHUFFLE_HASH(n) */ r.sid, r.doc_id, r.nsh, n.nrare
+         |FROM rare r
+         |JOIN (SELECT doc_id, count(*) AS nrare FROM rare GROUP BY doc_id) n
+         |  ON r.doc_id = n.doc_id""".stripMargin))
+  }
+
   private[graft] def cachedRareIndex(spark: SparkSession, maxDf: Int = 10): Unit = {
-    // nrare (rare shingles owned per doc) rides along as a second window
-    // over the already-filtered postings: the candidate filter then needs
-    // no side-table joins — min(a.nrare)/min(b.nrare) fall out of the
-    // pair GROUP BY itself (the two rare_own joins this replaces re-
-    // shuffled the full pair stream twice, ~2.2 s of sf1's wall).
-    // nsh (total shingles owned) rides along too: together with nrare it
-    // prices the EXACT count bound the candidate filter applies (see
-    // containmentPairs — shared_common ≤ min owned-common), so the bound
-    // costs two ints per posting and no extra pass.
-    val rinv = graft.Engine.cacheSwap("cont_rinv", spark.sql(
-      s"""SELECT sid, doc_id, nsh, count(*) OVER (PARTITION BY doc_id) AS nrare
-         |FROM (
-         |  SELECT sid, doc_id, nsh FROM (
-         |    SELECT sid, doc_id, nsh, count(*) OVER (PARTITION BY sid) AS df
-         |    FROM (SELECT doc_id, size(hshingles) AS nsh, hshingles
-         |          FROM dedup_sh WHERE is_rep) r
-         |    LATERAL VIEW explode(hshingles) t AS sid)
-         |  WHERE df <= $maxDf)""".stripMargin))
+    val rinv = rareIndex(spark, "cont_rinv", maxDf, repOnly = true)
     rinv.createOrReplaceTempView("cont_rinv")
   }
 
