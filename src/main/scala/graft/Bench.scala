@@ -360,7 +360,7 @@ object Bench {
       queries.Dedup.containment,
       queries.Dedup.clusters, queries.Dedup.embeddingCosineWide,
       queries.Dedup.spanExact,
-      queries.TextAnalysis.tfidf,
+      queries.TextAnalysis.tfidf, queries.TextAnalysis.bpeMergesDef,
       queries.Events.gapfillSeriesDef, queries.Similarity.ivfC256,
       queries.Similarity.kmeansScaled)
     // sf10 docs is where banding/explode become compute-bound (at sf1 the
@@ -378,6 +378,11 @@ object Bench {
            queries.Dedup.ngramJaccard, queries.Dedup.spanExact,
            queries.Similarity.semantic,
            queries.TextAnalysis.tfidf, queries.TextAnalysis.bpePairs,
+           // the multi-round trainer: its per-round cost is a |vocab|
+           // relation pass (Heaps' law), so the sf1 → sf10 pair is the
+           // measured "round cost stays flat while the corpus grows 10×"
+           // claim (VERDICT r11 #6)
+           queries.TextAnalysis.bpeMergesDef,
            queries.Curate.curate, queries.Curate.decontam) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "embeddings"))
          // the WIDE configuration: the 4×4-band default is Θ(N²/16) by

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Engine, QueryDef}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Text-analysis operators for training-data pipelines over `documents`:
   * token counting, quality scoring, marker-word language ID, and content
@@ -611,7 +611,124 @@ object TextAnalysis {
         |LIMIT 100""".stripMargin)
   }
 
+  // --- multi-round BPE training (VERDICT r11 #6) --------------------------
+  // T merge rounds of Sennrich et al. 2016, re-entering at the WORD table
+  // each round — the corpus is scanned exactly once (the word-frequency
+  // aggregate, cached); every further round costs O(|vocab|), which is
+  // Heaps'-law bounded and corpus-size-independent. The driver holds only
+  // the model (one argmax pair per round — the same bounded, model-sized
+  // collect discipline as k-means training in Similarity.scala).
+  //
+  // Symbol sequences are encoded as delimiter-bounded strings:
+  // " s1 s2 ... sk " (a space BEFORE each symbol plus one trailing
+  // space), over words restricted to ^[a-z0-9]+$ (the classic
+  // pre-tokenization step — symbols then never contain the delimiter).
+  // A merge of pair (a,b) is `replace(sym, ' a b ', ' ab ')` applied
+  // TWICE: the bounded pattern can never match inside a longer symbol
+  // (" a b " does not match " xa b " or " a bc "), and the second pass
+  // catches occurrences whose leading space was consumed by an adjacent
+  // first-pass match (" a b a b " → pass 1 merges the 1st/3rd/...,
+  // pass 2 the survivors; unmatched occurrences are never adjacent after
+  // a greedy pass, so two passes are exhaustive). For same-symbol runs
+  // of length ≥ 4 (e.g. "aaaa" merging (a,a)) the grouping can differ
+  // from strict leftmost pairing — that replace-order policy is part of
+  // this operator's declared contract, and the ORACLE replays the
+  // identical two-pass replace, so the census compare pins it.
+  // Ties in the argmax break on the pair string (ASCII — both engines
+  // compare binary). BpeMergeSpec pins the replace semantics against
+  // planted adversarial words on both the Spark and policy level.
+  private val bpeRounds = 8
+
+  private def bpePairCountSql(from: String): String =
+    s"""SELECT element_at(syms, i) || ' ' || element_at(syms, i + 1) AS pair,
+       |       sum(wf) AS cnt
+       |FROM (SELECT wf, syms FROM (
+       |        SELECT wf, split(substring(sym, 2, length(sym) - 2), ' ') AS syms
+       |        FROM $from) x
+       |      WHERE size(syms) >= 2) s
+       |LATERAL VIEW explode(sequence(1, size(syms) - 1)) e AS i
+       |GROUP BY pair""".stripMargin
+
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = bpeRounds): DataFrame = {
+    docs(spark, dir)
+    val words = Engine.cacheSwap("bpe_words", spark.sql(
+      """SELECT w, count(*) AS wf FROM (
+        |  SELECT explode(filter(split(lower(text), ' '),
+        |                        x -> x rlike '^[a-z0-9]+$')) AS w
+        |  FROM documents) t
+        |GROUP BY w""".stripMargin))
+    words.createOrReplaceTempView("bpe_words")
+    // v_r chains r map-only replaces over the cached word table; each
+    // round's argmax job is one |vocab|-row scan + a small pair agg.
+    var v = spark.sql(
+      "SELECT wf, regexp_replace(w, '(.)', ' $1') || ' ' AS sym FROM bpe_words")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      v.createOrReplaceTempView("bpe_v")
+      val top = spark.sql(
+        s"""SELECT pair, cnt FROM (${bpePairCountSql("bpe_v")})
+           |ORDER BY cnt DESC, pair LIMIT 1""".stripMargin).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        merges += ((r, pair, cnt))
+        val merged = pair.replace(" ", "")
+        // pair/merged are ^[a-z0-9 ]+$ by construction — safe to inline.
+        v = v.selectExpr("wf",
+          s"replace(replace(sym, ' $pair ', ' $merged '), ' $pair ', ' $merged ') AS sym")
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "pair", "cnt").orderBy("round")
+  }
+
+  private def bpeMergesOracle(rounds: Int = bpeRounds): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH words AS (
+        |  SELECT w, count(*) AS wf FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                              x -> regexp_full_match(x, '[a-z0-9]+'))) AS w
+        |    FROM documents) t
+        |  GROUP BY w),
+        |v0 AS (SELECT wf, regexp_replace(w, '(.)', ' \1', 'g') || ' ' AS sym
+        |       FROM words)""".stripMargin)
+    def pairs(from: String): String =
+      s"""SELECT syms[i] || ' ' || syms[i + 1] AS pair, sum(wf) AS cnt
+         |    FROM (SELECT wf, syms, unnest(range(1, len(syms))) AS i
+         |          FROM (SELECT wf,
+         |                  string_split(substr(sym, 2, len(sym) - 2), ' ') AS syms
+         |                FROM $from) x
+         |          WHERE len(syms) >= 2) s
+         |    GROUP BY pair""".stripMargin
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |m$r AS (
+        |  SELECT $r AS round, pair, CAST(cnt AS BIGINT) AS cnt FROM (
+        |    ${pairs(s"v${r - 1}")})
+        |  ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin)
+      if (r < rounds) sb.append(s""",
+        |v$r AS (
+        |  SELECT wf, replace(replace(sym, ' ' || m.pair || ' ',
+        |                             ' ' || replace(m.pair, ' ', '') || ' '),
+        |                     ' ' || m.pair || ' ',
+        |                     ' ' || replace(m.pair, ' ', '') || ' ') AS sym
+        |  FROM v${r - 1} CROSS JOIN m$r m)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to rounds).map(r => s"SELECT round, pair, cnt FROM m$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY round"))
+    sb.toString
+  }
+
+  val bpeMergesDef: QueryDef =
+    QueryDef.sqlBacked("ta_bpe_merges", bpeMergesOracle())(bpeMerges(_, _))
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, winnow, vocab, tfidf,
-      repetition, pii, boilerplate, heavyHitters, bpePairs)
+      repetition, pii, boilerplate, heavyHitters, bpePairs, bpeMergesDef)
 }
