@@ -302,8 +302,44 @@ object Events {
     spark.sql(gapfillSpark).sortWithinPartitions("user_id", "hour_start")
   }
 
-  val gapfillSeriesDef: QueryDef =
-    QueryDef.rowsOnly("evt_gapfill_series")(gapfillSeries(_, _))
+  // The census key for the series plan (VERDICT r11 #8 — promoted out of
+  // rows-only in r12): the library surface deliberately has NO global
+  // sort, so its raw output can't ride the driver's order-sensitive hash
+  // compare. Instead the key emits a PER-USER ORDERED DIGEST of the
+  // series — count plus a sum of per-row integer hashes combining every
+  // column (hour, cents, gap, cents_ff) — computed with identical exact
+  // integer arithmetic on both engines over their own gapfill plans. A
+  // value diverging in any row of any user changes that user's digest,
+  // so this is a full-strength hash gate on the sort-free plan (the sum
+  // is order-independent by construction, which is the point). Overflow
+  // headroom: each row hash is < 2^41 (epoch-hours < 2^20 · 2^20-scale
+  // multiplier, cents ≤ ~2^24 · 2^13), and a user's series is
+  // bounded by the corpus time range (~10^3-10^4 hours at any sf), so
+  // per-user sums stay far under 2^63 without modular reduction.
+  // %EPOCHHOURS% = engine spelling of integer epoch-hours (integer
+  // division — `/` on BIGINTs yields DOUBLE on both engines, which would
+  // put the digest through IEEE rounding).
+  private val digestSelect =
+    """CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(%EPOCHHOURS% * 1000003
+      |           + cents * 8191 + cents_ff * 131
+      |           + CAST(gap AS INT)) AS BIGINT) AS digest""".stripMargin
+
+  val gapfillSeriesDef: QueryDef = QueryDef.sqlBacked(
+    "evt_gapfill_series",
+    s"""WITH series AS ($gapfillOracle)
+       |SELECT user_id,
+       |  ${digestSelect.replace("%EPOCHHOURS%",
+             "(CAST(epoch(hour_start) AS BIGINT) // 3600)")}
+       |FROM series GROUP BY user_id ORDER BY user_id""".stripMargin) {
+    (spark, dir) =>
+      gapfillSeries(spark, dir).createOrReplaceTempView("gapfill_series")
+      spark.sql(
+        s"""SELECT user_id,
+           |  ${digestSelect.replace("%EPOCHHOURS%",
+               "(unix_timestamp(hour_start) DIV 3600)")}
+           |FROM gapfill_series GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
 
   val gapfill: QueryDef = QueryDef.sqlBacked("evt_gapfill", gapfillOracle) {
     (spark, dir) => gapfillSeries(spark, dir).orderBy("user_id", "hour_start")

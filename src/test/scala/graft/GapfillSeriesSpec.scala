@@ -2,11 +2,12 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** evt_gapfill_series (the library surface, no global sort) must stay
-  * row-for-row identical to evt_gapfill (the oracle-checked def) once a
-  * total order is imposed — the split is ORDERING ONLY. If the two plans
-  * ever diverge in values, the rows-only allowance in SparkEntrySpec
-  * would otherwise hide it from the driver's hash gate. */
+/** The gapfillSeries LIBRARY surface (no global sort) must stay
+  * row-for-row identical to evt_gapfill (the fully-ordered def) once a
+  * total order is imposed — the split is ORDERING ONLY. The census key
+  * evt_gapfill_series hash-compares a per-user digest of this plan
+  * (r12); this spec keeps the stronger row-level claim pinned so a
+  * digest collision could never mask a divergence. */
 class GapfillSeriesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"

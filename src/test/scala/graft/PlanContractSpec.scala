@@ -208,17 +208,41 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "gapfill regressed to the grid-join plan")
   }
 
-  test("evt_gapfill_series: the library surface has no global sort") {
-    // The total order exists for the DuckDB compare only; the library
-    // plan must stop at sortWithinPartitions (partition-local, no
-    // exchange). A global Sort plans as a rangepartitioning exchange over
-    // the DENSIFIED grid — the single most expensive operator in the old
-    // sf10 cell (VERDICT r9 #3).
-    val p = plan("evt_gapfill_series")
+  test("gapfillSeries library surface has no global sort") {
+    // The library plan must stop at sortWithinPartitions (partition-
+    // local, no exchange). A global Sort plans as a rangepartitioning
+    // exchange over the DENSIFIED grid — the single most expensive
+    // operator in the old sf10 cell (VERDICT r9 #3).
+    val p = queries.Events.gapfillSeries(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("rangepartitioning"),
       "library gapfill regressed to a global ORDER BY (rangepartitioning exchange)")
     assert(p.contains("Sort"), "per-user local clustering disappeared entirely")
     assert(!p.contains("Join"), "gapfill regressed to the grid-join plan")
+  }
+
+  test("evt_gapfill_series: the digest's only global sort is above the per-user aggregate") {
+    // The census key (r12) hash-gates the sort-free library plan through
+    // a per-user digest. Its ORDER BY user_id may only sort the
+    // AGGREGATED relation (|users| rows): in the formatted plan the
+    // rangepartitioning exchange must sit above the final HashAggregate,
+    // never under it where it would total-sort the dense grid.
+    val p = plan("evt_gapfill_series")
+    assert(!p.contains("Join"), "gapfill regressed to the grid-join plan")
+    assert("rangepartitioning".r.findAllIn(p).size == 1,
+      "more than one global sort appeared — something below the digest is total-sorting")
+    // the formatted tree prints output-side operators first: the global
+    // Sort must sit ABOVE (= earlier line than) the digest HashAggregates
+    val lines = p.linesIterator.toSeq
+    val sortAt = lines.indexWhere(_.matches(""".*\bSort \(\d+\).*"""))
+    val aggAt = lines.indexWhere(_.contains("HashAggregate ("))
+    assert(sortAt >= 0 && aggAt >= 0 && sortAt < aggAt,
+      "the global sort must consume the per-user digest aggregate, not the grid " +
+        s"(sort line $sortAt, first HashAggregate line $aggAt)")
+    // partial+final per-user aggregation: the digest exchange carries
+    // one partial row per (user, input partition), never grid rows
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "digest aggregation lost its map-side partial")
   }
 
   test("pipeline_rag: one fingerprint exchange, then projections to the index row") {

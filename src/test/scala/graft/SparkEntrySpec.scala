@@ -23,16 +23,11 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("every query declares an oracle (no silent rows-only downgrades)") {
-    // The one deliberate exception: evt_gapfill_series is the LIBRARY
-    // surface of evt_gapfill — the identical plan minus the global ORDER
-    // BY the oracle compare needs (VERDICT r9 #3). Its values ARE
-    // oracle-checked through evt_gapfill; an order-free twin cannot be
-    // hash-compared, so it is rows-only BY DESIGN, and GapfillSeriesSpec
-    // pins that the two stay row-for-row equal after sorting. Anything
-    // else appearing here is a silent downgrade and must fail.
-    val allowedRowsOnly = Set("evt_gapfill_series")
-    val rowsOnly =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- allowedRowsOnly
+    // No exceptions left (r12): evt_gapfill_series — the one rows-only
+    // key of rounds 9-11 — now rides a per-user order-independent digest
+    // oracle (VERDICT r11 #8), so every census key is hash-compared.
+    // Anything appearing here is a silent downgrade and must fail.
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty,
       s"queries without oracles: ${rowsOnly.mkString(", ")}")
   }
