@@ -636,7 +636,73 @@ object Curate {
   val srcCapQ: QueryDef =
     QueryDef.sqlBacked("pipeline_source_cap", sourceCapOracle)(sourceCap(_, _))
 
+  // --- LM-based quality scoring (the CCNet shape, exactly replayable) -----
+  // Model-based quality filtering à la CCNet (Wenzek et al. 2020): train a
+  // language model on the corpus, score each document by its per-token
+  // surprisal, drop the worst tail. The LM here is the corpus's own
+  // unigram model, and surprisal is computed in EXACT integer arithmetic —
+  // bitlen(total) - bitlen(cnt) = ceil(-log2(cnt/total)) up to the
+  // fractional bit, via length(bin(x)), which both engines evaluate
+  // identically — so the score, the ordering, and the keep decision are
+  // all oracle-replayable without a single transcendental (the repo-wide
+  // determinism discipline; see QueryDef's contract note).
+  //
+  // 100 TB shape: the corpus is exploded ONCE into the (doc_id, token)
+  // aggregate (map-side combine collapses repeats before the exchange);
+  // token counts come from an unordered window over that aggregate
+  // partitioned by token (the measured-cheaper spelling from ta_tfidf —
+  // no vocab join, and the vocabulary relation is never broadcast since
+  // it grows with the corpus); the per-doc roll-up is the third and last
+  // hash exchange. The keep predicate compares sur·20 ≤ n_tok·101
+  // (mean surprisal ≤ 5.05) in integers — no division in the decision;
+  // the reported q is one IEEE division of two exact integers, which is
+  // correctly rounded and therefore bit-identical on both engines.
+  private val lmNum = 101
+  private val lmDen = 20
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
+         |    FROM documents) t
+         |  GROUP BY doc_id, token),
+         |wcnt AS (
+         |  SELECT doc_id, tf, sum(tf) OVER (PARTITION BY token) AS cnt FROM tf),
+         |tot AS (SELECT sum(tf) AS total FROM tf)
+         |SELECT doc_id, n_tok, sur,
+         |  CAST(sur AS DOUBLE) / n_tok AS q,
+         |  CAST(CASE WHEN sur * $lmDen <= n_tok * $lmNum THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM (
+         |  SELECT doc_id, sum(tf) AS n_tok,
+         |    sum(tf * (length(bin(tot.total)) - length(bin(cnt)))) AS sur
+         |  FROM wcnt CROSS JOIN tot GROUP BY doc_id) s
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  private val lmScoreOracle =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+       |    FROM documents) t
+       |  GROUP BY doc_id, token),
+       |cnt AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY token),
+       |tot AS (SELECT sum(tf) AS total FROM tf)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(sur AS BIGINT) AS sur,
+       |  CAST(sur AS DOUBLE) / n_tok AS q,
+       |  CAST(CASE WHEN sur * $lmDen <= n_tok * $lmNum THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM (
+       |  SELECT tf.doc_id, sum(tf.tf) AS n_tok,
+       |    sum(tf.tf * (length(bin(tot.total)) - length(bin(cnt.cnt)))) AS sur
+       |  FROM tf JOIN cnt ON tf.token = cnt.token CROSS JOIN tot
+       |  GROUP BY tf.doc_id) s
+       |ORDER BY doc_id""".stripMargin
+
+  val lmScoreQ: QueryDef =
+    QueryDef.sqlBacked("pipeline_lm_score", lmScoreOracle)(lmScore(_, _))
+
   val all: Seq[QueryDef] =
     Seq(curate, sample, sampleExact, decontam, mix, pack, chunk, stats, rag,
-      split, shuffle, srcCapQ)
+      split, shuffle, srcCapQ, lmScoreQ)
 }

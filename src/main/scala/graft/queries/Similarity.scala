@@ -661,6 +661,31 @@ object Similarity {
   val ivfIndexed: QueryDef =
     QueryDef.sqlBacked("ann_ivf_indexed", ivfOracle)(ivfIndexedTopK(_, _))
 
+  /** Incremental index maintenance as a GATE row, not just a spec pin:
+    * build the cell-partitioned index from 90% of the corpus, append the
+    * remaining batch with mode = "append" (new files land inside their
+    * cells' partition dirs; the deterministic centroids make old and new
+    * rows agree on cell boundaries), then probe the GROWN index. The
+    * oracle is the full-corpus IVF oracle — append ≡ rebuild is exactly
+    * what the hash compare certifies (AnnIndexSpec pins the same equality
+    * at the index-content level). This is the production ingest shape: a
+    * streaming/batch pipeline extends the index by writing only the new
+    * batch, never rewriting the corpus. */
+  def ivfAppendTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val idx = Engine.scratchDir("graft_ivf_append_") + "/index"
+    emb(spark, dir)
+    def vecs(pred: String) = spark.sql(
+      s"""SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |FROM embeddings WHERE vec_id % 10 $pred""".stripMargin)
+    writeIvfIndex(vecs("<> 7"), idx)
+    writeIvfIndex(vecs("= 7"), idx, mode = "append")
+    probeIvfIndex(spark, dir, idx, nQueries, k, nProbe)
+  }
+
+  val ivfAppend: QueryDef =
+    QueryDef.sqlBacked("ann_ivf_append", ivfOracle)(ivfAppendTopK(_, _))
+
   /** [[probeIvfIndex]] for a TRAINED (or any arbitrary-matrix) index:
     * probe selection runs against the same model the index was written
     * with — the matrix the caller got from [[trainCentroids]] — rendered
@@ -1460,6 +1485,7 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] =
-    Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, quantized, semantic,
-      recall, kmeans, ivfTrained, hybrid, ivfSq8, ivfSq8Indexed)
+    Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, ivfAppend,
+      quantized, semantic, recall, kmeans, ivfTrained, hybrid, ivfSq8,
+      ivfSq8Indexed)
 }

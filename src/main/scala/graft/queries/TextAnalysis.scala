@@ -649,7 +649,13 @@ object TextAnalysis {
        |LATERAL VIEW explode(sequence(1, size(syms) - 1)) e AS i
        |GROUP BY pair""".stripMargin
 
-  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = bpeRounds): DataFrame = {
+  /** Train the merge list and return it as the driver-side model —
+    * `rounds` (pair, count) entries, the same bounded model-sized collect
+    * discipline as k-means training in Similarity.scala. [[bpeMerges]]
+    * publishes it as a relation; [[bpeEncode]] applies it back to the
+    * vocabulary. */
+  private def bpeTrainModel(spark: SparkSession, dir: String,
+      rounds: Int): Seq[(Int, String, Long)] = {
     docs(spark, dir)
     val words = Engine.cacheSwap("bpe_words", spark.sql(
       """SELECT w, count(*) AS wf FROM (
@@ -682,11 +688,53 @@ object TextAnalysis {
         r += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("round", "pair", "cnt").orderBy("round")
+    merges.toSeq
   }
 
-  private def bpeMergesOracle(rounds: Int = bpeRounds): String = {
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = bpeRounds): DataFrame = {
+    val merges = bpeTrainModel(spark, dir, rounds)
+    import spark.implicits._
+    merges.toDF("round", "pair", "cnt").orderBy("round")
+  }
+
+  // --- BPE encoding: apply the trained merges back to the corpus ----------
+  // The other half of the tokenizer loop (train → ENCODE): compose the
+  // trained merge list, in training order, over the vocabulary relation —
+  // each merge is the same bounded two-pass literal replace the trainer
+  // used, so encode(w) is byte-identical to the trainer's final symbol
+  // state for w. Like training, the corpus is scanned exactly once (the
+  // cached word-frequency aggregate); encoding itself is ONE map-only
+  // pass over the |vocab| relation with all `rounds` replaces fused into
+  // a single projection — at 100 TB the encode cost is Heaps'-law
+  // bounded, not corpus-bounded, and a per-document token count is a
+  // broadcast-free hash join of the corpus against this vocab relation.
+  // Output: the `topWords` most frequent words with their tokenization
+  // and token count — the compression evidence a tokenizer report leads
+  // with (n_tok vs length(w) is the per-word compression ratio).
+  private val bpeTopWords = 100
+
+  def bpeEncode(spark: SparkSession, dir: String, rounds: Int = bpeRounds): DataFrame = {
+    val merges = bpeTrainModel(spark, dir, rounds)
+    // bpe_words is registered (and cached) by the trainer.
+    var sym = "regexp_replace(w, '(.)', ' $1') || ' '"
+    merges.foreach { case (_, pair, _) =>
+      val m = pair.replace(" ", "")
+      // pair/m are ^[a-z0-9 ]+$ by construction — safe to inline.
+      sym = s"replace(replace($sym, ' $pair ', ' $m '), ' $pair ', ' $m ')"
+    }
+    spark.sql(
+      s"""SELECT w, wf, toks, size(split(toks, ' ')) AS n_tok FROM (
+         |  SELECT w, wf, trim($sym) AS toks FROM bpe_words) t
+         |ORDER BY wf DESC, w
+         |LIMIT $bpeTopWords""".stripMargin)
+  }
+
+  /** Shared DuckDB replay of the training rounds. With `encode = false`
+    * the final relation is the merge list (m1..mT); with `encode = true`
+    * the chain also materializes the post-round-T symbol state vT — the
+    * encoder's output — and selects the top-words report from it. The
+    * word itself rides the whole chain so the encode select can emit it. */
+  private def bpeOracle(rounds: Int, encode: Boolean): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH words AS (
@@ -695,7 +743,7 @@ object TextAnalysis {
         |                              x -> regexp_full_match(x, '[a-z0-9]+'))) AS w
         |    FROM documents) t
         |  GROUP BY w),
-        |v0 AS (SELECT wf, regexp_replace(w, '(.)', ' \1', 'g') || ' ' AS sym
+        |v0 AS (SELECT w, wf, regexp_replace(w, '(.)', ' \1', 'g') || ' ' AS sym
         |       FROM words)""".stripMargin)
     def pairs(from: String): String =
       s"""SELECT syms[i] || ' ' || syms[i + 1] AS pair, sum(wf) AS cnt
@@ -711,24 +759,39 @@ object TextAnalysis {
         |  SELECT $r AS round, pair, CAST(cnt AS BIGINT) AS cnt FROM (
         |    ${pairs(s"v${r - 1}")})
         |  ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin)
-      if (r < rounds) sb.append(s""",
+      if (r < rounds || encode) sb.append(s""",
         |v$r AS (
-        |  SELECT wf, replace(replace(sym, ' ' || m.pair || ' ',
-        |                             ' ' || replace(m.pair, ' ', '') || ' '),
-        |                     ' ' || m.pair || ' ',
-        |                     ' ' || replace(m.pair, ' ', '') || ' ') AS sym
+        |  SELECT w, wf, replace(replace(sym, ' ' || m.pair || ' ',
+        |                                ' ' || replace(m.pair, ' ', '') || ' '),
+        |                        ' ' || m.pair || ' ',
+        |                        ' ' || replace(m.pair, ' ', '') || ' ') AS sym
         |  FROM v${r - 1} CROSS JOIN m$r m)""".stripMargin)
     }
     sb.append("\n")
-    sb.append((1 to rounds).map(r => s"SELECT round, pair, cnt FROM m$r")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY round"))
+    if (encode)
+      sb.append(
+        s"""SELECT w, wf, toks, CAST(len(string_split(toks, ' ')) AS INT) AS n_tok FROM (
+           |  SELECT w, CAST(wf AS BIGINT) AS wf,
+           |         trim(sym) AS toks FROM v$rounds) t
+           |ORDER BY wf DESC, w
+           |LIMIT $bpeTopWords""".stripMargin)
+    else
+      sb.append((1 to rounds).map(r => s"SELECT round, pair, cnt FROM m$r")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY round"))
     sb.toString
   }
+
+  private def bpeMergesOracle(rounds: Int = bpeRounds): String =
+    bpeOracle(rounds, encode = false)
 
   val bpeMergesDef: QueryDef =
     QueryDef.sqlBacked("ta_bpe_merges", bpeMergesOracle())(bpeMerges(_, _))
 
+  val bpeEncodeDef: QueryDef =
+    QueryDef.sqlBacked("ta_bpe_encode", bpeOracle(bpeRounds, encode = true))(bpeEncode(_, _))
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, winnow, vocab, tfidf,
-      repetition, pii, boilerplate, heavyHitters, bpePairs, bpeMergesDef)
+      repetition, pii, boilerplate, heavyHitters, bpePairs, bpeMergesDef,
+      bpeEncodeDef)
 }

@@ -39,6 +39,19 @@ class AnnIndexSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("ann_ivf_append census path equals the rebuilt-index probe, and prunes") {
+    // the gate-facing composition (build 90% → append 10% → probe): result
+    // rows must equal the full-rebuild probe, and the grown index must
+    // keep dynamic partition pruning.
+    val df = queries.Similarity.ivfAppendTopK(spark, dir)
+    val got = df.collect()
+    val full = queries.Similarity.ivfIndexedTopK(spark, dir).collect()
+    assert(got.nonEmpty && got.length == full.length)
+    got.zip(full).foreach { case (x, y) => assert(x == y) }
+    assert(df.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"),
+      "append-grown index lost dynamic partition pruning")
+  }
+
   test("the probe join dynamically prunes index partitions") {
     val df = queries.Similarity.ivfIndexedTopK(spark, dir)
     val physical = df.queryExecution.executedPlan.toString

@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.Curate
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for LM-based quality scoring (`pipeline_lm_score`): the unigram
+  * surprisal must match exact hand arithmetic (bitlen(total) −
+  * bitlen(cnt) per token occurrence), the keep decision must be the
+  * integer comparison with no division, and the plan must keep the
+  * ta_tfidf discipline — token counts from a window over the (doc_id,
+  * token) aggregate, never a vocab equi-join or broadcast.
+  */
+class LmScoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def runOn(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Double, Int)] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmscore_").toString
+    import spark.implicits._
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Curate.lmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+  }
+
+  test("surprisal is exact integer bit-length arithmetic") {
+    // 256 filler docs of 4×'common' → cnt(common)=1024; one rare doc of 4
+    // singletons. total = 1028 tokens → bitlen 11.
+    //   common: bitlen(1024)=11 → surprisal 0 per occurrence
+    //   rare:   bitlen(1)=1    → surprisal 10 per occurrence
+    val docs = (0L until 256L).map(i => (i, "common common common common")) :+
+      (999L, "r1 r2 r3 r4")
+    val got = runOn(docs)
+    assert(got(0L) === ((4L, 0L, 0.0, 1)))
+    // rare doc: sur = 4·10 = 40, q = 10.0, over the 5.05 cut → dropped
+    assert(got(999L) === ((4L, 40L, 10.0, 0)))
+  }
+
+  test("keep threshold is the exact integer comparison sur·20 <= n_tok·101") {
+    // craft mean surprisal exactly AT the boundary region: 20 tokens,
+    // sur=101 → sur·20 == n_tok·101 → keep (<=); sur=102 → drop.
+    // total=2^15 forces bitlen(total)=16.
+    // 16-surprisal needs cnt bitlen 0 — impossible; instead mix: tokens
+    // with surprisal 5 and 6 (cnt 1024→bitlen 11, cnt 512→bitlen 10).
+    // 19·5 + 1·6 = 101 (keep); 18·5 + 2·6 = 102 (drop).
+    val filler = "f " * 30000 // cnt(f) fills total toward 2^15
+    // build exact counts: a=1024 occurrences, b=512, rest filler 'f'
+    val aDoc = ("a " * 19 + "b").trim // 19 a's + 1 b = sur 101, n_tok 20
+    val bDoc = ("a " * 18 + "b b").trim // 18 a's + 2 b = sur 102, n_tok 20
+    // counts: a: 19+18 + pad to 1024 → pad doc with 987 a's
+    val padA = ("a " * (1024 - 19 - 18)).trim
+    val padB = ("b " * (512 - 1 - 2)).trim
+    // total so far: 1024 + 512 + 40 - 3 = ... make total exactly 2^15
+    // current non-filler = 1024 + 512 = 1536; docs aDoc/bDoc contribute
+    // inside those counts. filler f count = 32768 - 1536 = 31232.
+    val fDoc = ("f " * 31232).trim
+    val got = runOn(Seq((1L, aDoc), (2L, bDoc), (3L, padA), (4L, padB), (5L, fDoc)))
+    // bitlen(32768)=16, bitlen(1024)=11 → a:5, bitlen(512)=10 → b:6
+    assert(got(1L) === ((20L, 101L, 5.05, 1)), s"boundary keep row: ${got(1L)}")
+    assert(got(2L)._2 === 102L)
+    assert(got(2L)._4 === 0, "one past the boundary must drop")
+  }
+
+  test("plan: no vocab join or broadcast — counts ride a token window") {
+    val p = Curate.lmScore(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "token counts regressed to a vocab equi-join")
+    // the only broadcast is the 1-row total, never the vocabulary
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "no map-side partial aggregation for tf")
+    assert(p.contains("Window"), "token counts must come from the window")
+  }
+}
