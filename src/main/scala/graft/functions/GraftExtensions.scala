@@ -49,7 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("text_stats", "[n_tokens, n_stopwords, n_words, n_distinct_words] of a raw document string",
         exprs => TextStats(exprs.head)),
       ("winnow_anchors", "62-bit fingerprints of a string's distinct winnowed anchor positions (fingerprints may repeat; args: text, k, w)",
-        exprs => WinnowAnchors.build(exprs)))
+        exprs => WinnowAnchors.build(exprs)),
+      ("rproj_i64", "integer-exact JL random projection of a double vector through a ±1 sign matrix",
+        exprs => RProjI64(exprs(0), exprs(1))),
+      ("dot_i64", "exact dot product of two bigint arrays",
+        exprs => DotI64(exprs(0), exprs(1))))
     val fns = base ++ GraftFunctions.referenceNames.map { case (name, builder) =>
       (name, s"reference registry name $name (cast/predicate semantics)", builder)
     }

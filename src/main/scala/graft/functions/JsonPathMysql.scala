@@ -226,6 +226,10 @@ object GraftFunctions {
       "text_stats", exprs => TextStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "winnow_anchors", exprs => WinnowAnchors.build(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rproj_i64", exprs => RProjI64(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_i64", exprs => DotI64(exprs(0), exprs(1)), "built-in")
     GraftFunctions.referenceNames.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }

@@ -943,3 +943,134 @@ object TextStats {
   def computeBoxed(s: org.apache.spark.unsafe.types.UTF8String): Array[AnyRef] =
     compute(s).map(java.lang.Long.valueOf)
 }
+
+/** Johnson-Lindenstrauss random projection in EXACT integer arithmetic.
+  *
+  * Classic JL projections (Achlioptas 2003's database-friendly ±1 sign
+  * matrix) are float ops whose sums depend on accumulation order — not
+  * hash-checkable across engines. This variant quantizes each input
+  * component first, q_j = floor(x_j·2^20 + 0.5) (one double multiply +
+  * floor: identical IEEE ops on both engines), then output k is the
+  * integer sum Σ_j signs[k][j]·q_j — order-independent BIGINTs, so the
+  * projected vectors, their dot products, and any downstream ranking are
+  * bit-identical on Spark and the DuckDB oracle at any scale.
+  *
+  * The sign matrix arrives as an `array<array<int>>` expression — in
+  * practice a plan-time foldable literal derived from the portable md5
+  * hash (see queries/Similarity.rprojSignsSql), tiny at out×64 ints. For
+  * out-dims large enough that a literal strains the plan, the broadcast
+  * pattern of [[ArgmaxDotBroadcast]] applies unchanged.
+  *
+  * Bounds: |x| ≤ 1 (L2-normalized input) ⇒ |q_j| ≤ 2^20, |p_k| ≤ 64·2^20
+  * < 2^27, and a projected dot product ≤ 16·2^54 < 2^58 — no overflow.
+  */
+case class RProjI64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, IntegerType}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rproj_i64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(IntegerType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rproj_i64 needs (array<double>, array<array<int>>), got $other")
+    }
+
+  override def nullSafeEval(v: Any, sm: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val signs = sm.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val q = new Array[Long](n)
+    var j = 0
+    while (j < n) { q(j) = math.floor(vec.getDouble(j) * 1048576.0 + 0.5).toLong; j += 1 }
+    val out = new Array[Long](signs.numElements())
+    var k = 0
+    while (k < out.length) {
+      val row = signs.getArray(k)
+      var s = 0L
+      val m = math.min(n, row.numElements())
+      j = 0
+      while (j < m) { s += row.getInt(j) * q(j); j += 1 }
+      out(k) = s
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, sm) => {
+      val q = ctx.freshName("q"); val out = ctx.freshName("out")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val s = ctx.freshName("s"); val m = ctx.freshName("m")
+      val row = ctx.freshName("row")
+      s"""
+         |long[] $q = new long[$v.numElements()];
+         |for (int $j = 0; $j < $q.length; $j++) {
+         |  $q[$j] = (long) Math.floor($v.getDouble($j) * 1048576.0 + 0.5);
+         |}
+         |long[] $out = new long[$sm.numElements()];
+         |for (int $k = 0; $k < $out.length; $k++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $sm.getArray($k);
+         |  long $s = 0L;
+         |  int $m = Math.min($q.length, $row.numElements());
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $s += $row.getInt($j) * $q[$j];
+         |  }
+         |  $out[$k] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Exact integer dot product of two bigint arrays — the scoring kernel of
+  * the projected space [[RProjI64]] produces. Unlike the double
+  * [[DotProduct]], integer sums are order-independent, so a ranking by
+  * this score is hash-checkable on both engines with no IEEE-sequence
+  * pinning. */
+case class DotI64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_i64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_i64 needs (array<bigint>, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

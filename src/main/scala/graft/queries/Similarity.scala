@@ -1484,8 +1484,131 @@ object Similarity {
     kmeansTrain(s, dir, c = c, sampleCap = 256L * c)
   }
 
+  // --- JL random projection: dimension reduction as the scale lever --------
+  // Johnson-Lindenstrauss with Achlioptas's ±1 sign matrix, under the
+  // repo's exactness discipline (see functions.RProjI64): components
+  // quantize to 2^20 fixed point, projection and scoring are then pure
+  // BIGINT sums — order-independent, so the projected vectors AND a
+  // brute-force ranking in the projected space are hash-replayable in
+  // DuckDB. Why it matters at 100 TB: a 64-d float scan is 256 B/vector
+  // of memory bandwidth per candidate; the 16-d projected scan reads 128 B
+  // and does 1/4 the multiplies, and JL guarantees pairwise dot products
+  // distort by O(√(log N / out_dims)) — the standard first-stage filter in
+  // front of an exact re-rank (same two-stage shape as ivfSq8). The sign
+  // matrix derives from the portable md5 hash: the driver, Spark SQL, and
+  // the DuckDB oracle all re-derive it bit for bit, and it ships as a
+  // plan-time foldable literal (16×64 ints), so the projection runs as a
+  // pure projection inside the scan's codegen span — no join, no shuffle.
+  private[graft] val rprojOutDims = 16
+
+  /** ±1 sign matrix: sign(k,j) = +1 iff portableHash60("rp_k_j") is even. */
+  def rprojSigns(out: Int = rprojOutDims, dims: Int = 64): Array[Array[Int]] = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hash60(s: String): Long = {
+      md5.reset()
+      val hex = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    Array.tabulate(out, dims)((k, j) => if (hash60(s"rp_${k}_${j}") % 2 == 0) 1 else -1)
+  }
+
+  /** The sign matrix as a foldable Spark SQL literal. */
+  private[graft] lazy val rprojSignsSql: String =
+    rprojSigns().map(_.mkString("array(", ", ", ")")).mkString("array(", ",\n  ", ")")
+
+  /** DuckDB CTE body deriving the identical signs: (k, j, sgn). */
+  private def rprojSignsDuck(out: Int = rprojOutDims, dims: Int = 64): String =
+    s"""SELECT k, j,
+       |  CASE WHEN CAST(concat('0x', substr(md5(
+       |    concat('rp_', CAST(k AS VARCHAR), '_', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+       |    % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |FROM range(0, $out) a(k) CROSS JOIN range(0, $dims) b(j)""".stripMargin
+
+  def rproj(spark: SparkSession, dir: String): DataFrame = {
+    emb(spark, dir)
+    spark.sql(
+      s"""WITH e AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id, rproj_i64(v, $rprojSignsSql) AS pv FROM e)
+         |SELECT vec_id, CAST(d AS INT) AS d, p FROM (
+         |  SELECT vec_id, posexplode(pv) AS (d, p) FROM pr) x
+         |ORDER BY vec_id, d""".stripMargin)
+  }
+
+  private val rprojOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, j, CAST(floor(v[j + 1] * 1048576.0 + 0.5) AS BIGINT) AS qv
+       |  FROM e CROSS JOIN range(0, 64) t(j)),
+       |s AS (${rprojSignsDuck()})
+       |SELECT vec_id, CAST(k AS INT) AS d, CAST(sum(sgn * qv) AS BIGINT) AS p
+       |FROM q JOIN s ON q.j = s.j
+       |GROUP BY vec_id, k
+       |ORDER BY vec_id, d""".stripMargin
+
+  val rprojDef: QueryDef = QueryDef.sqlBacked("emb_rproj", rprojOracle)(rproj(_, _))
+
+  /** Brute-force top-k in the projected space: the JL first stage as a
+    * standalone ranking. Same plan as [[bruteForceTopK]] — broadcast
+    * queries, one corpus scan, partial per-partition top-k — but each
+    * candidate costs 16 long multiplies against 128 B instead of 64
+    * double multiplies against 256 B. RProjSpec pins its recall against
+    * the exact float ranking. */
+  def rprojTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    emb(spark, dir)
+    spark.sql(
+      s"""WITH e AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id, rproj_i64(v, $rprojSignsSql) AS pv FROM e),
+         |q AS (SELECT vec_id AS query_id, pv AS qv FROM pr WHERE vec_id < $nQueries),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(q) */ query_id, c.vec_id AS cand_id,
+         |    dot_i64(qv, c.pv) AS score
+         |  FROM q JOIN pr c ON query_id <> c.vec_id)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT query_id, cand_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  private val rprojTopKOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |qq AS (
+       |  SELECT vec_id, j, CAST(floor(v[j + 1] * 1048576.0 + 0.5) AS BIGINT) AS qv
+       |  FROM e CROSS JOIN range(0, 64) t(j)),
+       |s AS (${rprojSignsDuck()}),
+       |pr AS (
+       |  SELECT vec_id, k, CAST(sum(sgn * qv) AS BIGINT) AS p
+       |  FROM qq JOIN s ON qq.j = s.j
+       |  GROUP BY vec_id, k),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(sum(q.p * c.p) AS BIGINT) AS score
+       |  FROM pr q JOIN pr c ON q.k = c.k AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 8
+       |  GROUP BY q.vec_id, c.vec_id)
+       |SELECT query_id, cand_id, score, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT query_id, cand_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val rprojTopKDef: QueryDef =
+    QueryDef.sqlBacked("ann_rproj_topk", rprojTopKOracle)(rprojTopK(_, _))
+
   val all: Seq[QueryDef] =
     Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, ivfAppend,
       quantized, semantic, recall, kmeans, ivfTrained, hybrid, ivfSq8,
-      ivfSq8Indexed)
+      ivfSq8Indexed, rprojDef, rprojTopKDef)
 }

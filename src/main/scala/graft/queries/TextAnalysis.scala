@@ -790,8 +790,129 @@ object TextAnalysis {
   val bpeEncodeDef: QueryDef =
     QueryDef.sqlBacked("ta_bpe_encode", bpeOracle(bpeRounds, encode = true))(bpeEncode(_, _))
 
+  // --- BM25 lexical retrieval: inverted-index top-k -----------------------
+  // The reference lexical ranking function (Robertson/Sparck Jones; the
+  // Lucene/Elasticsearch default) under the repo's exactness discipline.
+  // Classic BM25 needs ln() for idf and float division for the saturation
+  // term — neither is bit-portable — so this variant keeps BM25's shape
+  // with exact integer arithmetic throughout:
+  //   idf     = bitlen(N) - bitlen(df)      (≈ log2(N/df); 0 for stopwords
+  //             whose df is within a power of two of N — the same
+  //             suppression classic idf's negative tail applies)
+  //   dl/avgdl ≈ ndl/256 with ndl = (256·dl·N) div A   (one spec'd rounding)
+  //   term    = (5632·tf·idf·2^20) div (2560·tf + 768 + 9·ndl)
+  // which is k1 = 1.2, b = 0.75 cross-multiplied to integers (×2560) and
+  // fixed-point-scaled (2^20) so the per-(query,cand) score is a SUM of
+  // BIGINTs — order-independent, hence hash-identical on both engines
+  // (a DOUBLE sum would depend on aggregation order).
+  //
+  // 100 TB shape: one corpus explode feeds the (doc_id, token, tf)
+  // aggregate (map-side combine); the 8-query token set broadcasts
+  // against it, so only postings of QUERY tokens survive the probe join —
+  // df is then computed from that probe slice (exact: the slice holds
+  // every posting of those tokens), never from a corpus-wide vocabulary
+  // shuffle. Per-doc length joins in co-partitioned on doc_id. The only
+  // corpus-scale exchanges are the posting aggregate and the dl roll-up;
+  // everything after is proportional to the query tokens' postings.
+  private val bm25NQueries = 8
+  private val bm25K = 10
+
+  /** Shared Spark SQL body: score `qtRel` — an SQL relation producing
+    * DISTINCT (query_id, token) pairs — against the corpus relation
+    * `corpusRel` (doc_id, text). One source of truth for the formula:
+    * the census query, [[searchBm25]], and the streaming probe all
+    * render from here, so they cannot drift. */
+  private def bm25Sql(corpusRel: String, qtRel: String, k: Int): String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
+       |    FROM $corpusRel) t
+       |  GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n, sum(dl) AS a FROM dl),
+       |qt AS ($qtRel),
+       |p AS (
+       |  SELECT /*+ BROADCAST(q) */ q.query_id, d.doc_id AS cand_id, q.token, d.tf
+       |  FROM qt q JOIN dt d ON q.token = d.token),
+       |dfq AS (SELECT token, count(DISTINCT cand_id) AS df FROM p GROUP BY token),
+       |scored AS (
+       |  SELECT /*+ BROADCAST(f) */ p.query_id, p.cand_id,
+       |    sum((5632 * p.tf * (length(bin(s.n)) - length(bin(f.df))) * 1048576)
+       |        div (2560 * p.tf + 768 + 9 * ((256 * l.dl * s.n) div s.a))) AS score
+       |  FROM p JOIN dfq f ON p.token = f.token
+       |         JOIN dl l ON l.doc_id = p.cand_id
+       |         CROSS JOIN st s
+       |  WHERE p.cand_id <> p.query_id
+       |  GROUP BY p.query_id, p.cand_id)
+       |SELECT query_id, cand_id, score, CAST(rn AS INT) AS rnk FROM (
+       |  SELECT query_id, cand_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, cand_id) AS rn
+       |  FROM scored) x
+       |WHERE rn <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
+  def bm25(spark: SparkSession, dir: String,
+      nQueries: Int = bm25NQueries, k: Int = bm25K): DataFrame = {
+    docs(spark, dir)
+    spark.sql(bm25Sql("documents",
+      s"SELECT DISTINCT doc_id AS query_id, token FROM dt WHERE doc_id < $nQueries", k))
+  }
+
+  /** BM25 for an ARBITRARY query batch (query_id, text) against the
+    * corpus at `corpusDir` — the serving shape behind the streaming
+    * probe ([[graft.streaming.Streams.bm25Probe]]). The corpus relation
+    * is (re)read from storage on the session of the QUERY batch, so the
+    * call is safe inside `foreachBatch` (every view lands on the
+    * micro-batch session). Per-batch corpus statistics are exact; a
+    * production deployment would persist dt/dl/st once (the inverted
+    * index — same pattern as [[graft.queries.Dedup.writeBandIndex]])
+    * and this function's plan reads them unchanged. */
+  def searchBm25(queries: DataFrame, corpusDir: String, k: Int = bm25K): DataFrame = {
+    val s = queries.sparkSession
+    graft.Engine.table(s, corpusDir, "documents").createOrReplaceTempView("bm25_corpus")
+    queries.createOrReplaceTempView("bm25_queries")
+    s.sql(bm25Sql("bm25_corpus",
+      """SELECT DISTINCT query_id, token FROM (
+        |  SELECT query_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM bm25_queries)""".stripMargin, k))
+  }
+
+  private val bm25Oracle =
+    s"""WITH dt AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+       |    FROM documents) t
+       |  GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n, sum(dl) AS a FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM dt
+       |       WHERE doc_id < $bm25NQueries),
+       |p AS (
+       |  SELECT q.query_id, d.doc_id AS cand_id, q.token, d.tf
+       |  FROM qt q JOIN dt d ON q.token = d.token),
+       |dfq AS (SELECT token, count(DISTINCT cand_id) AS df FROM p GROUP BY token),
+       |scored AS (
+       |  SELECT p.query_id, p.cand_id,
+       |    CAST(sum((5632 * p.tf * (length(bin(s.n)) - length(bin(f.df))) * 1048576)
+       |        // (2560 * p.tf + 768 + 9 * ((256 * l.dl * s.n) // s.a))) AS BIGINT) AS score
+       |  FROM p JOIN dfq f ON p.token = f.token
+       |         JOIN dl l ON l.doc_id = p.cand_id
+       |         CROSS JOIN st s
+       |  WHERE p.cand_id <> p.query_id
+       |  GROUP BY p.query_id, p.cand_id)
+       |SELECT query_id, cand_id, score, CAST(rn AS INT) AS rnk FROM (
+       |  SELECT query_id, cand_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, cand_id) AS rn
+       |  FROM scored) x
+       |WHERE rn <= $bm25K
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val bm25Def: QueryDef = QueryDef.sqlBacked("ta_bm25", bm25Oracle)(bm25(_, _))
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, winnow, vocab, tfidf,
       repetition, pii, boilerplate, heavyHitters, bpePairs, bpeMergesDef,
-      bpeEncodeDef)
+      bpeEncodeDef, bm25Def)
 }

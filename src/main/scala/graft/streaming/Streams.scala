@@ -247,6 +247,22 @@ object Streams {
       }
       .start()
 
+  /** Streaming lexical retrieval: each micro-batch of (query_id, text)
+    * rows is BM25-ranked against the static corpus at `corpusDir` —
+    * the lexical twin of [[vectorSearch]], same foreachBatch shape
+    * (per-batch ranking is a grouped aggregate, which a stateless
+    * stream transform can't express). Scores come from the SAME SQL
+    * body as the `ta_bm25` census key (one formula source — see
+    * [[graft.queries.TextAnalysis.searchBm25]]), so stream ≡ batch is
+    * pinned exactly in BM25Spec. */
+  def bm25Probe(queries: DataFrame, corpusDir: String, k: Int = 10)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.queries.TextAnalysis.searchBm25(batch, corpusDir, k))
+      }
+      .start()
+
   /** Stream → multiset-table ingestion: every micro-batch lands as ONE
     * O(|batch|) freq delta in the [[graft.sources.MultisetStore]] chain —
     * the streaming twin of the reference's TableInsert write path, wired
