@@ -348,7 +348,8 @@ object Bench {
       queries.TextAnalysis.heavyHitters, queries.Events.gapfillSeriesDef,
       queries.Dedup.keepBest, queries.Dedup.spanExact, queries.Curate.srcCapQ,
       queries.Similarity.ivfFiltered, queries.Similarity.kmeans,
-      queries.Similarity.hybrid, queries.Similarity.ivfSq8)
+      queries.Similarity.hybrid, queries.Similarity.ivfSq8,
+      queries.TextAnalysis.bm25Def, queries.Similarity.rprojRerankDef)
     // gapfill is benched as its LIBRARY surface (evt_gapfill_series —
     // no global ORDER BY); the total order exists for the oracle compare
     // only and was the sf10 cell's dominant cost (VERDICT r9 #3).
@@ -361,8 +362,9 @@ object Bench {
       queries.Dedup.clusters, queries.Dedup.embeddingCosineWide,
       queries.Dedup.spanExact,
       queries.TextAnalysis.tfidf, queries.TextAnalysis.bpeMergesDef,
+      queries.TextAnalysis.bm25Def,
       queries.Events.gapfillSeriesDef, queries.Similarity.ivfC256,
-      queries.Similarity.kmeansScaled)
+      queries.Similarity.kmeansScaled, queries.Similarity.rprojRerankDef)
     // sf10 docs is where banding/explode become compute-bound (at sf1 the
     // doc pipelines are overhead-dominated); events/embeddings join the
     // tier when GenData has produced them (window + ANN shapes). The full
@@ -383,13 +385,20 @@ object Bench {
            // measured "round cost stays flat while the corpus grows 10×"
            // claim (VERDICT r11 #6)
            queries.TextAnalysis.bpeMergesDef,
+           // integer-exact BM25: the posting aggregate is the corpus
+           // pass; the probe join is proportional to the query tokens'
+           // postings, so sf1 → sf10 measures the inverted-index build
+           queries.TextAnalysis.bm25Def,
            queries.Curate.curate, queries.Curate.decontam) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "embeddings"))
          // the WIDE configuration: the 4×4-band default is Θ(N²/16) by
          // construction and filled the disk with shuffle spill at sf10
          // (200k vectors → ~1.2G candidate pairs); the 16×16 centered
          // variant is the corpus-sized path SCALE.md documents.
-         Seq(queries.Dedup.embeddingCosineWide, queries.Similarity.kmeansScaled) else Nil) ++
+         Seq(queries.Dedup.embeddingCosineWide, queries.Similarity.kmeansScaled,
+           // two-stage JL search: shortlist in the 16-d integer space,
+           // float re-rank of shortlist·|queries| survivors only
+           queries.Similarity.rprojRerankDef) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "events"))
          Seq(queries.Events.gapfillSeriesDef, queries.Events.sessionize,
            queries.Events.windowAgg) else Nil)

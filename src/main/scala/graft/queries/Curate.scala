@@ -648,36 +648,37 @@ object Curate {
   // determinism discipline; see QueryDef's contract note).
   //
   // 100 TB shape: the corpus is exploded ONCE into the (doc_id, token)
-  // aggregate (map-side combine collapses repeats before the exchange);
-  // token counts come from an unordered window over that aggregate
-  // partitioned by token (the measured-cheaper spelling from ta_tfidf —
-  // no vocab join, and the vocabulary relation is never broadcast since
-  // it grows with the corpus); the per-doc roll-up is the third and last
-  // hash exchange. The keep predicate compares sur·20 ≤ n_tok·101
-  // (mean surprisal ≤ 5.05) in integers — no division in the decision;
-  // the reported q is one IEEE division of two exact integers, which is
-  // correctly rounded and therefore bit-identical on both engines.
+  // aggregate — the swap-cached `tok_tf` posting relation ta_bm25 shares
+  // (TextAnalysis.tokenPostings), so the corpus pass is paid once per
+  // session across both operators. Token counts attach by a hash join
+  // against the map-side-combined per-token aggregate — the r12 spelling:
+  // the first cut rode `sum(tf) OVER (PARTITION BY token)`, and at sf100
+  // that window SORTS the full posting relation (the same sort-exchange
+  // class the ngram-jaccard rare-index rebuild removed); the join carries
+  // the identical rows through hash exchanges only, and the corpus total
+  // derives from the per-token aggregate, not a second corpus pass. The
+  // per-doc roll-up is the last hash exchange. The keep predicate
+  // compares sur·20 ≤ n_tok·101 (mean surprisal ≤ 5.05) in integers — no
+  // division in the decision; the reported q is one IEEE division of two
+  // exact integers, which is correctly rounded and therefore
+  // bit-identical on both engines.
   private val lmNum = 101
   private val lmDen = 20
 
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    TextAnalysis.tokenPostings(spark, "documents")
     spark.sql(
-      s"""WITH tf AS (
-         |  SELECT doc_id, token, count(*) AS tf FROM (
-         |    SELECT doc_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
-         |    FROM documents) t
-         |  GROUP BY doc_id, token),
-         |wcnt AS (
-         |  SELECT doc_id, tf, sum(tf) OVER (PARTITION BY token) AS cnt FROM tf),
-         |tot AS (SELECT sum(tf) AS total FROM tf)
+      s"""WITH cnt AS (SELECT token, sum(tf) AS cnt FROM tok_tf GROUP BY token),
+         |tot AS (SELECT sum(cnt) AS total FROM cnt)
          |SELECT doc_id, n_tok, sur,
          |  CAST(sur AS DOUBLE) / n_tok AS q,
          |  CAST(CASE WHEN sur * $lmDen <= n_tok * $lmNum THEN 1 ELSE 0 END AS INT) AS keep
          |FROM (
-         |  SELECT doc_id, sum(tf) AS n_tok,
-         |    sum(tf * (length(bin(tot.total)) - length(bin(cnt)))) AS sur
-         |  FROM wcnt CROSS JOIN tot GROUP BY doc_id) s
+         |  SELECT tf.doc_id, sum(tf.tf) AS n_tok,
+         |    sum(tf.tf * (length(bin(tot.total)) - length(bin(cnt.cnt)))) AS sur
+         |  FROM tok_tf tf JOIN cnt ON tf.token = cnt.token CROSS JOIN tot
+         |  GROUP BY tf.doc_id) s
          |ORDER BY doc_id""".stripMargin)
   }
 

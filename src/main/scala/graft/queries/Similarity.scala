@@ -1607,8 +1607,89 @@ object Similarity {
   val rprojTopKDef: QueryDef =
     QueryDef.sqlBacked("ann_rproj_topk", rprojTopKOracle)(rprojTopK(_, _))
 
+  /** The JL production shape: two-stage search — shortlist in the
+    * projected space (16 long multiplies / 128 B per candidate), then
+    * exact float re-rank of ONLY the shortlist·|queries| survivors,
+    * which re-fetch their float vectors through a broadcast join (the
+    * corpus's 64-d floats are never carried through the ranking
+    * shuffle — the same survivors-fetch-floats discipline as
+    * [[ivfSq8TopK]]'s comment argues for, here done literally). Both
+    * stages are deterministic (integer stage-1 scores; stage-2 dots in
+    * the pinned IEEE fold with cand_id tie-breaks), so the whole
+    * two-stage pipeline is hash-replayable in DuckDB. */
+  def rprojRerank(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, shortlist: Int = 100): DataFrame = {
+    emb(spark, dir)
+    spark.sql(
+      s"""WITH e AS (
+         |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id, rproj_i64(v, $rprojSignsSql) AS pv FROM e),
+         |q AS (SELECT vec_id AS query_id, pv AS qpv FROM pr WHERE vec_id < $nQueries),
+         |cand AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT /*+ BROADCAST(q) */ q.query_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY dot_i64(q.qpv, c.pv) DESC, c.vec_id) AS rn
+         |    FROM q JOIN pr c ON q.query_id <> c.vec_id) t
+         |  WHERE rn <= $shortlist),
+         |scored AS (
+         |  SELECT /*+ BROADCAST(cand) */ cand.query_id, cand.cand_id,
+         |    dot_product(qe.v, ce.v) AS score
+         |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |            JOIN e ce ON ce.vec_id = cand.cand_id)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT query_id, cand_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, cand_id) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  private val rprojRerankOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |qq AS (
+       |  SELECT vec_id, j, CAST(floor(v[j + 1] * 1048576.0 + 0.5) AS BIGINT) AS qv
+       |  FROM e CROSS JOIN range(0, 64) t(j)),
+       |s AS (${rprojSignsDuck()}),
+       |pr AS (
+       |  SELECT vec_id, k, CAST(sum(sgn * qv) AS BIGINT) AS p
+       |  FROM qq JOIN s ON qq.j = s.j
+       |  GROUP BY vec_id, k),
+       |approx AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(sum(q.p * c.p) AS BIGINT) AS ascore
+       |  FROM pr q JOIN pr c ON q.k = c.k AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 8
+       |  GROUP BY q.vec_id, c.vec_id),
+       |cand AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ascore DESC, cand_id) AS rn
+       |    FROM approx) t
+       |  WHERE rn <= 100),
+       |scored AS (
+       |  SELECT cand.query_id, cand.cand_id,
+       |    ${Dedup.dotDuckSql("qe.v", "ce.v")} AS score
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+       |            JOIN e ce ON ce.vec_id = cand.cand_id)
+       |SELECT query_id, cand_id, score, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT query_id, cand_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, cand_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val rprojRerankDef: QueryDef =
+    QueryDef.sqlBacked("ann_rproj_rerank", rprojRerankOracle)(rprojRerank(_, _))
+
   val all: Seq[QueryDef] =
     Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, ivfAppend,
       quantized, semantic, recall, kmeans, ivfTrained, hybrid, ivfSq8,
-      ivfSq8Indexed, rprojDef, rprojTopKDef)
+      ivfSq8Indexed, rprojDef, rprojTopKDef, rprojRerankDef)
 }

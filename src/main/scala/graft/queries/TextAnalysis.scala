@@ -18,6 +18,24 @@ object TextAnalysis {
   private def docs(spark: SparkSession, dir: String): Unit =
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
 
+  /** Materialize the corpus token-posting aggregate (doc_id, token, tf)
+    * ONCE per session+corpus as the swap-cached view `tok_tf` — the
+    * in-session stand-in for a persisted inverted index. A CTE spelling
+    * of the same relation gets RE-PLANNED per consumer (ta_bm25's first
+    * cut scanned the corpus 12×: dt fed dl, st, qt, dfq and p, and
+    * Catalyst inlines multi-referenced CTEs), which at sf100 tripled the
+    * corpus pass. cacheSwap keys on the logical plan, so a different
+    * corpus dir swaps the cache and the SAME dir — including every
+    * micro-batch of a streaming probe — reuses it for free. */
+  private[queries] def tokenPostings(spark: SparkSession, corpusRel: String): Unit = {
+    val tf = Engine.cacheSwap("tok_tf", spark.sql(
+      s"""SELECT doc_id, token, count(*) AS tf FROM (
+         |  SELECT doc_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
+         |  FROM $corpusRel) t
+         |GROUP BY doc_id, token""".stripMargin))
+    tf.createOrReplaceTempView("tok_tf")
+  }
+
   // --- token counting: whitespace runs + a BPE-ish subword regex ----------
   private val tokenCountSpark =
     """SELECT doc_id,
@@ -806,41 +824,55 @@ object TextAnalysis {
   // BIGINTs — order-independent, hence hash-identical on both engines
   // (a DOUBLE sum would depend on aggregation order).
   //
-  // 100 TB shape: one corpus explode feeds the (doc_id, token, tf)
-  // aggregate (map-side combine); the 8-query token set broadcasts
-  // against it, so only postings of QUERY tokens survive the probe join —
-  // df is then computed from that probe slice (exact: the slice holds
-  // every posting of those tokens), never from a corpus-wide vocabulary
-  // shuffle. Per-doc length joins in co-partitioned on doc_id. The only
-  // corpus-scale exchanges are the posting aggregate and the dl roll-up;
-  // everything after is proportional to the query tokens' postings.
+  // 100 TB shape: ONE corpus explode feeds the (doc_id, token, tf)
+  // aggregate, materialized per session as the swap-cached `tok_tf`
+  // relation (the in-session inverted index — [[tokenPostings]]; a CTE
+  // spelling re-planned that corpus pass once per consumer, 12 scans in
+  // the first cut). The query token set broadcasts against it twice:
+  // once to count df per query token (a vocabulary-of-the-query-sized
+  // aggregate, never a corpus-wide vocabulary shuffle), once — AFTER
+  // zero-idf tokens are dropped — to fan out candidate postings, so the
+  // expensive join never carries a stopword's posting list. Per-doc
+  // length attaches co-partitioned on doc_id. Corpus-scale exchanges:
+  // the posting aggregate (once per session) and the dl roll-up;
+  // everything after is proportional to the positive-idf postings.
   private val bm25NQueries = 8
   private val bm25K = 10
 
   /** Shared Spark SQL body: score `qtRel` — an SQL relation producing
-    * DISTINCT (query_id, token) pairs — against the corpus relation
-    * `corpusRel` (doc_id, text). One source of truth for the formula:
-    * the census query, [[searchBm25]], and the streaming probe all
-    * render from here, so they cannot drift. */
-  private def bm25Sql(corpusRel: String, qtRel: String, k: Int): String =
-    s"""WITH dt AS (
-       |  SELECT doc_id, token, count(*) AS tf FROM (
-       |    SELECT doc_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
-       |    FROM $corpusRel) t
-       |  GROUP BY doc_id, token),
-       |dl AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY doc_id),
+    * DISTINCT (query_id, token) pairs — against the cached `tok_tf`
+    * posting relation ([[tokenPostings]] must have been called). One
+    * source of truth for the formula: the census query, [[searchBm25]],
+    * and the streaming probe all render from here, so they cannot drift.
+    *
+    * Zero-idf postings are dropped BEFORE the fan-out (`live`): a token
+    * whose df is within a power of two of N has bitlen-idf exactly 0, so
+    * it contributes 0 to every score — but its postings are by definition
+    * the corpus's largest (stopwords), and carrying them only inflates
+    * the probe join. Declared contract (oracle replays it): a candidate
+    * reachable only through zero-idf terms does not rank. */
+  private def bm25Sql(qtRel: String, k: Int): String =
+    s"""WITH dl AS (SELECT doc_id, sum(tf) AS dl FROM tok_tf GROUP BY doc_id),
        |st AS (SELECT count(*) AS n, sum(dl) AS a FROM dl),
        |qt AS ($qtRel),
+       |dfq AS (
+       |  SELECT /*+ BROADCAST(q) */ d.token, count(*) AS df
+       |  FROM (SELECT DISTINCT token FROM qt) q
+       |  JOIN tok_tf d ON q.token = d.token
+       |  GROUP BY d.token),
+       |live AS (
+       |  SELECT f.token, f.df FROM dfq f CROSS JOIN st s
+       |  WHERE length(bin(s.n)) > length(bin(f.df))),
        |p AS (
-       |  SELECT /*+ BROADCAST(q) */ q.query_id, d.doc_id AS cand_id, q.token, d.tf
-       |  FROM qt q JOIN dt d ON q.token = d.token),
-       |dfq AS (SELECT token, count(DISTINCT cand_id) AS df FROM p GROUP BY token),
+       |  SELECT /*+ BROADCAST(q), BROADCAST(v) */
+       |    q.query_id, d.doc_id AS cand_id, d.tf, v.df
+       |  FROM qt q JOIN live v ON q.token = v.token
+       |            JOIN tok_tf d ON q.token = d.token),
        |scored AS (
-       |  SELECT /*+ BROADCAST(f) */ p.query_id, p.cand_id,
-       |    sum((5632 * p.tf * (length(bin(s.n)) - length(bin(f.df))) * 1048576)
+       |  SELECT p.query_id, p.cand_id,
+       |    sum((5632 * p.tf * (length(bin(s.n)) - length(bin(p.df))) * 1048576)
        |        div (2560 * p.tf + 768 + 9 * ((256 * l.dl * s.n) div s.a))) AS score
-       |  FROM p JOIN dfq f ON p.token = f.token
-       |         JOIN dl l ON l.doc_id = p.cand_id
+       |  FROM p JOIN dl l ON l.doc_id = p.cand_id
        |         CROSS JOIN st s
        |  WHERE p.cand_id <> p.query_id
        |  GROUP BY p.query_id, p.cand_id)
@@ -855,8 +887,9 @@ object TextAnalysis {
   def bm25(spark: SparkSession, dir: String,
       nQueries: Int = bm25NQueries, k: Int = bm25K): DataFrame = {
     docs(spark, dir)
-    spark.sql(bm25Sql("documents",
-      s"SELECT DISTINCT doc_id AS query_id, token FROM dt WHERE doc_id < $nQueries", k))
+    tokenPostings(spark, "documents")
+    spark.sql(bm25Sql(
+      s"SELECT DISTINCT doc_id AS query_id, token FROM tok_tf WHERE doc_id < $nQueries", k))
   }
 
   /** BM25 for an ARBITRARY query batch (query_id, text) against the
@@ -871,8 +904,12 @@ object TextAnalysis {
   def searchBm25(queries: DataFrame, corpusDir: String, k: Int = bm25K): DataFrame = {
     val s = queries.sparkSession
     graft.Engine.table(s, corpusDir, "documents").createOrReplaceTempView("bm25_corpus")
+    // cacheSwap keys on the logical plan: every micro-batch of the same
+    // corpus reuses the live posting cache — the index builds on the
+    // FIRST batch and each later probe pays only its own join.
+    tokenPostings(s, "bm25_corpus")
     queries.createOrReplaceTempView("bm25_queries")
-    s.sql(bm25Sql("bm25_corpus",
+    s.sql(bm25Sql(
       """SELECT DISTINCT query_id, token FROM (
         |  SELECT query_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
         |  FROM bm25_queries)""".stripMargin, k))
@@ -888,16 +925,23 @@ object TextAnalysis {
        |st AS (SELECT count(*) AS n, sum(dl) AS a FROM dl),
        |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM dt
        |       WHERE doc_id < $bm25NQueries),
+       |dfq AS (
+       |  SELECT d.token, count(*) AS df
+       |  FROM (SELECT DISTINCT token FROM qt) q
+       |  JOIN dt d ON q.token = d.token
+       |  GROUP BY d.token),
+       |live AS (
+       |  SELECT f.token, f.df FROM dfq f CROSS JOIN st s
+       |  WHERE length(bin(s.n)) > length(bin(f.df))),
        |p AS (
-       |  SELECT q.query_id, d.doc_id AS cand_id, q.token, d.tf
-       |  FROM qt q JOIN dt d ON q.token = d.token),
-       |dfq AS (SELECT token, count(DISTINCT cand_id) AS df FROM p GROUP BY token),
+       |  SELECT q.query_id, d.doc_id AS cand_id, d.tf, v.df
+       |  FROM qt q JOIN live v ON q.token = v.token
+       |            JOIN dt d ON q.token = d.token),
        |scored AS (
        |  SELECT p.query_id, p.cand_id,
-       |    CAST(sum((5632 * p.tf * (length(bin(s.n)) - length(bin(f.df))) * 1048576)
+       |    CAST(sum((5632 * p.tf * (length(bin(s.n)) - length(bin(p.df))) * 1048576)
        |        // (2560 * p.tf + 768 + 9 * ((256 * l.dl * s.n) // s.a))) AS BIGINT) AS score
-       |  FROM p JOIN dfq f ON p.token = f.token
-       |         JOIN dl l ON l.doc_id = p.cand_id
+       |  FROM p JOIN dl l ON l.doc_id = p.cand_id
        |         CROSS JOIN st s
        |  WHERE p.cand_id <> p.query_id
        |  GROUP BY p.query_id, p.cand_id)

@@ -32,10 +32,14 @@ class BM25Spec extends AnyFunSuite {
     val a = dl.values.sum
     val df: Map[String, Long] =
       dt.values.flatMap(_.keys).toSeq.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    // the operator's declared contract: zero-idf (stopword) terms are
+    // dropped before the fan-out — a candidate reachable only through
+    // them does not rank (their term contribution is exactly 0 anyway)
     val out = for {
       q <- dt.keys.toSeq if q < nQ
       c <- dt.keys.toSeq if c != q
-      shared = dt(q).keySet.intersect(dt(c).keySet) if shared.nonEmpty
+      shared = dt(q).keySet.intersect(dt(c).keySet)
+        .filter(w => bitlen(n) > bitlen(df(w))) if shared.nonEmpty
     } yield {
       val ndl = (256L * dl(c) * n) / a
       val score = shared.toSeq.map { w =>

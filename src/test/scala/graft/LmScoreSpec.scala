@@ -62,14 +62,24 @@ class LmScoreSpec extends AnyFunSuite {
     assert(got(2L)._4 === 0, "one past the boundary must drop")
   }
 
-  test("plan: no vocab join or broadcast — counts ride a token window") {
+  test("plan: counts attach sort-free via a hash join on the cached postings") {
+    // r12 flipped the spelling: the token window SORTS the full posting
+    // relation (the sf100 sort-exchange toll the ngram rare-index
+    // rebuild removed), so counts now attach with a hash join against
+    // the map-side-combined per-token aggregate — never a broadcast of
+    // the corpus-sized vocabulary, never a Window/Sort over postings.
     val p = Curate.lmScore(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "token counts regressed to a vocab equi-join")
-    // the only broadcast is the 1-row total, never the vocabulary
+    assert(!p.contains("Window"), "posting-relation window (sorts all postings) is back")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "no map-side partial aggregation for tf")
-    assert(p.contains("Window"), "token counts must come from the window")
+    // the postings feed from the session cache (corpus pass paid once,
+    // shared with ta_bm25), and counts attach via SOME equi-join on
+    // token — the strategy (broadcast at gate scale, shuffle join once
+    // the vocabulary outgrows the threshold) is Catalyst's size-based
+    // pick, which is exactly what a corpus-growing side wants
+    assert(p.contains("InMemoryTableScan"), "tok_tf posting cache not used")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "token counts must attach via an equi-join")
   }
 }

@@ -117,5 +117,14 @@ class RProjSpec extends AnyFunSuite {
     val found = (0 until 8).count(i => got.getOrElse(i.toLong, Set.empty).contains(i + 100L))
     info(s"planted twin in projected top-10: $found/8")
     assert(found >= 7, s"JL projection lost planted near-dups: $found/8")
+
+    // two-stage: the exact float re-rank must surface every planted twin
+    // at rank 1 (cosine ~0.99 vs a ~0.2 random background) — the
+    // shortlist only has to ADMIT the twin, the re-rank orders it.
+    val top1 = Similarity.rprojRerank(spark, tmp).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact1 = (0 until 8).count(i => top1.get(i.toLong).contains(i + 100L))
+    info(s"planted twin at re-ranked rank 1: $exact1/8")
+    assert(exact1 == 8, s"re-rank missed planted twins: $exact1/8")
   }
 }
