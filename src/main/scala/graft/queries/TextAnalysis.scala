@@ -851,14 +851,15 @@ object TextAnalysis {
     * the corpus's largest (stopwords), and carrying them only inflates
     * the probe join. Declared contract (oracle replays it): a candidate
     * reachable only through zero-idf terms does not rank. */
-  private def bm25Sql(qtRel: String, k: Int): String =
-    s"""WITH dl AS (SELECT doc_id, sum(tf) AS dl FROM tok_tf GROUP BY doc_id),
+  private def bm25Sql(qtRel: String, k: Int, postRel: String = "tok_tf",
+      dlRel: String = "SELECT doc_id, sum(tf) AS dl FROM tok_tf GROUP BY doc_id"): String =
+    s"""WITH dl AS ($dlRel),
        |st AS (SELECT count(*) AS n, sum(dl) AS a FROM dl),
        |qt AS ($qtRel),
        |dfq AS (
        |  SELECT /*+ BROADCAST(q) */ d.token, count(*) AS df
        |  FROM (SELECT DISTINCT token FROM qt) q
-       |  JOIN tok_tf d ON q.token = d.token
+       |  JOIN $postRel d ON q.token = d.token
        |  GROUP BY d.token),
        |live AS (
        |  SELECT f.token, f.df FROM dfq f CROSS JOIN st s
@@ -867,7 +868,7 @@ object TextAnalysis {
        |  SELECT /*+ BROADCAST(q), BROADCAST(v) */
        |    q.query_id, d.doc_id AS cand_id, d.tf, v.df
        |  FROM qt q JOIN live v ON q.token = v.token
-       |            JOIN tok_tf d ON q.token = d.token),
+       |            JOIN $postRel d ON q.token = d.token),
        |scored AS (
        |  SELECT p.query_id, p.cand_id,
        |    sum((5632 * p.tf * (length(bin(s.n)) - length(bin(p.df))) * 1048576)
@@ -955,8 +956,91 @@ object TextAnalysis {
 
   val bm25Def: QueryDef = QueryDef.sqlBacked("ta_bm25", bm25Oracle)(bm25(_, _))
 
+  // --- BM25 over a PERSISTED index: the cold-start production shape --------
+  // The swap-cached tok_tf relation is the in-SESSION index; at 100 TB a
+  // new session must not re-tokenize the corpus to serve a query. The
+  // stored index is the posting relation repartitioned+sorted on token
+  // (so a probe's token predicate prunes row groups — the storage analog
+  // of an inverted-index bucket lookup) plus the per-doc length relation
+  // (corpus totals derive from it in O(|docs|)). The probe collects the
+  // query batch's distinct tokens (BOUNDED by the batch's vocabulary —
+  // the same bounded-collect class as the k-means model aggregate) into
+  // a pushed filter on the sorted postings, so the scan touches only the
+  // query tokens' buckets; df comes exactly from that slice.
+  /** Write one corpus slice's postings + doc lengths into the index.
+    * `append` grows an existing index: postings and doclen are both
+    * per-doc-partitioned facts, so the union of batch writes IS the
+    * full-corpus index — df, dl, and the corpus totals all derive from
+    * the union exactly (the reference's append-only TableInsert shape;
+    * `ta_bm25_append` proves batch-built ≡ one-shot against the same
+    * full-corpus oracle). */
+  private def writeBm25Slice(spark: SparkSession, corpusRel: String,
+      path: String, mode: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    tokenPostings(spark, corpusRel)
+    spark.table("tok_tf").repartition(col("token")).sortWithinPartitions("token")
+      .write.mode(mode).parquet(s"$path/postings")
+    spark.sql("SELECT doc_id, sum(tf) AS dl FROM tok_tf GROUP BY doc_id")
+      .write.mode(mode).parquet(s"$path/doclen")
+  }
+
+  def writeBm25Index(spark: SparkSession, dir: String, path: String): Unit = {
+    docs(spark, dir)
+    writeBm25Slice(spark, "documents", path, "overwrite")
+  }
+
+  def probeBm25Index(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int = bm25K): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    queries.createOrReplaceTempView("bm25_queries")
+    val qtRel =
+      """SELECT DISTINCT query_id, token FROM (
+        |  SELECT query_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM bm25_queries)""".stripMargin
+    val toks = spark.sql(s"SELECT DISTINCT token FROM ($qtRel)")
+      .collect().map(_.getString(0)) // bounded: the query batch's vocabulary
+    spark.read.parquet(s"$path/postings")
+      .filter(col("token").isin(toks.toIndexedSeq: _*))
+      .createOrReplaceTempView("bm25_idx_post")
+    spark.read.parquet(s"$path/doclen").createOrReplaceTempView("bm25_idx_dl")
+    spark.sql(bm25Sql(qtRel, k, postRel = "bm25_idx_post",
+      dlRel = "SELECT doc_id, dl FROM bm25_idx_dl"))
+  }
+
+  /** Census key: write the index, probe it with the census query set —
+    * must equal `ta_bm25` row for row (same oracle). */
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.Engine.scratchDir("graft_bm25_idx_") + "/index"
+    writeBm25Index(spark, dir, idx)
+    docs(spark, dir)
+    probeBm25Index(spark, idx, spark.sql(
+      s"SELECT doc_id AS query_id, text FROM documents WHERE doc_id < $bm25NQueries"))
+  }
+
+  val bm25IndexedDef: QueryDef =
+    QueryDef.sqlBacked("ta_bm25_indexed", bm25Oracle)(bm25Indexed(_, _))
+
+  /** Census key: build the index on the 90% slice, APPEND the remaining
+    * 10% as a later batch, probe the grown index — must equal the
+    * one-shot full-corpus ranking (same oracle as `ta_bm25`). */
+  def bm25Appended(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.Engine.scratchDir("graft_bm25_app_") + "/index"
+    docs(spark, dir)
+    spark.sql("SELECT * FROM documents WHERE doc_id % 10 <> 0")
+      .createOrReplaceTempView("bm25_seed")
+    writeBm25Slice(spark, "bm25_seed", idx, "overwrite")
+    spark.sql("SELECT * FROM documents WHERE doc_id % 10 = 0")
+      .createOrReplaceTempView("bm25_delta")
+    writeBm25Slice(spark, "bm25_delta", idx, "append")
+    probeBm25Index(spark, idx, spark.sql(
+      s"SELECT doc_id AS query_id, text FROM documents WHERE doc_id < $bm25NQueries"))
+  }
+
+  val bm25AppendDef: QueryDef =
+    QueryDef.sqlBacked("ta_bm25_append", bm25Oracle)(bm25Appended(_, _))
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, winnow, vocab, tfidf,
       repetition, pii, boilerplate, heavyHitters, bpePairs, bpeMergesDef,
-      bpeEncodeDef, bm25Def)
+      bpeEncodeDef, bm25Def, bm25IndexedDef, bm25AppendDef)
 }

@@ -104,6 +104,16 @@ class BM25Spec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "query-token probe must broadcast")
   }
 
+  test("persisted-index probe equals the in-flight ranking; scan reads the stored postings") {
+    val sf = "/root/testdata/sf0.001"
+    val direct = TextAnalysis.bm25(spark, sf).collect().map(_.toString).toSeq
+    val viaIndex = TextAnalysis.bm25Indexed(spark, sf)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("postings"), "probe must scan the stored posting file")
+    assert(direct.nonEmpty && viaIndex.collect().map(_.toString).toSeq == direct,
+      "stored-index probe diverged from the in-flight ranking")
+  }
+
   test("streaming probe equals the batch census ranking, query for query") {
     val sf = "/root/testdata/sf0.001"
     val expected = TextAnalysis.bm25(spark, sf).collect().map(_.toString).toSet
