@@ -343,5 +343,58 @@ object Ivm {
       .orderBy(col("c_mktsegment"))
   }
 
-  val all: Seq[QueryDef] = Seq(refresh, extrema, distinct, topk, join, pipeline)
+  /** Incremental maintenance of the INVERTED-INDEX statistics — the
+    * reference's retractable-aggregate identity applied to the text
+    * domain the pipeline operators live in. The view key is the token,
+    * the state one row per token: `cnt` = Σfreq over posting rows (each
+    * document contributes one posting per distinct token, so this IS the
+    * document frequency) and `sum_tf` = Σ tf·freq (the corpus term
+    * frequency). Document DELETION is a freq −1 over the doc's postings —
+    * df and cnt step down exactly, and a token whose last document leaves
+    * vanishes from the view (full retraction, the thing a count-only
+    * index cannot do); re-ingestion is freq +1. Every refresh shuffles
+    * |vocabulary ∪ delta-partials| rows, never the corpus — the same
+    * O(|delta|+|state|) bound `ivm_delta_refresh` measures.
+    *
+    * Scenario (deterministic, recomputable from scratch by the oracle):
+    * initialize from all documents; delta 1 retracts every doc_id % 13 = 0
+    * document; delta 2 re-ingests every doc_id % 17 = 0 document's
+    * postings (doc 0 is in both — net one copy). Output: top-100 tokens
+    * of the maintained view. */
+  val postings: QueryDef = QueryDef.sqlBacked(
+    "ivm_postings",
+    """WITH dt AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+      |    FROM documents) t
+      |  GROUP BY doc_id, token),
+      |changes AS (
+      |  SELECT token, tf, 1 AS freq FROM dt
+      |  UNION ALL
+      |  SELECT token, tf, -1 AS freq FROM dt WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT token, tf, 1 AS freq FROM dt WHERE doc_id % 17 = 0)
+      |SELECT token, CAST(sum(freq) AS BIGINT) AS df,
+      |  CAST(sum(tf * freq) AS BIGINT) AS cnt
+      |FROM changes GROUP BY token HAVING sum(freq) <> 0
+      |ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    TextAnalysis.tokenPostings(spark, "documents")
+    val dt = spark.table("tok_tf")
+    val statePath = Engine.scratchDir("graft_ivm_post_")
+    val view = new IncrementalAggView(spark, Seq("token"), Seq("tf"), statePath)
+    view.initialize(dt.select(col("token"), col("tf")))
+    view.applyDelta(dt.filter(col("doc_id") % 13 === 0)
+      .select(col("token"), col("tf"), lit(-1L).as(view.freqCol)))
+    view.applyDelta(dt.filter(col("doc_id") % 17 === 0)
+      .select(col("token"), col("tf"), lit(1L).as(view.freqCol)))
+    view.current()
+      .select(col("token"), col("cnt").cast(LongType).as("df"),
+        col("sum_tf").cast(LongType).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(100)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(refresh, extrema, distinct, topk, join, pipeline, postings)
 }
