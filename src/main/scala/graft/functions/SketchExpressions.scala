@@ -962,7 +962,7 @@ object TextStats {
   * pattern of [[ArgmaxDotBroadcast]] applies unchanged.
   *
   * Bounds: |x| ≤ 1 (L2-normalized input) ⇒ |q_j| ≤ 2^20, |p_k| ≤ 64·2^20
-  * < 2^27, and a projected dot product ≤ 16·2^54 < 2^58 — no overflow.
+  * = 2^26, and a projected dot product ≤ 16·2^52 = 2^56 — no overflow.
   */
 case class RProjI64(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
