@@ -227,6 +227,52 @@ object Curate {
   val decontam: QueryDef =
     QueryDef.sqlBacked("pipeline_decontaminate", decontaminateOracle)(decontaminate(_, _))
 
+  // --- span-level decontamination -----------------------------------------
+  // The exact-substring upgrade of [[decontaminate]] (Lee et al. 2021's
+  // recommendation, the modern practice): word-5-gram overlap misses
+  // contamination that crosses token boundaries or rides reformatted
+  // whitespace, while a winnowed ≥79-char span anchor surfaces ANY long
+  // verbatim region at any alignment (the dedup_span_exact guarantee —
+  // same kernel, same parameters, so the decontamination gate and the
+  // dedup pass share one anchor relation and its session cache). Scale
+  // shape mirrors decontaminate: eval anchors are eval-set-sized →
+  // BROADCAST; the corpus side is the cached (fp, doc_id) anchor
+  // relation; the only shuffle carries matched pairs.
+  def decontamSpan(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.cachedSpanGroups(spark, dir)
+    spark.sql(
+      """WITH eval_a AS (SELECT DISTINCT fp FROM span_grp WHERE doc_id % 23 = 0),
+        |hits AS (
+        |  SELECT /*+ BROADCAST(eval_a) */ g.doc_id, count(DISTINCT g.fp) AS n_overlap
+        |  FROM span_grp g JOIN eval_a ON g.fp = eval_a.fp
+        |  WHERE g.doc_id % 23 <> 0
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n_overlap, 0) AS INT) AS n_overlap,
+        |  coalesce(h.n_overlap, 0) >= 1 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
+  }
+
+  private lazy val decontamSpanOracle =
+    s"""WITH ${Dedup.spanAnchorsDuckSql},
+       |eval_a AS (SELECT DISTINCT fp FROM anchors WHERE doc_id % 23 = 0),
+       |hits AS (
+       |  SELECT a.doc_id, count(DISTINCT a.fp) AS n_overlap
+       |  FROM anchors a JOIN eval_a USING (fp)
+       |  WHERE a.doc_id % 23 <> 0
+       |  GROUP BY a.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(h.n_overlap, 0) AS INT) AS n_overlap,
+       |  coalesce(h.n_overlap, 0) >= 1 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+       |LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  val decontamSpanQ: QueryDef =
+    QueryDef.sqlBacked("pipeline_decontam_span", decontamSpanOracle)(decontamSpan(_, _))
+
   // --- weighted source mixing ---------------------------------------------
   // Mixture construction for a training run: each source gets a sampling
   // weight (literature: up-weight curated sources, down-weight crawl —
@@ -704,6 +750,6 @@ object Curate {
     QueryDef.sqlBacked("pipeline_lm_score", lmScoreOracle)(lmScore(_, _))
 
   val all: Seq[QueryDef] =
-    Seq(curate, sample, sampleExact, decontam, mix, pack, chunk, stats, rag,
-      split, shuffle, srcCapQ, lmScoreQ)
+    Seq(curate, sample, sampleExact, decontam, decontamSpanQ, mix, pack, chunk,
+      stats, rag, split, shuffle, srcCapQ, lmScoreQ)
 }

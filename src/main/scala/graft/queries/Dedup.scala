@@ -1790,6 +1790,7 @@ object Dedup {
     QueryDef.sqlBacked("dedup_span_indexed", spanIndexedOracle)(spanIndexedPairs(_, _))
 
   /** DuckDB spellings shared with other query modules' oracles. */
+  private[queries] def spanAnchorsDuckSql: String = spanAnchorsDuck
   private[queries] def shingleDuckSql: String = shingleDuck
   private[queries] def hash60SparkSql(x: String): String = portableHash60Spark(x)
   private[queries] def hash60DuckSql(x: String): String = portableHash60Duck(x)
