@@ -1074,3 +1074,67 @@ case class DotI64(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Elements of a bigint array NOT present in a broadcast SORTED bigint
+  * array, order-preserving — the per-row spelling of a broadcast LEFT
+  * ANTI JOIN. Each element costs one binary search against the
+  * executor-resident array, so a document's rare-shingle subset (and,
+  * via size(), its rare count) falls out of the SCAN projection — no
+  * explode-then-anti-join, no per-doc aggregate exchange, and no
+  * posting-level attach join to carry the count back (the r12
+  * rare-index rebuild: that attach join was the build's last full
+  * posting shuffle). */
+case class NotInSorted64(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "not_in_sorted64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"not_in_sorted64 needs array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sorted = bc.value
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      if (java.util.Arrays.binarySearch(sorted, x) < 0) { out(k) = x; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bcSorted", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    // resolved once per generated-class instance, not per row
+    val sorted = ctx.addMutableState("long[]", "sortedSet",
+      v => s"$v = (long[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out"); val k = ctx.freshName("k")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      s"""
+         |long[] $out = new long[$v.numElements()];
+         |int $k = 0;
+         |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  long $x = $v.getLong($i);
+         |  if (java.util.Arrays.binarySearch($sorted, $x) < 0) { $out[$k++] = $x; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |  java.util.Arrays.copyOf($out, $k));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -733,17 +733,18 @@ object Dedup {
     *      the head of the frequency distribution (few types, many
     *      tokens), measured at thousands of rows per million docs. The
     *      result is cached and broadcast.
-    *   2. rare postings = explode LEFT ANTI JOIN the broadcast common
-    *      set: O(1) per posting against a per-task hash set, NO exchange
-    *      — postings never leave their scan partitions.
-    *   3. nrare = count per doc over the rare postings: each doc's
-    *      postings are contiguous in one partition (they come from one
-    *      cached row), so the partial aggregate collapses them to ONE
-    *      row per doc before the exchange — |docs| 16-byte rows.
-    *   4. one SHUFFLE_HASH join attaches nrare back to the postings: the
-    *      single posting-level exchange left in the build, hash-only (no
-    *      SMJ sort). The self-join that consumes the index re-shuffles
-    *      it by sid anyway, so this doc-keyed exchange is the floor.
+    *   2. rare postings AND the per-doc rare count fall out of the SCAN
+    *      projection: the `NotInSorted64` kernel binary-searches each
+    *      element of the doc's sorted shingle array against the
+    *      executor-resident sorted head, yielding the rare subset
+    *      (nrare = its size) per ROW — one explode, no anti-join node,
+    *      no per-doc aggregate exchange, and no attach join. (The first
+    *      r12 rebuild spelled this as explode → broadcast LEFT ANTI →
+    *      per-doc count → SHUFFLE_HASH attach; the attach re-shuffled
+    *      every posting by doc_id just to carry a count, and Catalyst
+    *      re-planned the multi-referenced `rare` CTE — the explode ran
+    *      twice. The kernel removes the build's LAST posting-level
+    *      exchange.)
     * Same rows out (df filter and counts are definitionally identical),
     * so neither oracle moves — the r12 hash-green keys are the proof.
     *
@@ -766,24 +767,51 @@ object Dedup {
     * in step 2 is likewise structural: the common set's row count is
     * capped by total_postings/maxDf in the adversarial worst case but is
     * Zipf-head-sized on any natural corpus, and each row is one long. */
+  /** Per-session memo of the common-head broadcast, keyed by index name
+    * and compared by CONTENT: reusing the same Broadcast object when the
+    * head is unchanged keeps the index plan `sameResult`-stable, so
+    * [[graft.Engine.cacheSwap]] recognizes warm re-invocations instead
+    * of swapping the cache on every call. A corpus change produces a
+    * different head → new broadcast → the cache swaps, as it must. */
+  private val commonHeads =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Array[Long], org.apache.spark.broadcast.Broadcast[Array[Long]])]()
+
   private def rareIndex(spark: SparkSession, key: String, maxDf: Int,
       repOnly: Boolean): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val repFilter = if (repOnly) " WHERE is_rep" else ""
     val common = graft.Engine.cacheSwap(s"${key}_common", spark.sql(
       s"""SELECT sid FROM (
          |  SELECT explode(hshingles) AS sid FROM dedup_sh$repFilter)
          |GROUP BY sid HAVING count(*) > $maxDf""".stripMargin))
-    common.createOrReplaceTempView(s"${key}_common")
-    graft.Engine.cacheSwap(key, spark.sql(
-      s"""WITH rare AS (
-         |  SELECT /*+ BROADCAST(c) */ p.sid, p.doc_id, p.nsh
-         |  FROM (SELECT doc_id, size(hshingles) AS nsh, explode(hshingles) AS sid
-         |        FROM dedup_sh$repFilter) p
-         |  LEFT ANTI JOIN ${key}_common c ON p.sid = c.sid)
-         |SELECT /*+ SHUFFLE_HASH(n) */ r.sid, r.doc_id, r.nsh, n.nrare
-         |FROM rare r
-         |JOIN (SELECT doc_id, count(*) AS nrare FROM rare GROUP BY doc_id) n
-         |  ON r.doc_id = n.doc_id""".stripMargin))
+    // Zipf-head-sized (see the structural bound above) — the same rows
+    // the broadcast anti-join spelling shipped to every executor, now
+    // collected once and probed per element by the codegen kernel.
+    val head = common.collect().map(_.getLong(0)).sorted
+    val bc = commonHeads.compute((spark, key), { (_, prev) =>
+      if (prev != null && java.util.Arrays.equals(prev._1, head)) prev
+      else (head, spark.sparkContext.broadcast(head))
+    })._2
+    // r12 second rebuild: the anti-join spelling computed the `rare` CTE
+    // twice (Catalyst re-plans multi-referenced CTEs — r side and the
+    // nrare aggregate side each re-ran the explode), and the nrare
+    // attach was the build's one remaining FULL posting exchange
+    // (re-shuffling every posting by doc_id just to carry a count).
+    // With the sorted-head kernel, a doc's rare subset and its count
+    // fall out of the scan projection: ONE explode, ZERO posting-level
+    // exchanges in the build.
+    val sh0 = spark.table("dedup_sh")
+    val sh = if (repOnly) sh0.where(col("is_rep")) else sh0
+    val withRare = sh.select(col("doc_id"),
+      size(col("hshingles")).as("nsh"),
+      ColumnBridge.column(graft.functions.NotInSorted64(
+        ColumnBridge.expression(sh0.col("hshingles")), bc)).as("rare_sids"))
+    graft.Engine.cacheSwap(key, withRare
+      .select(col("doc_id"), col("nsh"),
+        size(col("rare_sids")).as("nrare"),
+        explode(col("rare_sids")).as("sid"))
+      .select(col("sid"), col("doc_id"), col("nsh"), col("nrare")))
   }
 
   private[graft] def cachedRareIndex(spark: SparkSession, maxDf: Int = 10): Unit = {
