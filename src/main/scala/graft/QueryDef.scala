@@ -14,12 +14,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class QueryDef(
     name: String,
-    oracle: Option[String])(
+    oracle: Option[String],
+    emptyOk: Boolean = false)(
     val run: (SparkSession, String) => DataFrame)
 
 object QueryDef {
   def sqlBacked(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, Some(oracle))(run)
+
+  /** A key whose EMPTINESS at the gate tiers is the semantic point (a
+    * documented contract, e.g. an EXCEPT that proves containment or a
+    * zero-idf suppression clause). Every other key returning 0 rows is a
+    * vacuous oracle comparison — Verify flags it loudly, and
+    * SparkEntrySpec pins this allowlist (VERDICT r12 #1: the
+    * 0-rows-vs-0-rows class appeared twice — dedup_embedding_cosine_w,
+    * ta_bm25* — before this guard existed). */
+  def sqlBackedEmptyOk(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), emptyOk = true)(run)
 
   /** Ops whose semantics DuckDB can't mirror (engine-specific hashing,
     * ML-ish pipelines) — driver records a rows-only check. */

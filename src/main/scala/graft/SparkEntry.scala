@@ -28,4 +28,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  /** Keys whose gate-tier emptiness is a documented semantic contract —
+    * every other key returning 0 rows is a vacuous oracle comparison
+    * (Verify warns; SparkEntrySpec pins this set). */
+  def emptinessContracts: Set[String] =
+    allDefs.filter(_.emptyOk).map(_.name).toSet
 }

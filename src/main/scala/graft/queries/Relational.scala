@@ -202,8 +202,32 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Non-empty anti join: the probe side is an orders SLICE (every 4th
+    * orderkey), so customers whose orders all fall outside the slice
+    * survive — the non-empty path of the anti-join hash probe (115 rows
+    * at sf0.01). The full-orders spelling, where EVERY customer has an
+    * order and emptiness is the proof of referential coverage, lives on
+    * as the `_empty` twin (VERDICT r12 #7). */
   val joinAnti: QueryDef = QueryDef.sqlBacked(
     "op_join_anti",
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderkey % 4 = 0)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "customer")
+      .join(Engine.table(spark, dir, "orders").filter(col("o_orderkey") % 4 === 0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** DOCUMENTED EMPTINESS CONTRACT: against the full orders table the
+    * anti join returns nothing — the driver data's every customer has at
+    * least one order, and both engines agreeing on the empty result IS
+    * the check (NULL-safe anti semantics + full probe coverage). */
+  val joinAntiEmpty: QueryDef = QueryDef.sqlBackedEmptyOk(
+    "op_join_anti_empty",
     """SELECT c_custkey FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
@@ -702,8 +726,29 @@ object Relational {
     c.intersect(s).orderBy(col("nk"))
   }
 
+  /** Non-empty EXCEPT: the right operand restricts to s_nationkey < 20,
+    * so the customer nationkeys ≥ 20 survive — the non-empty path of the
+    * set-difference dedup+anti (5 rows at sf0.01; VERDICT r12 #7). The
+    * full-operand spelling, where both sides cover the same nation range
+    * and emptiness is the containment proof, is the `_empty` twin. */
   val except: QueryDef = QueryDef.sqlBacked(
     "op_except",
+    """SELECT c_nationkey AS nk FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier WHERE s_nationkey < 20
+      |ORDER BY nk""".stripMargin
+  ) { (spark, dir) =>
+    val c = Engine.table(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+    val s = Engine.table(spark, dir, "supplier")
+      .filter(col("s_nationkey") < 20).select(col("s_nationkey").as("nk"))
+    c.except(s).orderBy(col("nk"))
+  }
+
+  /** DOCUMENTED EMPTINESS CONTRACT: customer nationkeys are a subset of
+    * supplier nationkeys in the driver data, so the full EXCEPT is empty
+    * on both engines — set containment proven as agreement on nothing. */
+  val exceptEmpty: QueryDef = QueryDef.sqlBackedEmptyOk(
+    "op_except_empty",
     """SELECT c_nationkey AS nk FROM customer
       |EXCEPT
       |SELECT s_nationkey FROM supplier
@@ -804,11 +849,11 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     single, values, scan, project, filter, limit, sort,
-    joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
+    joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti, joinAntiEmpty,
     joinNonEqui, joinNullKeys, joinCross, skewJoin,
     groupHash, groupGlobalEmpty, groupExpr, groupAnyValue,
     unionAll, delete, update, merge, insert, multisetFreq, multisetCompact,
     multisetChanges, multisetSql, multisetAsOf, fileScan,
     roundtripJson, roundtripOrc, view, distinct,
-    rollup, pivot, intersect, except, intersectAll, exceptAll)
+    rollup, pivot, intersect, except, exceptEmpty, intersectAll, exceptAll)
 }

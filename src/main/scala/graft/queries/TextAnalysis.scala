@@ -36,6 +36,40 @@ object TextAnalysis {
     tf.createOrReplaceTempView("tok_tf")
   }
 
+  /** Word-BIGRAM posting aggregate (doc_id, "w_i w_i+1", tf) — swap-cached
+    * view `btok_tf`; same one-corpus-pass discipline as [[tokenPostings]].
+    * Bigrams are the retrieval-grade token unit on this corpus: the driver's
+    * synthetic documents share a stopword-dense unigram vocabulary (every
+    * unigram's df lands within a power of two of N, so bitlen-idf is 0 and
+    * unigram BM25 ranks nothing — VERDICT r12 #1), while bigram df collapses
+    * to double digits and every query bigram carries positive idf. A doc
+    * with fewer than two tokens owns no bigrams and drops out of N/avgdl —
+    * a declared contract the oracle replays. */
+  private[queries] def bigramPostings(spark: SparkSession, corpusRel: String): Unit = {
+    val tf = Engine.cacheSwap("btok_tf", spark.sql(
+      s"""SELECT doc_id, token, count(*) AS tf FROM (
+         |  SELECT doc_id, explode(CASE WHEN size(tk) < 2 THEN array()
+         |    ELSE zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+         |                  (a, b) -> concat(a, ' ', b)) END) AS token
+         |  FROM (SELECT doc_id, filter(split(lower(text), ' '), x -> x <> '') AS tk
+         |        FROM $corpusRel)) t
+         |GROUP BY doc_id, token""".stripMargin))
+    tf.createOrReplaceTempView("btok_tf")
+  }
+
+  /** The bigram posting aggregate as DuckDB SQL over `srcRel` — the oracle
+    * twin of [[bigramPostings]] (1-indexed list ops; generate_series(1, 0)
+    * is empty so the len<2 guard only spares the lambda, kept for parity
+    * with the Spark spelling where sequence(1, 0) would NOT be empty). */
+  private[queries] def bigramDtDuck(srcRel: String): String =
+    s"""SELECT doc_id, token, count(*) AS tf FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN []
+       |    ELSE list_transform(generate_series(1, len(tk) - 1),
+       |                        i -> tk[i] || ' ' || tk[i + 1]) END) AS token
+       |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+       |        FROM $srcRel))
+       |GROUP BY doc_id, token""".stripMargin
+
   // --- token counting: whitespace runs + a BPE-ish subword regex ----------
   private val tokenCountSpark =
     """SELECT doc_id,
@@ -850,9 +884,17 @@ object TextAnalysis {
     * it contributes 0 to every score — but its postings are by definition
     * the corpus's largest (stopwords), and carrying them only inflates
     * the probe join. Declared contract (oracle replays it): a candidate
-    * reachable only through zero-idf terms does not rank. */
-  private def bm25Sql(qtRel: String, k: Int, postRel: String = "tok_tf",
-      dlRel: String = "SELECT doc_id, sum(tf) AS dl FROM tok_tf GROUP BY doc_id"): String =
+    * reachable only through zero-idf terms does not rank.
+    *
+    * `excludeSelf` (ADVICE r12): the census keys rank corpus documents
+    * against themselves-as-queries, so they drop the query's own row
+    * (`cand_id <> query_id`); an ARBITRARY serving batch
+    * ([[searchBm25]], [[probeBm25Index]], the streaming probe) has its
+    * own query_id namespace, where a numeric collision with a doc_id
+    * must NOT silently drop a candidate — those paths pass false. */
+  private[queries] def bm25Sql(qtRel: String, k: Int, postRel: String = "tok_tf",
+      dlRel: String = "SELECT doc_id, sum(tf) AS dl FROM tok_tf GROUP BY doc_id",
+      excludeSelf: Boolean = true): String =
     s"""WITH dl AS ($dlRel),
        |st AS (SELECT count(*) AS n, sum(dl) AS a FROM dl),
        |qt AS ($qtRel),
@@ -875,7 +917,7 @@ object TextAnalysis {
        |        div (2560 * p.tf + 768 + 9 * ((256 * l.dl * s.n) div s.a))) AS score
        |  FROM p JOIN dl l ON l.doc_id = p.cand_id
        |         CROSS JOIN st s
-       |  WHERE p.cand_id <> p.query_id
+       |  ${if (excludeSelf) "WHERE p.cand_id <> p.query_id" else ""}
        |  GROUP BY p.query_id, p.cand_id)
        |SELECT query_id, cand_id, score, CAST(rn AS INT) AS rnk FROM (
        |  SELECT query_id, cand_id, score,
@@ -901,8 +943,16 @@ object TextAnalysis {
     * micro-batch session). Per-batch corpus statistics are exact; a
     * production deployment would persist dt/dl/st once (the inverted
     * index — same pattern as [[graft.queries.Dedup.writeBandIndex]])
-    * and this function's plan reads them unchanged. */
-  def searchBm25(queries: DataFrame, corpusDir: String, k: Int = bm25K): DataFrame = {
+    * and this function's plan reads them unchanged.
+    *
+    * `excludeSelf` defaults to FALSE here (ADVICE r12): an arbitrary
+    * batch's query_ids are their own namespace, and a numeric collision
+    * with a corpus doc_id must not silently drop that document from the
+    * ranking. Pass true only when the queries ARE corpus documents
+    * ranked against themselves (the census shape — what BM25Spec's
+    * stream-equals-batch pin does). */
+  def searchBm25(queries: DataFrame, corpusDir: String, k: Int = bm25K,
+      excludeSelf: Boolean = false): DataFrame = {
     val s = queries.sparkSession
     graft.Engine.table(s, corpusDir, "documents").createOrReplaceTempView("bm25_corpus")
     // cacheSwap keys on the logical plan: every micro-batch of the same
@@ -913,19 +963,19 @@ object TextAnalysis {
     s.sql(bm25Sql(
       """SELECT DISTINCT query_id, token FROM (
         |  SELECT query_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
-        |  FROM bm25_queries)""".stripMargin, k))
+        |  FROM bm25_queries)""".stripMargin, k, excludeSelf = excludeSelf))
   }
 
-  private val bm25Oracle =
-    s"""WITH dt AS (
-       |  SELECT doc_id, token, count(*) AS tf FROM (
-       |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
-       |    FROM documents) t
-       |  GROUP BY doc_id, token),
+  /** DuckDB oracle body over an injected posting CTE — one source of
+    * truth for every BM25-family oracle (unigram, bigram, and the
+    * IVM-retraction key inject different `dt` bodies and query sets). */
+  private[queries] def bm25OracleOver(dtBody: String,
+      qtBody: String = s"SELECT DISTINCT doc_id AS query_id, token FROM dt WHERE doc_id < $bm25NQueries",
+      k: Int = bm25K): String =
+    s"""WITH dt AS ($dtBody),
        |dl AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY doc_id),
        |st AS (SELECT count(*) AS n, sum(dl) AS a FROM dl),
-       |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM dt
-       |       WHERE doc_id < $bm25NQueries),
+       |qt AS ($qtBody),
        |dfq AS (
        |  SELECT d.token, count(*) AS df
        |  FROM (SELECT DISTINCT token FROM qt) q
@@ -951,10 +1001,45 @@ object TextAnalysis {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, cand_id) AS rn
        |  FROM scored) x
-       |WHERE rn <= $bm25K
+       |WHERE rn <= $k
        |ORDER BY query_id, rnk""".stripMargin
 
-  val bm25Def: QueryDef = QueryDef.sqlBacked("ta_bm25", bm25Oracle)(bm25(_, _))
+  private val unigramDtDuck =
+    """SELECT doc_id, token, count(*) AS tf FROM (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+      |  FROM documents) t
+      |GROUP BY doc_id, token""".stripMargin
+
+  /** Unigram census key. ALLOWLISTED EMPTINESS CONTRACT at the gate
+    * tiers: the driver's synthetic corpus is stopword-dense — every
+    * unigram's df lands within a power of two of N, bitlen-idf is 0 for
+    * the whole vocabulary, and BOTH engines agree nothing ranks (the
+    * zero-idf suppression clause, proven as such). The non-vacuous
+    * rankings live in `ta_bm25_bigram` (+ `_indexed`/`_append`), which
+    * exercise real multi-term sums on this same corpus; BM25Spec replays
+    * the unigram formula on planted data where it does rank. */
+  val bm25Def: QueryDef =
+    QueryDef.sqlBackedEmptyOk("ta_bm25", bm25OracleOver(unigramDtDuck))(bm25(_, _))
+
+  /** Bigram census key — the non-vacuous BM25 spelling (VERDICT r12 #1):
+    * identical integer formula, word-bigram posting unit. Every query
+    * bigram carries positive idf on the driver corpus (df 16–44 of
+    * N=500 at sf0.01), so the oracle exercises multi-term score sums,
+    * saturation, and tie-breaks for real. */
+  def bm25Bigram(spark: SparkSession, dir: String,
+      nQueries: Int = bm25NQueries, k: Int = bm25K): DataFrame = {
+    docs(spark, dir)
+    bigramPostings(spark, "documents")
+    spark.sql(bm25Sql(
+      s"SELECT DISTINCT doc_id AS query_id, token FROM btok_tf WHERE doc_id < $nQueries", k,
+      postRel = "btok_tf",
+      dlRel = "SELECT doc_id, sum(tf) AS dl FROM btok_tf GROUP BY doc_id"))
+  }
+
+  private val bm25BigramOracle = bm25OracleOver(bigramDtDuck("documents"))
+
+  val bm25BigramDef: QueryDef =
+    QueryDef.sqlBacked("ta_bm25_bigram", bm25BigramOracle)(bm25Bigram(_, _))
 
   // --- BM25 over a PERSISTED index: the cold-start production shape --------
   // The swap-cached tok_tf relation is the in-SESSION index; at 100 TB a
@@ -974,55 +1059,95 @@ object TextAnalysis {
     * the union exactly (the reference's append-only TableInsert shape;
     * `ta_bm25_append` proves batch-built ≡ one-shot against the same
     * full-corpus oracle). */
+  /** Write one corpus slice's postings + doc lengths into the index.
+    * `bigram = true` (the default — the non-vacuous spelling the census
+    * keys point at) indexes word-bigram postings; false, unigrams. */
   private def writeBm25Slice(spark: SparkSession, corpusRel: String,
-      path: String, mode: String): Unit = {
+      path: String, mode: String, bigram: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.col
-    tokenPostings(spark, corpusRel)
-    spark.table("tok_tf").repartition(col("token")).sortWithinPartitions("token")
+    val post = if (bigram) { bigramPostings(spark, corpusRel); "btok_tf" }
+               else { tokenPostings(spark, corpusRel); "tok_tf" }
+    spark.table(post).repartition(col("token")).sortWithinPartitions("token")
       .write.mode(mode).parquet(s"$path/postings")
-    spark.sql("SELECT doc_id, sum(tf) AS dl FROM tok_tf GROUP BY doc_id")
+    spark.sql(s"SELECT doc_id, sum(tf) AS dl FROM $post GROUP BY doc_id")
       .write.mode(mode).parquet(s"$path/doclen")
   }
 
-  def writeBm25Index(spark: SparkSession, dir: String, path: String): Unit = {
+  def writeBm25Index(spark: SparkSession, dir: String, path: String,
+      bigram: Boolean = true): Unit = {
     docs(spark, dir)
-    writeBm25Slice(spark, "documents", path, "overwrite")
+    writeBm25Slice(spark, "documents", path, "overwrite", bigram)
   }
 
-  def probeBm25Index(spark: SparkSession, path: String,
-      queries: DataFrame, k: Int = bm25K): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    queries.createOrReplaceTempView("bm25_queries")
-    val qtRel =
+  /** The query batch's (query_id, token) relation over `bm25_queries`,
+    * tokenized to match the index's posting unit. */
+  private def queryTokensRel(bigram: Boolean): String =
+    if (bigram)
+      """SELECT DISTINCT query_id, token FROM (
+        |  SELECT query_id, explode(CASE WHEN size(tk) < 2 THEN array()
+        |    ELSE zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+        |                  (a, b) -> concat(a, ' ', b)) END) AS token
+        |  FROM (SELECT query_id, filter(split(lower(text), ' '), x -> x <> '') AS tk
+        |        FROM bm25_queries))""".stripMargin
+    else
       """SELECT DISTINCT query_id, token FROM (
         |  SELECT query_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
         |  FROM bm25_queries)""".stripMargin
+
+  /** Probing the query vocabulary into the sorted postings: up to
+    * `isinPushCap` distinct tokens ship as a pushed In-filter (row-group
+    * pruning on the token-sorted parquet — the inverted-index bucket
+    * lookup); a larger batch would bloat the plan/codegen with its own
+    * vocabulary (ADVICE r12), so it degrades to a broadcast left-semi
+    * join — still one scan, still no corpus-side shuffle. */
+  private val isinPushCap = 4096
+
+  def probeBm25Index(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int = bm25K, bigram: Boolean = true,
+      excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    queries.createOrReplaceTempView("bm25_queries")
+    val qtRel = queryTokensRel(bigram)
     val toks = spark.sql(s"SELECT DISTINCT token FROM ($qtRel)")
       .collect().map(_.getString(0)) // bounded: the query batch's vocabulary
-    spark.read.parquet(s"$path/postings")
-      .filter(col("token").isin(toks.toIndexedSeq: _*))
-      .createOrReplaceTempView("bm25_idx_post")
+    if (toks.isEmpty)
+      // empty batch (or no text long enough to own a token): a clean
+      // empty ranking, not an `isin()` over zero values
+      return spark.sql(
+        """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS cand_id,
+          |  CAST(NULL AS BIGINT) AS score, CAST(NULL AS INT) AS rnk WHERE false""".stripMargin)
+    val post = spark.read.parquet(s"$path/postings")
+    val pruned =
+      if (toks.length <= isinPushCap) post.filter(col("token").isin(toks.toIndexedSeq: _*))
+      else post.join(
+        broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(toks.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+          new org.apache.spark.sql.types.StructType()
+            .add("token", org.apache.spark.sql.types.StringType, nullable = false))),
+        Seq("token"), "left_semi")
+    pruned.createOrReplaceTempView("bm25_idx_post")
     spark.read.parquet(s"$path/doclen").createOrReplaceTempView("bm25_idx_dl")
     spark.sql(bm25Sql(qtRel, k, postRel = "bm25_idx_post",
-      dlRel = "SELECT doc_id, dl FROM bm25_idx_dl"))
+      dlRel = "SELECT doc_id, dl FROM bm25_idx_dl", excludeSelf = excludeSelf))
   }
 
-  /** Census key: write the index, probe it with the census query set —
-    * must equal `ta_bm25` row for row (same oracle). */
+  /** Census key: write the (bigram) index, probe it with the census query
+    * set — must equal `ta_bm25_bigram` row for row (same oracle). */
   def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.Engine.scratchDir("graft_bm25_idx_") + "/index"
     writeBm25Index(spark, dir, idx)
     docs(spark, dir)
     probeBm25Index(spark, idx, spark.sql(
-      s"SELECT doc_id AS query_id, text FROM documents WHERE doc_id < $bm25NQueries"))
+      s"SELECT doc_id AS query_id, text FROM documents WHERE doc_id < $bm25NQueries"),
+      excludeSelf = true)
   }
 
   val bm25IndexedDef: QueryDef =
-    QueryDef.sqlBacked("ta_bm25_indexed", bm25Oracle)(bm25Indexed(_, _))
+    QueryDef.sqlBacked("ta_bm25_indexed", bm25BigramOracle)(bm25Indexed(_, _))
 
   /** Census key: build the index on the 90% slice, APPEND the remaining
     * 10% as a later batch, probe the grown index — must equal the
-    * one-shot full-corpus ranking (same oracle as `ta_bm25`). */
+    * one-shot full-corpus ranking (same oracle as `ta_bm25_bigram`). */
   def bm25Appended(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.Engine.scratchDir("graft_bm25_app_") + "/index"
     docs(spark, dir)
@@ -1033,14 +1158,15 @@ object TextAnalysis {
       .createOrReplaceTempView("bm25_delta")
     writeBm25Slice(spark, "bm25_delta", idx, "append")
     probeBm25Index(spark, idx, spark.sql(
-      s"SELECT doc_id AS query_id, text FROM documents WHERE doc_id < $bm25NQueries"))
+      s"SELECT doc_id AS query_id, text FROM documents WHERE doc_id < $bm25NQueries"),
+      excludeSelf = true)
   }
 
   val bm25AppendDef: QueryDef =
-    QueryDef.sqlBacked("ta_bm25_append", bm25Oracle)(bm25Appended(_, _))
+    QueryDef.sqlBacked("ta_bm25_append", bm25BigramOracle)(bm25Appended(_, _))
 
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, winnow, vocab, tfidf,
       repetition, pii, boilerplate, heavyHitters, bpePairs, bpeMergesDef,
-      bpeEncodeDef, bm25Def, bm25IndexedDef, bm25AppendDef)
+      bpeEncodeDef, bm25Def, bm25BigramDef, bm25IndexedDef, bm25AppendDef)
 }

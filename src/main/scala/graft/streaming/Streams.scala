@@ -255,11 +255,12 @@ object Streams {
     * body as the `ta_bm25` census key (one formula source — see
     * [[graft.queries.TextAnalysis.searchBm25]]), so stream ≡ batch is
     * pinned exactly in BM25Spec. */
-  def bm25Probe(queries: DataFrame, corpusDir: String, k: Int = 10)(
+  def bm25Probe(queries: DataFrame, corpusDir: String, k: Int = 10,
+      excludeSelf: Boolean = false)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(graft.queries.TextAnalysis.searchBm25(batch, corpusDir, k))
+        sink(graft.queries.TextAnalysis.searchBm25(batch, corpusDir, k, excludeSelf))
       }
       .start()
 

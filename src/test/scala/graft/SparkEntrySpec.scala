@@ -35,4 +35,20 @@ class SparkEntrySpec extends AnyFunSuite {
   test("flagship entry returns rows on the smoke SF") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("emptiness contracts are exactly the documented allowlist") {
+    // The vacuous-key guard (VERDICT r12 #1): a census key whose oracle
+    // returns 0 rows proves only that both engines agree nothing
+    // happened — twice now a green key turned out vacuous
+    // (dedup_embedding_cosine_w in r11, ta_bm25* in r12). Verify warns
+    // on any 0-row result outside this set; growing the set requires
+    // editing THIS pin with the documented reason:
+    //   op_except_empty    — customer ⊆ supplier nationkeys (containment)
+    //   op_join_anti_empty — every customer has an order (full coverage)
+    //   ta_bm25            — unigram idf zeroes on the stopword-dense
+    //                        driver corpus (the suppression clause);
+    //                        non-vacuous rankings live in ta_bm25_bigram
+    assert(SparkEntry.emptinessContracts ==
+      Set("op_except_empty", "op_join_anti_empty", "ta_bm25"))
+  }
 }
