@@ -1388,11 +1388,17 @@ object Similarity {
   def writeIvfSq8Index(spark: SparkSession, dir: String, indexPath: String,
       mode: String = "overwrite"): Unit = {
     emb(spark, dir)
+    // `pv` (the 16-d JL projection, VERDICT r12 #6) rides in the same
+    // index: parquet column pruning keeps it out of the plain SQ8 probe's
+    // scan, and [[probeRprojSq8Index]]'s first stage reads ONLY
+    // (cand_id, pv) within its probed cells — one index write serves
+    // both probe strategies.
     spark.sql(
       s"""SELECT vec_id AS cand_id, v AS cv, maxabs / 127.0 AS cscale,
          |  transform(v, x -> CAST(greatest(CAST(-127 AS BIGINT),
          |    least(CAST(127 AS BIGINT),
          |      CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))) AS TINYINT)) AS cq,
+         |  rproj_i64(v, $rprojSignsSql) AS pv,
          |  argmax_dot(v, $centroidMatrixSql) AS cell
          |FROM (
          |  SELECT vec_id, v, array_max(transform(v, x -> abs(x))) AS maxabs
@@ -1470,6 +1476,176 @@ object Similarity {
   val ivfSq8Indexed: QueryDef =
     QueryDef.sqlBacked("ann_ivf_sq8_idx", ivfSq8Oracle)(ivfSq8IndexedTopK(_, _))
 
+  // --- JL ∘ SQ8: the composed two-stage index probe (VERDICT r12 #6) ------
+  // The 16-d projected scan in front of the stored-SQ8 cell probe, done
+  // literally instead of as two parallel demonstrations. Within the
+  // probed cells, stage 1 ranks candidates by the INTEGER projected dot
+  // (the scan touches only the cand_id + pv columns — the per-candidate
+  // arithmetic drops from 64 int8 MACs + two float scales to 16 long
+  // MACs, and the float and code columns never enter the scan); only the
+  // `shortlist` survivors per query fetch their stored int8 codes for
+  // SQ8 scoring (stage 2, broadcast join — rerank-bounded work); only
+  // the top `rerank` of THOSE fetch float vectors for the exact re-rank
+  // (stage 3). Every stage is deterministic (integer stage-1 scores,
+  // single-IEEE-multiply stage-2 scores, pinned-fold stage-3 dots, all
+  // tie-broken on cand_id), so the full three-stage pipeline is
+  // hash-replayable in DuckDB.
+  def probeRprojSq8Index(spark: SparkSession, dir: String, indexPath: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4,
+      shortlist: Int = 200, rerank: Int = 50): DataFrame = {
+    emb(spark, dir)
+    spark.read.parquet(indexPath).createOrReplaceTempView("sq8_index")
+    spark.sql(
+      s"""WITH cent AS ($centroidSql),
+         |qz AS (
+         |  SELECT vec_id, v, maxabs / 127.0 AS scale,
+         |    transform(v, x -> greatest(CAST(-127 AS BIGINT),
+         |      least(CAST(127 AS BIGINT),
+         |        CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)))) AS q8,
+         |    rproj_i64(v, $rprojSignsSql) AS qpv
+         |  FROM (
+         |    SELECT vec_id, v, array_max(transform(v, x -> abs(x))) AS maxabs
+         |    FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |          FROM embeddings WHERE vec_id < $nQueries))
+         |  WHERE maxabs > 0
+         |),
+         |probes AS (
+         |  SELECT query_id, qpv, cid AS cell FROM (
+         |    SELECT q.vec_id AS query_id, q.qpv, cent.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        dot_product(q.v, cent.cv) DESC, cent.cid) AS pr
+         |    FROM qz q CROSS JOIN cent) t
+         |  WHERE pr <= $nProbe
+         |),
+         |s1 AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY dot_i64(p.qpv, c.pv) DESC, c.cand_id) AS rn
+         |    FROM probes p JOIN sq8_index c
+         |      ON p.cell = c.cell AND p.query_id <> c.cand_id) t
+         |  WHERE rn <= $shortlist
+         |),
+         |s2 AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ascore DESC, cand_id) AS arnk
+         |    FROM (
+         |      SELECT /*+ BROADCAST(sl) */ sl.query_id, sl.cand_id,
+         |        CAST(aggregate(zip_with(q.q8, c.cq, (x, y) -> x * CAST(y AS BIGINT)),
+         |          0L, (acc, pr) -> acc + pr) AS DOUBLE) * q.scale * c.cscale AS ascore
+         |      FROM s1 sl JOIN qz q ON sl.query_id = q.vec_id
+         |                 JOIN sq8_index c ON sl.cand_id = c.cand_id) raw) t
+         |  WHERE arnk <= $rerank
+         |)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT /*+ BROADCAST(s) */ s.query_id, s.cand_id,
+         |    dot_product(q.v, f.cv) AS score,
+         |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+         |      dot_product(q.v, f.cv) DESC, s.cand_id) AS rnk
+         |  FROM s2 s
+         |  JOIN qz q ON s.query_id = q.vec_id
+         |  JOIN sq8_index f ON s.cand_id = f.cand_id) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  /** Self-contained census composition: one index write, the composed
+    * JL→SQ8→float probe. */
+  def rprojSq8TopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4,
+      shortlist: Int = 200, rerank: Int = 50): DataFrame = {
+    val idx = Engine.scratchDir("graft_rproj_sq8_") + "/index"
+    writeIvfSq8Index(spark, dir, idx)
+    probeRprojSq8Index(spark, dir, idx, nQueries, k, nProbe, shortlist, rerank)
+  }
+
+  private val rprojSq8Oracle =
+    s"""WITH cent AS ($centroidDuck),
+       |e AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings)
+       |),
+       |qz AS (
+       |  SELECT vec_id, v, maxabs / 127.0 AS scale,
+       |    list_transform(v, x -> greatest(CAST(-127 AS BIGINT),
+       |      least(CAST(127 AS BIGINT),
+       |        CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)))) AS q8
+       |  FROM e WHERE maxabs > 0
+       |),
+       |qq AS (
+       |  SELECT vec_id, j, CAST(floor(v[j + 1] * 1048576.0 + 0.5) AS BIGINT) AS qv
+       |  FROM qz CROSS JOIN range(0, 64) t(j)),
+       |sgn AS (${rprojSignsDuck()}),
+       |prj AS (
+       |  SELECT vec_id, k, CAST(sum(sgn * qv) AS BIGINT) AS p
+       |  FROM qq JOIN sgn ON qq.j = sgn.j
+       |  GROUP BY vec_id, k),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT qz.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY qz.vec_id ORDER BY
+       |        ${Dedup.dotDuckSql("qz.v", "cent.cv")} DESC, cent.cid) AS rn
+       |    FROM qz CROSS JOIN cent) t
+       |  WHERE rn = 1
+       |),
+       |corpus AS (
+       |  SELECT qz.vec_id AS cand_id, qz.v AS cv, qz.scale AS cscale,
+       |    qz.q8 AS cq, a.cell
+       |  FROM qz JOIN assign a ON qz.vec_id = a.vec_id
+       |),
+       |probes AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT q.vec_id AS query_id, cent.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${Dedup.dotDuckSql("q.v", "cent.cv")} DESC, cent.cid) AS pr
+       |    FROM (SELECT * FROM qz WHERE vec_id < 8) q CROSS JOIN cent) t
+       |  WHERE pr <= 4
+       |),
+       |s1 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY iscore DESC, cand_id) AS rn
+       |    FROM (
+       |      SELECT pb.query_id, c.cand_id, CAST(sum(qp.p * cp.p) AS BIGINT) AS iscore
+       |      FROM probes pb
+       |      JOIN corpus c ON pb.cell = c.cell AND pb.query_id <> c.cand_id
+       |      JOIN prj qp ON qp.vec_id = pb.query_id
+       |      JOIN prj cp ON cp.vec_id = c.cand_id AND cp.k = qp.k
+       |      GROUP BY pb.query_id, c.cand_id) g) t
+       |  WHERE rn <= 200
+       |),
+       |s2 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ascore DESC, cand_id) AS arnk
+       |    FROM (
+       |      SELECT sl.query_id, sl.cand_id,
+       |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(1, len(q.q8) + 1), i -> q.q8[i] * c.cq[i])),
+       |          (x, y) -> x + y) AS DOUBLE) * q.scale * c.cscale AS ascore
+       |      FROM s1 sl JOIN qz q ON sl.query_id = q.vec_id
+       |                 JOIN corpus c ON sl.cand_id = c.cand_id) raw) t
+       |  WHERE arnk <= 50
+       |)
+       |SELECT query_id, cand_id, score, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT s.query_id, s.cand_id,
+       |    ${Dedup.dotDuckSql("q.v", "f.cv")} AS score,
+       |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |      ${Dedup.dotDuckSql("q.v", "f.cv")} DESC, s.cand_id) AS rnk
+       |  FROM s2 s
+       |  JOIN qz q ON s.query_id = q.vec_id
+       |  JOIN corpus f ON s.cand_id = f.cand_id) t
+       |WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  val rprojSq8: QueryDef =
+    QueryDef.sqlBacked("ann_rproj_sq8", rprojSq8Oracle)(rprojSq8TopK(_, _))
+
   /** Bench-only corpus-sized-C training (same √N rule as semanticDedup's
     * [[semanticC]]): C is a MODEL-SIZE knob — cost is O(N·C·d) per round
     * through the broadcast projection, so the honest big-tier number
@@ -1499,7 +1675,11 @@ object Similarity {
   // the DuckDB oracle all re-derive it bit for bit, and it ships as a
   // plan-time foldable literal (16×64 ints), so the projection runs as a
   // pure projection inside the scan's codegen span — no join, no shuffle.
-  private[graft] val rprojOutDims = 16
+  // a def, not a val: eagerly-initialized oracle strings EARLIER in this
+  // object (rprojSq8Oracle) render sign matrices through it — a val would
+  // still be 0 when they initialize (declaration order), silently
+  // emitting `range(0, 0)` sign CTEs
+  private[graft] def rprojOutDims = 16
 
   /** ±1 sign matrix: sign(k,j) = +1 iff portableHash60("rp_k_j") is even. */
   def rprojSigns(out: Int = rprojOutDims, dims: Int = 64): Array[Array[Int]] = {
@@ -1691,5 +1871,5 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, ivfAppend,
       quantized, semantic, recall, kmeans, ivfTrained, hybrid, ivfSq8,
-      ivfSq8Indexed, rprojDef, rprojTopKDef, rprojRerankDef)
+      ivfSq8Indexed, rprojDef, rprojTopKDef, rprojRerankDef, rprojSq8)
 }

@@ -103,6 +103,42 @@ class AnnIndexSpec extends AnyFunSuite {
       "no re-rank index scan reading only the float column:\n" + indexScans.mkString("\n"))
   }
 
+  test("JL∘SQ8 composed probe: saturated shortlist equals the SQ8 probe; stages prune columns") {
+    // Two contracts of ann_rproj_sq8 (VERDICT r12 #6):
+    //  1. With shortlist ≥ every probed candidate, stage 1 filters
+    //     nothing, so the composed pipeline must reproduce the plain
+    //     stored-code SQ8 probe row for row — the JL stage is a pure
+    //     admission filter, never a re-scorer.
+    //  2. Each stage reads only its own columns from the ONE shared
+    //     index: stage 1 the projected vectors (pv, no cq/cv), stage 2
+    //     the int8 codes (cq, no cv), stage 3 the floats (cv only) —
+    //     the bandwidth story is in the read schemas.
+    val idx = Engine.scratchDir("graft_rproj_sq8_plan_") + "/index"
+    queries.Similarity.writeIvfSq8Index(spark, dir, idx)
+    val composed = queries.Similarity.probeRprojSq8Index(spark, dir, idx,
+      shortlist = 1000) // > 500 corpus vectors: saturated
+    val plain = queries.Similarity.probeIvfSq8Index(spark, dir, idx)
+    val got = composed.collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == plain.collect().map(_.toString).toSeq,
+      "saturated-shortlist composed probe diverged from the SQ8 probe")
+    // an executed AQE plan prints Final + Initial sections — scan lines
+    // would double-count, so inspect the final section only
+    val full = composed.queryExecution.executedPlan.toString
+    val physical = full.split("== Initial Plan ==")(0)
+    assert(full.contains("dynamicpruningexpression(cell"),
+      "composed probe lost dynamic partition pruning:\n" + full)
+    val indexScans = physical.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("graft_rproj_sq8_plan_"))
+      .toSeq
+    assert(indexScans.size == 3, s"expected JL + code + float index scans:\n$physical")
+    assert(indexScans.exists(l => l.contains("pv") && !l.contains("cq") && !l.contains("cv#")),
+      "no projected-only (pv) stage-1 scan:\n" + indexScans.mkString("\n"))
+    assert(indexScans.exists(l => l.contains("cq") && !l.contains("cv#") && !l.contains("pv")),
+      "no code-only stage-2 scan:\n" + indexScans.mkString("\n"))
+    assert(indexScans.exists(l => l.contains("cv#") && !l.contains("cq") && !l.contains("pv")),
+      "no float-only stage-3 scan:\n" + indexScans.mkString("\n"))
+  }
+
   test("recall@10 floor at the default probe width; exhaustive probe is exact") {
     // The tuning loop's committed quality bar (VERDICT r9 #4): the default
     // nProbe=4 of 16 cells must keep recall@10 at or above its measured
