@@ -963,26 +963,36 @@ object TextStats {
   *
   * Bounds: |x| ≤ 1 (L2-normalized input) ⇒ |q_j| ≤ 2^20, |p_k| ≤ 64·2^20
   * = 2^26, and a projected dot product ≤ 16·2^52 = 2^56 — no overflow.
+  *
+  * Null domain (ADVICE r12): the function is registered publicly, so a
+  * NULL vector element must not silently read as 0 through the primitive
+  * slot — a vector containing any null element projects to NULL (the
+  * scan loop below), and a sign matrix with nullable elements is
+  * rejected at analysis time (ours are int literals, containsNull=false
+  * by construction).
   */
 case class RProjI64(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types.{DoubleType, IntegerType}
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "rproj_i64"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(ArrayType(IntegerType, _), _)) =>
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(IntegerType, false), false)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"rproj_i64 needs (array<double>, array<array<int>>), got $other")
+          s"rproj_i64 needs (array<double>, array<array<int>> with non-null elements), got $other")
     }
 
   override def nullSafeEval(v: Any, sm: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
     val signs = sm.asInstanceOf[ArrayData]
     val n = vec.numElements()
+    var i = 0
+    while (i < n) { if (vec.isNullAt(i)) return null; i += 1 }
     val q = new Array[Long](n)
     var j = 0
     while (j < n) { q(j) = math.floor(vec.getDouble(j) * 1048576.0 + 0.5).toLong; j += 1 }
@@ -1005,23 +1015,31 @@ case class RProjI64(left: Expression, right: Expression)
       val q = ctx.freshName("q"); val out = ctx.freshName("out")
       val j = ctx.freshName("j"); val k = ctx.freshName("k")
       val s = ctx.freshName("s"); val m = ctx.freshName("m")
-      val row = ctx.freshName("row")
+      val row = ctx.freshName("row"); val hasNull = ctx.freshName("hasNull")
       s"""
-         |long[] $q = new long[$v.numElements()];
-         |for (int $j = 0; $j < $q.length; $j++) {
-         |  $q[$j] = (long) Math.floor($v.getDouble($j) * 1048576.0 + 0.5);
+         |boolean $hasNull = false;
+         |for (int $j = 0; $j < $v.numElements(); $j++) {
+         |  if ($v.isNullAt($j)) { $hasNull = true; break; }
          |}
-         |long[] $out = new long[$sm.numElements()];
-         |for (int $k = 0; $k < $out.length; $k++) {
-         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $sm.getArray($k);
-         |  long $s = 0L;
-         |  int $m = Math.min($q.length, $row.numElements());
-         |  for (int $j = 0; $j < $m; $j++) {
-         |    $s += $row.getInt($j) * $q[$j];
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $q = new long[$v.numElements()];
+         |  for (int $j = 0; $j < $q.length; $j++) {
+         |    $q[$j] = (long) Math.floor($v.getDouble($j) * 1048576.0 + 0.5);
          |  }
-         |  $out[$k] = $s;
+         |  long[] $out = new long[$sm.numElements()];
+         |  for (int $k = 0; $k < $out.length; $k++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $row = $sm.getArray($k);
+         |    long $s = 0L;
+         |    int $m = Math.min($q.length, $row.numElements());
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      $s += $row.getInt($j) * $q[$j];
+         |    }
+         |    $out[$k] = $s;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
 
@@ -1037,6 +1055,7 @@ case class RProjI64(left: Expression, right: Expression)
 case class DotI64(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_i64"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -1048,13 +1067,20 @@ case class DotI64(left: Expression, right: Expression)
           s"dot_i64 needs (array<bigint>, array<bigint>), got $other")
     }
 
+  // ADVICE r12: publicly-registered — a null element must not read as 0
+  // through the primitive slot; any null element in the overlapped span
+  // makes the product NULL (rproj_i64 outputs are containsNull=false, so
+  // the guard never fires on the repo's own call sites)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i); i += 1
+    }
     s
   }
 
@@ -1065,9 +1091,10 @@ case class DotI64(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 
@@ -1088,6 +1115,7 @@ case class NotInSorted64(child: Expression,
     bc: org.apache.spark.broadcast.Broadcast[Array[Long]])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "not_in_sorted64"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -1099,6 +1127,8 @@ case class NotInSorted64(child: Expression,
           s"not_in_sorted64 needs array<bigint>, got $other")
     }
 
+  // ADVICE r12: a null element must not read as 0 through the primitive
+  // slot (0 is a legal shingle hash) — an array containing one is NULL
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val sorted = bc.value
@@ -1107,6 +1137,7 @@ case class NotInSorted64(child: Expression,
     var k = 0
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val x = arr.getLong(i)
       if (java.util.Arrays.binarySearch(sorted, x) < 0) { out(k) = x; k += 1 }
       i += 1
@@ -1127,11 +1158,14 @@ case class NotInSorted64(child: Expression,
          |long[] $out = new long[$v.numElements()];
          |int $k = 0;
          |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  long $x = $v.getLong($i);
          |  if (java.util.Arrays.binarySearch($sorted, $x) < 0) { $out[$k++] = $x; }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
-         |  java.util.Arrays.copyOf($out, $k));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |    java.util.Arrays.copyOf($out, $k));
+         |}
        """.stripMargin
     })
   }

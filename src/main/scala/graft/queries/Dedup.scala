@@ -785,13 +785,28 @@ object Dedup {
       s"""SELECT sid FROM (
          |  SELECT explode(hshingles) AS sid FROM dedup_sh$repFilter)
          |GROUP BY sid HAVING count(*) > $maxDf""".stripMargin))
+    // registered for plan inspection: PlanContractSpec pins this df
+    // aggregate as the build's ONE posting-level exchange (the exact-df
+    // contract's irreducible cost — SCALE.md "structural toll")
+    common.createOrReplaceTempView(s"${key}_common")
     // Zipf-head-sized (see the structural bound above) — the same rows
     // the broadcast anti-join spelling shipped to every executor, now
     // collected once and probed per element by the codegen kernel.
+    // Hygiene (ADVICE r12): entries of stopped sessions are evicted
+    // (mirrors Engine.evictStopped — a stopped session's broadcasts are
+    // dead weight), and a superseded head's broadcast is unpersisted
+    // when the corpus changes under the same key, so executor-side
+    // blocks don't accumulate across corpus swaps in a long session
+    // (unpersist, not destroy: a stale cached plan that still references
+    // the old object can lazily re-broadcast it).
+    commonHeads.keySet.removeIf(_._1.sparkContext.isStopped)
     val head = common.collect().map(_.getLong(0)).sorted
     val bc = commonHeads.compute((spark, key), { (_, prev) =>
       if (prev != null && java.util.Arrays.equals(prev._1, head)) prev
-      else (head, spark.sparkContext.broadcast(head))
+      else {
+        if (prev != null) prev._2.unpersist(blocking = false)
+        (head, spark.sparkContext.broadcast(head))
+      }
     })._2
     // r12 second rebuild: the anti-join spelling computed the `rare` CTE
     // twice (Catalyst re-plans multi-referenced CTEs — r side and the

@@ -379,4 +379,32 @@ class PlanContractSpec extends AnyFunSuite {
         s"a training exchange carries embedding vectors: $in")
     }
   }
+
+  test("ngram rare-index build: the df head is the ONE posting exchange; the index itself is exchange-free") {
+    // The exact-df structural toll, pinned as a plan (VERDICT r12 #5):
+    // dedup_ngram_jaccard's contract is per-copy doc frequency, so ONE
+    // posting-level exchange — the df aggregate on the 8-byte shingle
+    // key, map-side partial-agg'd — is irreducible. Everything AROUND it
+    // must stay gone: the rare index builds as pure scan projections
+    // (the not_in_sorted64 broadcast-head kernel), no window sort, no
+    // posting re-shuffle. Cached-plan strings embed the build plans.
+    queries.Dedup.ngramJaccardPairs(spark, sf).collect()
+    // cached-plan strings embed the NESTED dedup_sh cache build (whose
+    // document-level fingerprint exchange is a different relation's
+    // cost) — assert on the slice ABOVE the cache boundary only
+    def aboveCache(p: String): String = p.split("TableCacheQueryStage")(0)
+    val rinv = aboveCache(
+      spark.table("ngram_rinv").queryExecution.executedPlan.toString)
+    assert(rinv.contains("not_in_sorted64"),
+      "rare subset no longer computed by the scan kernel:\n" + rinv)
+    assert(!rinv.contains("Exchange") && !rinv.contains("Sort ["),
+      "the rare-index build regained a posting-level exchange/sort:\n" + rinv)
+    val head = aboveCache(
+      spark.table("ngram_rinv_common").queryExecution.executedPlan.toString)
+    assert(head.contains("partial_count"),
+      "df head lost its map-side partial aggregation:\n" + head)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(head).size
+    assert(exchanges == 1,
+      s"df head build must shuffle exactly once (keyed on sid), saw $exchanges:\n" + head)
+  }
 }

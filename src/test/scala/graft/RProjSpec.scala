@@ -82,6 +82,40 @@ class RProjSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2 * 10 + 3 * 100)
   }
 
+  test("null array elements propagate to NULL — never a silent 0 (ADVICE r12)") {
+    // rproj_i64: a vector with a null component projects to NULL
+    val p = spark.sql(
+      s"""SELECT rproj_i64(array(CAST(0.5 AS DOUBLE), CAST(NULL AS DOUBLE)),
+         |  ${Similarity.rprojSignsSql}) AS p""".stripMargin).collect().head
+    assert(p.isNullAt(0), "rproj_i64 over a null element must be NULL")
+    // dot_i64: null element inside the overlapped span → NULL; a null
+    // beyond the shorter array's length is never read (truncation rule)
+    val d = spark.sql(
+      """SELECT
+        |  dot_i64(array(2L, CAST(NULL AS BIGINT)), array(10L, 100L)) AS nullin,
+        |  dot_i64(array(2L, 3L), array(10L, 100L, CAST(NULL AS BIGINT))) AS beyond""".stripMargin)
+      .collect().head
+    assert(d.isNullAt(0), "dot_i64 over a null element must be NULL")
+    assert(d.getLong(1) == 2 * 10 + 3 * 100)
+    // interpreted eval agrees with codegen on the null path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val expr = graft.functions.RProjI64(
+      Literal(new GenericArrayData(Array[Any](0.5, null)), ArrayType(DoubleType)),
+      Literal(new GenericArrayData(Similarity.rprojSigns()
+        .map(r => new GenericArrayData(r.map(x => x: Any)))),
+        ArrayType(ArrayType(IntegerType))))
+    assert(expr.eval(null) == null)
+    // the signs side must carry non-null elements at analysis time
+    val err = intercept[Exception] {
+      spark.sql(
+        """SELECT rproj_i64(array(CAST(0.5 AS DOUBLE)),
+          |  array(array(CAST(NULL AS INT)))) AS p""".stripMargin).collect()
+    }
+    assert(err.getMessage.contains("rproj_i64"))
+  }
+
   test("projection runs with no Exchange; projected top-k keeps recall vs exact") {
     val dir = "/root/testdata/sf0.001"
     graft.Engine.table(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
