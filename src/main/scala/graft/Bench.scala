@@ -167,6 +167,47 @@ object Bench {
     }
   }
 
+  // BM25 split cells (VERDICT r12 #4): ta_bm25_indexed's in-cell number
+  // rebuilds the stored posting index inside every invocation, so it
+  // prices "append ≡ one-shot", never serving. These two cells commit
+  // the serving economics RetrievalDev's numbers only narrated: the
+  // index write is paid ONCE (`ta_bm25_write`), then the steady-state
+  // probe (`ta_bm25_probe`, best-of-2) serves the 8-query batch from
+  // storage with the in-session posting cache dropped — the token-pushed
+  // sorted-parquet read + broadcast probe join and nothing else. The
+  // query batch is materialized as a local 8-row DataFrame OUTSIDE the
+  // timed region (ADVICE r12: probing through the corpus temp view
+  // re-tokenized the query side inside every timed pass).
+  private def bm25SplitTimes(s: SparkSession, dir: String): (Option[Double], Option[Double]) = {
+    try {
+      val idx = Engine.scratchDir("graft_bench_bm25_") + "/index"
+      val t0 = System.nanoTime()
+      queries.TextAnalysis.writeBm25Index(s, dir, idx)
+      val w = (System.nanoTime() - t0) / 1e9
+      val qRows = Engine.table(s, dir, "documents")
+        .filter("doc_id < 8").selectExpr("doc_id AS query_id", "text").collect()
+      val q = s.createDataFrame(
+        s.sparkContext.parallelize(qRows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      Engine.clearSwapCaches(s) // cold start: storage is the only index
+      System.gc()
+      def once(): Double = {
+        val p0 = System.nanoTime()
+        queries.TextAnalysis.probeBm25Index(s, idx, q, excludeSelf = true)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - p0) / 1e9
+      }
+      (Some(w), Some(math.min(once(), once())))
+    } catch { case e: Throwable =>
+      recordError(QueryDef.rowsOnly("ta_bm25_probe")((_, _) => null), dir, e)
+      (None, None)
+    }
+  }
+
   /** One (tier × core-count) measurement cell in its own session: warm
     * codegen on sf0.001, calibrate, time each query, stop the session.
     * Returns the per-set timings, the cell's calibration constant, and
@@ -228,7 +269,12 @@ object Bench {
           cellcal += ("ann_ivf_probe" -> Some(calibrate(s)))
           val sq8p = "ann_sq8_probe" -> sq8ProbeTime(s, dir)
           cellcal += ("ann_sq8_probe" -> Some(calibrate(s)))
-          timed.init :+ (timed.last :+ probe :+ sq8p)
+          val (bmW, bmP) = bm25SplitTimes(s, dir)
+          val bmCal = Some(calibrate(s))
+          cellcal += ("ta_bm25_write" -> bmCal)
+          cellcal += ("ta_bm25_probe" -> bmCal)
+          timed.init :+ (timed.last :+ probe :+ sq8p :+
+            ("ta_bm25_write" -> bmW) :+ ("ta_bm25_probe" -> bmP))
         } else timed
       (withP, cal, cellcal.result())
     } finally s.stop()
@@ -349,7 +395,8 @@ object Bench {
       queries.Dedup.keepBest, queries.Dedup.spanExact, queries.Curate.srcCapQ,
       queries.Similarity.ivfFiltered, queries.Similarity.kmeans,
       queries.Similarity.hybrid, queries.Similarity.ivfSq8,
-      queries.TextAnalysis.bm25Def, queries.Similarity.rprojRerankDef)
+      queries.TextAnalysis.bm25Def, queries.TextAnalysis.bm25BigramDef,
+      queries.Similarity.rprojRerankDef)
     // gapfill is benched as its LIBRARY surface (evt_gapfill_series —
     // no global ORDER BY); the total order exists for the oracle compare
     // only and was the sf10 cell's dominant cost (VERDICT r9 #3).
@@ -362,7 +409,7 @@ object Bench {
       queries.Dedup.clusters, queries.Dedup.embeddingCosineWide,
       queries.Dedup.spanExact,
       queries.TextAnalysis.tfidf, queries.TextAnalysis.bpeMergesDef,
-      queries.TextAnalysis.bm25Def,
+      queries.TextAnalysis.bm25Def, queries.TextAnalysis.bm25BigramDef,
       queries.Events.gapfillSeriesDef, queries.Similarity.ivfC256,
       queries.Similarity.kmeansScaled, queries.Similarity.rprojRerankDef)
     // sf10 docs is where banding/explode become compute-bound (at sf1 the
@@ -387,8 +434,11 @@ object Bench {
            queries.TextAnalysis.bpeMergesDef,
            // integer-exact BM25: the posting aggregate is the corpus
            // pass; the probe join is proportional to the query tokens'
-           // postings, so sf1 → sf10 measures the inverted-index build
-           queries.TextAnalysis.bm25Def,
+           // postings, so sf1 → sf10 measures the inverted-index build.
+           // The bigram twin's posting relation is ~2× the unigram one
+           // and its probe fans out real candidates (the non-vacuous
+           // ranking) — both cost shapes get committed numbers.
+           queries.TextAnalysis.bm25Def, queries.TextAnalysis.bm25BigramDef,
            queries.Curate.curate, queries.Curate.decontam) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "embeddings"))
          // the WIDE configuration: the 4×4-band default is Θ(N²/16) by
@@ -549,6 +599,39 @@ object Bench {
         emitTier("ivm_delta_refresh", extras("ivm_delta_refresh"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ivm delta refresh failed: $e")
+      } finally s.stop()
+    }
+
+    // Retract→retrieve economics (VERDICT r12 #3): the ivm_bm25 loop's
+    // phase costs at sf1 next to the one-shot recompute it replaces.
+    // `recompute` = full bigram BM25 from raw text (tokenize + aggregate
+    // + score — what a deletion forces without the maintained state);
+    // `init` = posting state built once; `refresh` = the retract delta
+    // merged into state (|state ∪ delta| rows, NO corpus re-tokenization);
+    // `probe` = BM25 served from the maintained state. refresh+probe ≪
+    // recompute is the committed claim. Same code path as the hash-green
+    // census key — the timer hook instruments it, nothing is re-spelled.
+    if (haveSf1) {
+      val s = Engine.build()
+      try {
+        var t0 = System.nanoTime()
+        queries.TextAnalysis.bm25Bigram(s, sf1Dir)
+          .write.format("noop").mode("overwrite").save()
+        val recompute = (System.nanoTime() - t0) / 1e9
+        Engine.clearSwapCaches(s) // the loop must not ride recompute's cache
+        System.gc()
+        val phases = scala.collection.mutable.Map.empty[String, Double]
+        val probe = queries.Ivm.bm25RetractRun(s, sf1Dir, (k, v) => phases(k) = v)
+        t0 = System.nanoTime()
+        probe.write.format("noop").mode("overwrite").save()
+        val probeSec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] ivm_bm25 sf1: recompute $recompute%.3fs, " +
+          f"init ${phases("init")}%.3fs, refresh ${phases("refresh")}%.3fs, probe $probeSec%.3fs")
+        extras("ivm_bm25_refresh_sf1") =
+          s"""{"recompute":${r3(recompute)},"init":${r3(phases("init"))},"refresh":${r3(phases("refresh"))},"probe":${r3(probeSec)}}"""
+        emitTier("ivm_bm25_refresh_sf1", extras("ivm_bm25_refresh_sf1"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ivm bm25 refresh failed: $e")
       } finally s.stop()
     }
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Engine, QueryDef}
 import graft.ivm.IncrementalAggView
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -416,19 +417,34 @@ object Ivm {
     * over `documents WHERE doc_id % 13 <> 0`; hash equality of the two
     * rankings is the whole claim. (Queries are the live docs < 8; doc 0
     * is itself deleted, so 7 queries survive — also pinned.) */
-  val bm25Retract: QueryDef = QueryDef.sqlBacked(
-    "ivm_bm25",
-    TextAnalysis.bm25OracleOver(
-      TextAnalysis.bigramDtDuck("(SELECT * FROM documents WHERE doc_id % 13 <> 0)"))
-  ) { (spark, dir) =>
+  /** The ivm_bm25 loop with a per-phase timer hook (identity by default
+    * — the census key IS this function; Bench passes a real timer so the
+    * committed `ivm_bm25_refresh_sf1` section times the same code the
+    * oracle gates, not a re-implementation). Phases: `init` = posting
+    * state built from the corpus (paid once, the corpus pass);
+    * `refresh` = the retract delta merged into state (|state ∪ delta|
+    * rows, no re-tokenization — the cost an edit actually pays). The
+    * returned probe plan is lazy; callers time its materialization. */
+  def bm25RetractRun(spark: SparkSession, dir: String,
+      timer: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      timer(label, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
     TextAnalysis.bigramPostings(spark, "documents")
     val dt = spark.table("btok_tf")
     val statePath = Engine.scratchDir("graft_ivm_bm25_")
     val view = new IncrementalAggView(spark, Seq("doc_id", "token"), Seq("tf"), statePath)
-    view.initialize(dt.select(col("doc_id"), col("token"), col("tf")))
-    view.applyDelta(dt.filter(col("doc_id") % 13 === 0)
-      .select(col("doc_id"), col("token"), col("tf"), lit(-1L).as(view.freqCol)))
+    timed("init") {
+      view.initialize(dt.select(col("doc_id"), col("token"), col("tf")))
+    }
+    timed("refresh") {
+      view.applyDelta(dt.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("token"), col("tf"), lit(-1L).as(view.freqCol)))
+    }
     view.current()
       .select(col("doc_id"), col("token"), col("sum_tf").cast(LongType).as("tf"))
       .createOrReplaceTempView("ivm_bm25_post")
@@ -437,6 +453,12 @@ object Ivm {
       10, postRel = "ivm_bm25_post",
       dlRel = "SELECT doc_id, sum(tf) AS dl FROM ivm_bm25_post GROUP BY doc_id"))
   }
+
+  val bm25Retract: QueryDef = QueryDef.sqlBacked(
+    "ivm_bm25",
+    TextAnalysis.bm25OracleOver(
+      TextAnalysis.bigramDtDuck("(SELECT * FROM documents WHERE doc_id % 13 <> 0)"))
+  )(bm25RetractRun(_, _))
 
   val all: Seq[QueryDef] =
     Seq(refresh, extrema, distinct, topk, join, pipeline, postings, bm25Retract)
