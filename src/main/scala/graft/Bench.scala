@@ -396,7 +396,8 @@ object Bench {
       queries.Similarity.ivfFiltered, queries.Similarity.kmeans,
       queries.Similarity.hybrid, queries.Similarity.ivfSq8,
       queries.TextAnalysis.bm25Def, queries.TextAnalysis.bm25BigramDef,
-      queries.Similarity.rprojRerankDef)
+      queries.Similarity.rprojRerankDef,
+      queries.Classify.classifyDef, queries.Classify.dsirDef)
     // gapfill is benched as its LIBRARY surface (evt_gapfill_series —
     // no global ORDER BY); the total order exists for the oracle compare
     // only and was the sf10 cell's dominant cost (VERDICT r9 #3).
@@ -411,7 +412,8 @@ object Bench {
       queries.TextAnalysis.tfidf, queries.TextAnalysis.bpeMergesDef,
       queries.TextAnalysis.bm25Def, queries.TextAnalysis.bm25BigramDef,
       queries.Events.gapfillSeriesDef, queries.Similarity.ivfC256,
-      queries.Similarity.kmeansScaled, queries.Similarity.rprojRerankDef)
+      queries.Similarity.kmeansScaled, queries.Similarity.rprojRerankDef,
+      queries.Classify.classifyDef, queries.Classify.dsirDef)
     // sf10 docs is where banding/explode become compute-bound (at sf1 the
     // doc pipelines are overhead-dominated); events/embeddings join the
     // tier when GenData has produced them (window + ANN shapes). The full
@@ -439,6 +441,11 @@ object Bench {
            // and its probe fans out real candidates (the non-vacuous
            // ranking) — both cost shapes get committed numbers.
            queries.TextAnalysis.bm25Def, queries.TextAnalysis.bm25BigramDef,
+           // trained-classifier scoring rides the same cached posting
+           // relation as BM25/LM: its own cost is the vocabulary-sized
+           // model broadcast + one per-doc roll-up — the sf1 → sf10 pair
+           // should track the posting-aggregate line, not add to it.
+           queries.Classify.classifyDef,
            queries.Curate.curate, queries.Curate.decontam) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "embeddings"))
          // the WIDE configuration: the 4×4-band default is Θ(N²/16) by

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytic, Curate, Dedup, Events, Functions, Ivm, Layout, Multimodal, Relational, Similarity, TextAnalysis, Tpch}
+import graft.queries.{Analytic, Classify, Curate, Dedup, Events, Functions, Ivm, Layout, Multimodal, Relational, Similarity, TextAnalysis, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     Tpch.all ++ Relational.all ++ Functions.all ++ Analytic.all ++
       Dedup.all ++ TextAnalysis.all ++ Similarity.all ++ Multimodal.all ++
-      Events.all ++ Ivm.all ++ Curate.all ++ Layout.all
+      Events.all ++ Ivm.all ++ Curate.all ++ Classify.all ++ Layout.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -31,9 +31,9 @@ object Dedup {
   /** 60-bit engine-portable hash of a string expression: the first 15 hex
     * chars of md5, read as an integer. Spark spells it with conv(); DuckDB
     * casts a 0x-prefixed literal. Identical values on both engines. */
-  private def portableHash60Spark(x: String): String =
+  private[queries] def portableHash60Spark(x: String): String =
     s"CAST(conv(substr(md5($x), 1, 15), 16, 10) AS BIGINT)"
-  private def portableHash60Duck(x: String): String =
+  private[queries] def portableHash60Duck(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
   /** Shared tokenization: whitespace split, empties dropped. The Spark

@@ -460,6 +460,68 @@ object Ivm {
       TextAnalysis.bigramDtDuck("(SELECT * FROM documents WHERE doc_id % 13 <> 0)"))
   )(bm25RetractRun(_, _))
 
+  /** Retractable CLASSIFIER statistics — the retract→retrieve loop
+    * (`ivm_bm25`) applied to the trained-model axis: the NB model is two
+    * retractable aggregates (per-(token, class) term counts + per-class
+    * document counts), so un-labeling / re-labeling documents is a freq
+    * delta, the refresh shuffles |vocabulary ∪ delta-partials| rows
+    * (never the corpus), and scoring from the maintained state provably
+    * equals one-shot training on the edited slice — which is exactly
+    * what the DuckDB oracle recomputes from scratch.
+    *
+    * Scenario: initialize from the labeled slice (the even docs);
+    * retract every doc_id % 13 = 0 labeled doc (a labeling-audit
+    * withdrawal); re-ingest the % 4 = 0 half of the retracted docs (the
+    * audit cleared them). Net slice:
+    * `doc_id % 2 = 0 AND (doc_id % 13 <> 0 OR doc_id % 4 = 0)`.
+    * Both the model view and the prior view step exactly; a (token, pos)
+    * cell whose last document leaves vanishes (full retraction), so the
+    * smoothed vocabulary size v shrinks with it — the oracle's from-
+    * scratch recompute only matches if retraction is exact in BOTH
+    * aggregates. */
+  private val nbEdit = " AND (doc_id % 13 <> 0 OR doc_id % 4 = 0)"
+
+  val nbRetract: QueryDef = QueryDef.sqlBacked(
+    "ivm_nb",
+    Classify.classifyOracleEdited(nbEdit)
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    TextAnalysis.tokenPostings(spark, "documents")
+    val trp = spark.sql(Classify.sparkTrainPostingsWithDoc())
+    val trd = spark.sql(Classify.sparkTrainDocs())
+    val retractP = trp.filter(col("doc_id") % 13 === 0)
+    val retractD = trd.filter(col("doc_id") % 13 === 0)
+
+    val model = new IncrementalAggView(spark, Seq("token", "pos"), Seq("tf"),
+      Engine.scratchDir("graft_ivm_nb_m_"))
+    model.initialize(trp.select(col("token"), col("pos"), col("tf")))
+    model.applyDelta(retractP.select(col("token"), col("pos"), col("tf"),
+      lit(-1L).as(model.freqCol)))
+    model.applyDelta(retractP.filter(col("doc_id") % 4 === 0)
+      .select(col("token"), col("pos"), col("tf"), lit(1L).as(model.freqCol)))
+    model.current()
+      .select(col("token"), col("pos"), col("sum_tf").cast(LongType).as("tf"))
+      .createOrReplaceTempView("ivm_nb_model")
+
+    val prior = new IncrementalAggView(spark, Seq("pos"), Seq.empty,
+      Engine.scratchDir("graft_ivm_nb_p_"))
+    prior.initialize(trd.select(col("pos")))
+    prior.applyDelta(retractD.select(col("pos"), lit(-1L).as(prior.freqCol)))
+    prior.applyDelta(retractD.filter(col("doc_id") % 4 === 0)
+      .select(col("pos"), lit(1L).as(prior.freqCol)))
+    prior.current()
+      .select(col("pos"), col("cnt").cast(LongType).as("cnt"))
+      .createOrReplaceTempView("ivm_nb_prior")
+
+    spark.sql(Classify.nbScoreSql(
+      "SELECT token, pos, tf FROM ivm_nb_model",
+      """SELECT sum(CASE WHEN pos = 1 THEN cnt ELSE 0 END) AS n1,
+        |       sum(CASE WHEN pos = 0 THEN cnt ELSE 0 END) AS n0
+        |FROM ivm_nb_prior""".stripMargin,
+      Classify.sparkScoreBody, Classify.flog2Spark))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(refresh, extrema, distinct, topk, join, pipeline, postings, bm25Retract)
+    Seq(refresh, extrema, distinct, topk, join, pipeline, postings, bm25Retract,
+      nbRetract)
 }

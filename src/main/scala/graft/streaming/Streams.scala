@@ -264,6 +264,23 @@ object Streams {
       }
       .start()
 
+  /** Streaming classifier serving: score each micro-batch of (doc_id,
+    * text) rows against the corpus-trained Naive Bayes statistics — the
+    * admission-filter shape (an ingest stream kept/dropped by the
+    * trained quality model before it ever lands). The model relations
+    * ride the swap-cached posting aggregate, so the FIRST batch trains
+    * and every later batch pays only its own tokenization plus a
+    * vocabulary-sized broadcast join — the same steady-state economics
+    * as [[bm25Probe]]. Stream ≡ batch pinned in ClassifySpec. */
+  def classifyProbe(docs: DataFrame, corpusDir: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.Classify.registerModel(batch.sparkSession, corpusDir)
+        sink(graft.queries.Classify.scoreBatch(batch))
+      }
+      .start()
+
   /** Stream → multiset-table ingestion: every micro-batch lands as ONE
     * O(|batch|) freq delta in the [[graft.sources.MultisetStore]] chain —
     * the streaming twin of the reference's TableInsert write path, wired

@@ -391,8 +391,13 @@ class PlanContractSpec extends AnyFunSuite {
     queries.Dedup.ngramJaccardPairs(spark, sf).collect()
     // cached-plan strings embed the NESTED dedup_sh cache build (whose
     // document-level fingerprint exchange is a different relation's
-    // cost) — assert on the slice ABOVE the cache boundary only
-    def aboveCache(p: String): String = p.split("TableCacheQueryStage")(0)
+    // cost) — assert on the slice ABOVE the cache boundary only. The
+    // boundary prints as TableCacheQueryStage when this test triggers
+    // the materialization, but as InMemoryRelation (build plan inlined)
+    // when an earlier suite already materialized the cache — truncate
+    // at whichever appears first.
+    def aboveCache(p: String): String =
+      p.split("TableCacheQueryStage|InMemoryRelation")(0)
     val rinv = aboveCache(
       spark.table("ngram_rinv").queryExecution.executedPlan.toString)
     assert(rinv.contains("not_in_sorted64"),
