@@ -69,15 +69,19 @@ object Classify {
   // the full vocabulary's class counts.
   private val trainPred = "doc_id % 2 = 0"
 
-  /** (doc_id, pos) of the labeled slice, derived from a posting relation
-    * (doc_id, token, tf). `edit` narrows the slice — `ivm_nb` uses it to
-    * state the net effect of its retraction deltas for the oracle. */
-  private[queries] def trainDocsOver(postRel: String, edit: String = ""): String =
+  /** (doc_id, pos) under the weak-supervision rule, over any doc subset. */
+  private def labelDocsOver(postRel: String, pred: String): String =
     s"""SELECT doc_id,
        |  CASE WHEN sum(CASE WHEN token = 'fast' THEN tf ELSE 0 END)
        |        > sum(CASE WHEN token = 'slow' THEN tf ELSE 0 END)
        |       THEN 1 ELSE 0 END AS pos
-       |FROM ($postRel) lp WHERE $trainPred$edit GROUP BY doc_id""".stripMargin
+       |FROM ($postRel) lp WHERE $pred GROUP BY doc_id""".stripMargin
+
+  /** (doc_id, pos) of the labeled slice, derived from a posting relation
+    * (doc_id, token, tf). `edit` narrows the slice — `ivm_nb` uses it to
+    * state the net effect of its retraction deltas for the oracle. */
+  private[queries] def trainDocsOver(postRel: String, edit: String = ""): String =
+    labelDocsOver(postRel, s"$trainPred$edit")
 
   /** The NB scoring body, one source of truth for the census key, the
     * serving path, and the IVM-refresh key (exactly the [[TextAnalysis.bm25Sql]]
@@ -191,6 +195,58 @@ object Classify {
 
   val classifyDef: QueryDef =
     QueryDef.sqlBacked("pipeline_classify", classifyOracle)(classify(_, _))
+
+  // --- ta_nb_pr: the classifier's operating curve ---------------------------
+  // Model selection needs the precision/recall sweep, and at corpus scale
+  // the textbook spelling (rank every document, cumulative sums down the
+  // global order) is a single-partition window over the corpus. This
+  // spelling is the scale-safe one: scores are binned to WHOLE flog2 BITS
+  // (bit_bin = floor(llr / 2^16) — a fixed, data-independent grid, so the
+  // curve's state is bin-count-sized: tens of rows at any corpus size),
+  // the per-bin (n, pos) aggregate rides the scoring roll-up, and the
+  // cumulative window runs over the bins only. Thresholding "keep every
+  // doc scoring above b bits" reads tp/fp/fn at that row; precision and
+  // recall are each ONE IEEE division of exact integers (bit-identical
+  // across engines). floor(x / 65536.0) rather than integer division
+  // because llr is signed and Spark div truncates where DuckDB // floors
+  // — the double division by 2^16 is exact for |llr| < 2^53, making
+  // floor() the one portable spelling.
+  private def nbPrSql(trBody: String, priBody: String, scoreBody: String,
+      truthBody: String, f: String => String): String =
+    s"""WITH sc AS (${nbScoreSql(trBody, priBody, scoreBody, f)}),
+       |lab AS ($truthBody),
+       |binned AS (
+       |  SELECT CAST(floor(sc.llr / 65536.0) AS BIGINT) AS bit_bin,
+       |    count(*) AS n, sum(lab.pos) AS pos
+       |  FROM sc JOIN lab ON sc.doc_id = lab.doc_id
+       |  GROUP BY CAST(floor(sc.llr / 65536.0) AS BIGINT))
+       |SELECT bit_bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+       |  CAST(tp AS BIGINT) AS tp,
+       |  CAST(cum_n - tp AS BIGINT) AS fp,
+       |  CAST(p_all - tp AS BIGINT) AS fn,
+       |  CAST(tp AS DOUBLE) / cum_n AS prec,
+       |  CAST(tp AS DOUBLE) / p_all AS rec
+       |FROM (
+       |  SELECT bit_bin, n, pos,
+       |    sum(n) OVER (ORDER BY bit_bin DESC) AS cum_n,
+       |    sum(pos) OVER (ORDER BY bit_bin DESC) AS tp,
+       |    sum(pos) OVER () AS p_all
+       |  FROM binned) c
+       |ORDER BY bit_bin DESC""".stripMargin
+
+  def nbPr(spark: SparkSession, dir: String): DataFrame = {
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    TextAnalysis.tokenPostings(spark, "documents")
+    spark.sql(nbPrSql(trOver(sparkPost), priOver(trainDocsOver(sparkPost)),
+      scoreOver(sparkPost), labelDocsOver(sparkPost, s"NOT ($trainPred)"),
+      flog2Spark))
+  }
+
+  private val nbPrOracle = nbPrSql(trOver(duckPost),
+    priOver(trainDocsOver(duckPost)), scoreOver(duckPost),
+    labelDocsOver(duckPost, s"NOT ($trainPred)"), flog2Duck)
+
+  val nbPrDef: QueryDef = QueryDef.sqlBacked("ta_nb_pr", nbPrOracle)(nbPr(_, _))
 
   // --- pipeline_dsir: hashed-n-gram importance resampling (DSIR) -----------
   // Xie et al. 2023: estimate target and raw token distributions on a
@@ -312,5 +368,5 @@ object Classify {
     s"""SELECT t.doc_id, t.token, d.pos, t.tf
        |FROM tok_tf t JOIN (${trainDocsOver(sparkPost, edit)}) d ON t.doc_id = d.doc_id""".stripMargin
 
-  val all: Seq[QueryDef] = Seq(nbTrain, classifyDef, dsirDef)
+  val all: Seq[QueryDef] = Seq(nbTrain, classifyDef, nbPrDef, dsirDef)
 }

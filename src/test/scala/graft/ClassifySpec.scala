@@ -159,6 +159,36 @@ class ClassifySpec extends AnyFunSuite {
     assert(served == census)
   }
 
+  test("ta_nb_pr: the binned operating curve equals a from-scratch fold of the scored corpus") {
+    Engine.table(spark, sf, "documents").createOrReplaceTempView("documents")
+    val truth = spark.sql(
+      """SELECT doc_id,
+        |  CASE WHEN size(filter(split(lower(text), ' '), x -> x = 'fast'))
+        |        > size(filter(split(lower(text), ' '), x -> x = 'slow'))
+        |       THEN 1L ELSE 0L END AS pos
+        |FROM documents WHERE doc_id % 2 <> 0""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scored = Classify.classify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // fold: bin to whole bits, cumulative from the top bin down
+    val bins = scored.groupBy { case (_, llr) => math.floor(llr / 65536.0).toLong }
+      .map { case (b, ds) => (b, ds.size.toLong, ds.map(d => truth(d._1)).sum) }
+      .toSeq.sortBy(-_._1)
+    val pAll = bins.map(_._3).sum
+    var (cumN, tp) = (0L, 0L)
+    val want = bins.map { case (b, n, pos) =>
+      cumN += n; tp += pos
+      (b, n, pos, tp, cumN - tp, pAll - tp, tp.toDouble / cumN, tp.toDouble / pAll)
+    }
+    val got = Classify.nbPr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got.size >= 3, "degenerate curve: fewer than 3 bins")
+    assert(got == want)
+    // the curve is a real trade-off: recall rises to 1, precision varies
+    assert(got.last._8 == 1.0 && got.map(_._7).distinct.size > 1)
+  }
+
   test("streaming probe equals batch serving, doc for doc") {
     val expected = {
       Classify.registerModel(spark, sf)
