@@ -167,6 +167,28 @@ object Bench {
     }
   }
 
+  // Three-stage twin of sq8ProbeTime (VERDICT r12 #6 "done" bar): same
+  // stored index (pv rides in it), but stage 1 ranks on the 16-d integer
+  // JL projection — the scan reads (cand_id, pv) only, 128 B/candidate
+  // vs the SQ8 probe's codes+scale — and only shortlist survivors fetch
+  // codes, only rerank survivors fetch floats. Against ann_sq8_probe
+  // this cell prices the projected first stage's bandwidth win.
+  private def rprojSq8ProbeTime(s: SparkSession, dir: String): Option[Double] = {
+    try {
+      val idx = Engine.scratchDir("graft_bench_rproj_") + "/index"
+      queries.Similarity.writeIvfSq8Index(s, dir, idx)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        queries.Similarity.probeRprojSq8Index(s, dir, idx)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Some(math.min(once(), once()))
+    } catch { case e: Throwable =>
+      recordError(QueryDef.rowsOnly("ann_rproj_sq8_probe")((_, _) => null), dir, e); None
+    }
+  }
+
   // BM25 split cells (VERDICT r12 #4): ta_bm25_indexed's in-cell number
   // rebuilds the stored posting index inside every invocation, so it
   // prices "append ≡ one-shot", never serving. These two cells commit
@@ -269,11 +291,13 @@ object Bench {
           cellcal += ("ann_ivf_probe" -> Some(calibrate(s)))
           val sq8p = "ann_sq8_probe" -> sq8ProbeTime(s, dir)
           cellcal += ("ann_sq8_probe" -> Some(calibrate(s)))
+          val rpp = "ann_rproj_sq8_probe" -> rprojSq8ProbeTime(s, dir)
+          cellcal += ("ann_rproj_sq8_probe" -> Some(calibrate(s)))
           val (bmW, bmP) = bm25SplitTimes(s, dir)
           val bmCal = Some(calibrate(s))
           cellcal += ("ta_bm25_write" -> bmCal)
           cellcal += ("ta_bm25_probe" -> bmCal)
-          timed.init :+ (timed.last :+ probe :+ sq8p :+
+          timed.init :+ (timed.last :+ probe :+ sq8p :+ rpp :+
             ("ta_bm25_write" -> bmW) :+ ("ta_bm25_probe" -> bmP))
         } else timed
       (withP, cal, cellcal.result())
@@ -639,6 +663,40 @@ object Bench {
         emitTier("ivm_bm25_refresh_sf1", extras("ivm_bm25_refresh_sf1"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ivm bm25 refresh failed: $e")
+      } finally s.stop()
+    }
+
+    // Vector-axis retraction economics (r13, the ivm_ann loop): at sf1,
+    // the LSM-shaped edit next to the full index rebuild a deletion
+    // forces without segments. `rebuild` = one-shot writeIvfSq8Index
+    // over the edited corpus; build/retract/append come from
+    // annRetractBuild's timer hook (the same code path as the
+    // hash-green census key); `probe` = the composed
+    // (base ∖ tombstones) ∪ delta probe. retract+append+probe ≪ rebuild
+    // is the committed claim — the base segment is never rewritten.
+    if (haveSf1) {
+      val s = Engine.build()
+      try {
+        val rb = Engine.scratchDir("graft_bench_ivmann_") + "/rebuilt"
+        var t0 = System.nanoTime()
+        queries.Similarity.writeIvfSq8Index(s, sf1Dir, rb,
+          slice = "vec_id % 13 <> 0 OR vec_id % 26 = 0")
+        val rebuild = (System.nanoTime() - t0) / 1e9
+        Engine.clearSwapCaches(s); System.gc()
+        val phases = scala.collection.mutable.Map.empty[String, Double]
+        val st = queries.Ivm.annRetractBuild(s, sf1Dir, (k, v) => phases(k) = v)
+        t0 = System.nanoTime()
+        queries.Ivm.annRetractProbe(s, sf1Dir, st)
+          .write.format("noop").mode("overwrite").save()
+        val probeSec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] ivm_ann sf1: rebuild $rebuild%.3fs, " +
+          f"build ${phases("build")}%.3fs, retract ${phases("retract")}%.3fs, " +
+          f"append ${phases("append")}%.3fs, probe $probeSec%.3fs")
+        extras("ivm_ann_refresh_sf1") =
+          s"""{"rebuild":${r3(rebuild)},"build":${r3(phases("build"))},"retract":${r3(phases("retract"))},"append":${r3(phases("append"))},"probe":${r3(probeSec)}}"""
+        emitTier("ivm_ann_refresh_sf1", extras("ivm_ann_refresh_sf1"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ivm ann refresh failed: $e")
       } finally s.stop()
     }
 

@@ -521,7 +521,67 @@ object Ivm {
       Classify.sparkScoreBody, Classify.flog2Spark))
   }
 
+  /** Retractable ANN index — the retract→retrieve loop (`ivm_bm25`,
+    * `ivm_nb`) applied to the vector axis. Unlike those keys, whose
+    * maintained state is vocabulary-sized (so a refresh may rewrite the
+    * whole — small — state), the ANN index's state is CORPUS-sized
+    * (~600 B/vector: floats + int8 codes + JL projection), so an honest
+    * refresh must not rewrite it. Maintenance here is LSM-shaped, the
+    * FAISS `remove_ids` + add-segment serving pattern:
+    *   - deletes land as a TOMBSTONE relation of cand_ids — O(|deletes|);
+    *   - re-ingests land as a DELTA segment written with the index's own
+    *     schema and cell layout — O(|adds|);
+    *   - the live index is (base ∖ tombstones) ∪ delta, composed at
+    *     probe time: the tombstone anti-join broadcasts (edits are small
+    *     next to the corpus), the delta segment unions under the same
+    *     cell partitioning, and the base segment's files are NEVER
+    *     rewritten (IvmSpec pins byte-identical base files across the
+    *     edit — the O(|delta|) law the reference's freq-retraction
+    *     storage aims at, `storage/table.rs:309-347`).
+    * Scenario: retract vec_id % 13 = 0 (an embedding-audit withdrawal),
+    * re-ingest the % 26 = 0 half (the audit cleared them). The probe
+    * over the composed index must equal a one-shot SQ8-IVF probe over
+    * the edited corpus — exactly what the DuckDB oracle recomputes from
+    * scratch, and what IvmSpec replays in-engine against an index built
+    * directly from the edited slice. */
+  final case class AnnRetractState(base: String, tombstones: String, delta: String)
+
+  def annRetractBuild(spark: SparkSession, dir: String,
+      timer: (String, Double) => Unit = (_, _) => ()): AnnRetractState = {
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val r = body
+      timer(label, (System.nanoTime() - t0) / 1e9); r
+    }
+    val root = Engine.scratchDir("graft_ivm_ann_")
+    val st = AnnRetractState(s"$root/base", s"$root/tombstones", s"$root/delta")
+    timed("build") { Similarity.writeIvfSq8Index(spark, dir, st.base) }
+    timed("retract") {
+      // writeIvfSq8Index registered the `embeddings` view above
+      spark.sql("SELECT vec_id AS cand_id FROM embeddings WHERE vec_id % 13 = 0")
+        .write.mode("overwrite").parquet(st.tombstones)
+    }
+    timed("append") {
+      Similarity.writeIvfSq8Index(spark, dir, st.delta, slice = "vec_id % 26 = 0")
+    }
+    st
+  }
+
+  def annRetractProbe(spark: SparkSession, dir: String,
+      st: AnnRetractState): DataFrame = {
+    val live = spark.read.parquet(st.base)
+      .join(broadcast(spark.read.parquet(st.tombstones)), Seq("cand_id"), "left_anti")
+      .unionByName(spark.read.parquet(st.delta))
+    live.createOrReplaceTempView("sq8_index")
+    Similarity.probeSq8View(spark, dir)
+  }
+
+  val annRetract: QueryDef = QueryDef.sqlBacked(
+    "ivm_ann",
+    Similarity.ivfSq8OracleOver(
+      "(SELECT * FROM embeddings WHERE vec_id % 13 <> 0 OR vec_id % 26 = 0)")
+  )((s, d) => annRetractProbe(s, d, annRetractBuild(s, d)))
+
   val all: Seq[QueryDef] =
     Seq(refresh, extrema, distinct, topk, join, pipeline, postings, bm25Retract,
-      nbRetract)
+      nbRetract, annRetract)
 }

@@ -1307,12 +1307,17 @@ object Similarity {
          |ORDER BY query_id, rnk""".stripMargin)
   }
 
-  private val ivfSq8Oracle =
+  /** The SQ8 probe oracle over an arbitrary corpus source — `src` is any
+    * DuckDB relation with (vec_id, embedding). The retractable-index key
+    * (`ivm_ann`, [[graft.queries.Ivm.annRetract]]) recomputes the probe
+    * from scratch over the EDITED corpus with this same text; the plain
+    * keys use the full table. */
+  private[graft] def ivfSq8OracleOver(src: String): String =
     s"""WITH cent AS ($centroidDuck),
        |e AS (
        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |        FROM embeddings)
+       |        FROM $src)
        |),
        |qz AS (
        |  SELECT vec_id, v, maxabs / 127.0 AS scale,
@@ -1366,6 +1371,8 @@ object Similarity {
        |WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
 
+  private val ivfSq8Oracle = ivfSq8OracleOver("embeddings")
+
   val ivfSq8: QueryDef =
     QueryDef.sqlBacked("ann_ivf_sq8", ivfSq8Oracle)(ivfSq8TopK(_, _))
 
@@ -1386,7 +1393,7 @@ object Similarity {
   // pins stored-probe == in-flight row for row, AnnIndexSpec pins the
   // DPP + pruned-schema plan shape.
   def writeIvfSq8Index(spark: SparkSession, dir: String, indexPath: String,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite", slice: String = "TRUE"): Unit = {
     emb(spark, dir)
     // `pv` (the 16-d JL projection, VERDICT r12 #6) rides in the same
     // index: parquet column pruning keeps it out of the plain SQ8 probe's
@@ -1403,7 +1410,7 @@ object Similarity {
          |FROM (
          |  SELECT vec_id, v, array_max(transform(v, x -> abs(x))) AS maxabs
          |  FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |        FROM embeddings))
+         |        FROM embeddings WHERE $slice))
          |WHERE maxabs > 0""".stripMargin)
       .write.mode(mode).partitionBy("cell").parquet(indexPath)
   }
@@ -1415,8 +1422,20 @@ object Similarity {
   def probeIvfSq8Index(spark: SparkSession, dir: String, indexPath: String,
       nQueries: Int = 8, k: Int = 10, nProbe: Int = 4,
       rerank: Int = 50): DataFrame = {
-    emb(spark, dir)
     spark.read.parquet(indexPath).createOrReplaceTempView("sq8_index")
+    probeSq8View(spark, dir, nQueries, k, nProbe, rerank)
+  }
+
+  /** The SQ8 probe against whatever relation is registered as
+    * `sq8_index` — [[probeIvfSq8Index]] registers one stored segment;
+    * the retractable composition ([[graft.queries.Ivm.annRetract]])
+    * registers (base ∖ tombstones) ∪ delta. Queries quantize in-flight
+    * from the corpus table (they are `nQueries` rows); candidates score
+    * from the registered index's stored codes. */
+  def probeSq8View(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    emb(spark, dir)
     spark.sql(
       s"""WITH cent AS ($centroidSql),
          |qz AS (

@@ -269,4 +269,49 @@ class IvmSpec extends AnyFunSuite {
     // doc 0 is in the deleted slice: only 7 of the 8 census queries survive
     assert(maintained.map(_.split(",")(0).drop(1)).distinct.size == 7)
   }
+
+  test("ivm_ann: tombstone + delta-segment probe equals one-shot on the edited corpus") {
+    // The retract→retrieve loop on the vector axis, pinned in-engine:
+    // the composed (base ∖ tombstones) ∪ delta index must rank EXACTLY
+    // like an index built directly from the edited corpus. (The census
+    // oracle proves the same cross-engine; this localizes a failure to
+    // the segment composition.)
+    val phases = scala.collection.mutable.Map.empty[String, Double]
+    val st = queries.Ivm.annRetractBuild(spark, sf, (k, v) => phases(k) = v)
+    assert(phases.keySet == Set("build", "retract", "append"),
+      "timer hook must see all three phases")
+
+    // O(|delta|) law: composing the edit must not touch the base
+    // segment — capture its file inventory (path, length, mtime) before
+    // the probe and compare after; retract/append already ran, so the
+    // inventory itself proves they wrote elsewhere.
+    def inventory(root: String): Set[(String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (p.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+      finally s.close()
+    }
+    val before = inventory(st.base)
+
+    val maintained = queries.Ivm.annRetractProbe(spark, sf, st)
+      .collect().map(_.toString).toSeq
+
+    // one-shot reference: an index written directly from the edited slice
+    val oneIdx = Engine.scratchDir("graft_ivm_ann_ref_") + "/index"
+    queries.Similarity.writeIvfSq8Index(spark, sf, oneIdx,
+      slice = "vec_id % 13 <> 0 OR vec_id % 26 = 0")
+    val oneShot = queries.Similarity.probeIvfSq8Index(spark, sf, oneIdx)
+      .collect().map(_.toString).toSeq
+
+    assert(oneShot.nonEmpty && maintained == oneShot,
+      s"composed-index ranking diverged (one-shot ${oneShot.size} rows, " +
+        s"maintained ${maintained.size})")
+    assert(inventory(st.base) == before,
+      "the edit rewrote base segment files — maintenance must be O(|delta|)")
+    // vec 0 is retracted AND audit-cleared (0 % 26 == 0): all 8 queries rank
+    assert(maintained.map(_.split(",")(0).drop(1)).distinct.size == 8)
+  }
 }
