@@ -312,13 +312,18 @@ object Dedup {
          |ORDER BY delta_id, index_id""".stripMargin)
   }
 
-  private val incrementalOracle =
+  /** The exact delta × index Jaccard oracle over an arbitrary index-side
+    * predicate — the retractable-index key (`ivm_dedup`) recomputes the
+    * probe from scratch over the EDITED index side with this same text. */
+  private[graft] def incrementalOracleOver(indexPred: String): String =
     s"""WITH sh AS ($shingleDuck)
        |SELECT d.doc_id AS delta_id, i.doc_id AS index_id,
        |  ${jaccardDuck("d.shingles", "i.shingles")} AS jaccard
-       |FROM sh d JOIN sh i ON d.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+       |FROM sh d JOIN sh i ON d.doc_id % 10 = 0 AND ($indexPred)
        |WHERE ${jaccardDuck("d.shingles", "i.shingles")} >= 0.5
        |ORDER BY delta_id, index_id""".stripMargin
+
+  private val incrementalOracle = incrementalOracleOver("i.doc_id % 10 <> 0")
 
   val incremental: QueryDef =
     QueryDef.sqlBacked("dedup_incremental", incrementalOracle)(incrementalPairs(_, _))
@@ -379,9 +384,23 @@ object Dedup {
   /** Batch-side half: signature the delta, probe the STORED bands. */
   def probeBandIndex(spark: SparkSession, dir: String, indexPath: String,
       threshold: Double = 0.5, deltaMod: Int = 10): DataFrame = {
-    cachedShingles(spark, dir)
     spark.read.parquet(s"$indexPath/groups").createOrReplaceTempView("bidx_groups")
     spark.read.parquet(s"$indexPath/bands").createOrReplaceTempView("bidx_bands")
+    probeBandViews(spark, dir, threshold, deltaMod)
+  }
+
+  /** The band probe against whatever relations are registered as
+    * `bidx_groups` / `bidx_bands` — [[probeBandIndex]] registers one
+    * stored segment; the retractable composition
+    * ([[graft.queries.Ivm.dedupRetract]]) registers tombstone-filtered
+    * groups over UNFILTERED bands (same-fp docs carry identical text, so
+    * a deleted rep's bands stay valid while any group member lives;
+    * fully-dead groups surface candidates that expand to zero rows
+    * through the live group map — dead weight a compaction GCs, never a
+    * wrong pair). */
+  def probeBandViews(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, deltaMod: Int = 10): DataFrame = {
+    cachedShingles(spark, dir)
     spark.sql(
       s"""WITH delta AS (
          |  SELECT doc_id, fp, shingles, hshingles,

@@ -544,16 +544,19 @@ object Ivm {
     * the edited corpus — exactly what the DuckDB oracle recomputes from
     * scratch, and what IvmSpec replays in-engine against an index built
     * directly from the edited slice. */
-  final case class AnnRetractState(base: String, tombstones: String, delta: String)
+  /** One LSM-shaped retractable index: an immutable base segment, an
+    * O(|deletes|) tombstone relation, an O(|adds|) delta segment. Shared
+    * by the ANN (`ivm_ann`) and minhash-band (`ivm_dedup`) compositions. */
+  final case class SegmentedIndexState(base: String, tombstones: String, delta: String)
 
   def annRetractBuild(spark: SparkSession, dir: String,
-      timer: (String, Double) => Unit = (_, _) => ()): AnnRetractState = {
+      timer: (String, Double) => Unit = (_, _) => ()): SegmentedIndexState = {
     def timed[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime(); val r = body
       timer(label, (System.nanoTime() - t0) / 1e9); r
     }
     val root = Engine.scratchDir("graft_ivm_ann_")
-    val st = AnnRetractState(s"$root/base", s"$root/tombstones", s"$root/delta")
+    val st = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
     timed("build") { Similarity.writeIvfSq8Index(spark, dir, st.base) }
     timed("retract") {
       // writeIvfSq8Index registered the `embeddings` view above
@@ -567,7 +570,7 @@ object Ivm {
   }
 
   def annRetractProbe(spark: SparkSession, dir: String,
-      st: AnnRetractState): DataFrame = {
+      st: SegmentedIndexState): DataFrame = {
     val live = spark.read.parquet(st.base)
       .join(broadcast(spark.read.parquet(st.tombstones)), Seq("cand_id"), "left_anti")
       .unionByName(spark.read.parquet(st.delta))
@@ -581,7 +584,71 @@ object Ivm {
       "(SELECT * FROM embeddings WHERE vec_id % 13 <> 0 OR vec_id % 26 = 0)")
   )((s, d) => annRetractProbe(s, d, annRetractBuild(s, d)))
 
+  /** Retractable minhash-band dedup index — the same LSM shape on the
+    * dedup axis, which closes the retract→serve loop across all four
+    * index families (postings/BM25, classifier, ANN, dedup). The twist
+    * the band index adds: its banded representatives are per exact-dup
+    * GROUP (one rep per fp), so deleting the rep document must not
+    * orphan the group's surviving members. Same-fp documents carry
+    * IDENTICAL text, hence identical shingles, minhash, and bands — a
+    * deleted rep's stored bands remain a valid banded signature for the
+    * whole group, so:
+    *   - tombstones filter the GROUP map (live membership, O(|deletes|));
+    *   - the stored band relation is never touched — bands of
+    *     fully-dead groups still produce candidates, which expand to
+    *     zero rows through the live group map (dead weight a compaction
+    *     GCs, never a wrong pair);
+    *   - re-ingests land as a delta segment via writeBandIndex's own
+    *     append contract (per-batch reps; the probe's DISTINCT fp-pair
+    *     collapse already makes append ≡ rebuild).
+    * Scenario: retract the EVEN index docs, re-ingest the % 4 = 0 half
+    * (the ivm_nb slice — chosen so BOTH arms are differential at the
+    * sf0.01 gate, not for realism; the near-dup pair (290, 98) exists
+    * only while the tombstone filter is broken, and the pairs
+    * (120, 332) / (450, 92) exist only while the delta union works —
+    * a silently dead retraction OR a silently dropped delta flips the
+    * hash). The probe must equal one against an index built directly
+    * from the edited side — which is what the DuckDB oracle recomputes
+    * from scratch, delta × edited-index exact Jaccard. */
+  def dedupRetractBuild(spark: SparkSession, dir: String,
+      timer: (String, Double) => Unit = (_, _) => ()): SegmentedIndexState = {
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val r = body
+      timer(label, (System.nanoTime() - t0) / 1e9); r
+    }
+    val root = Engine.scratchDir("graft_ivm_dedup_")
+    val st = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
+    timed("build") { Dedup.writeBandIndex(spark, dir, st.base) }
+    timed("retract") {
+      // dedup_sh registered by writeBandIndex's cachedShingles above
+      spark.sql("SELECT doc_id FROM dedup_sh WHERE doc_id % 10 <> 0 AND doc_id % 2 = 0")
+        .write.mode("overwrite").parquet(st.tombstones)
+    }
+    timed("append") {
+      Dedup.writeBandIndex(spark, dir, st.delta, pred = "doc_id % 4 = 0")
+    }
+    st
+  }
+
+  def dedupRetractProbe(spark: SparkSession, dir: String,
+      st: SegmentedIndexState): DataFrame = {
+    spark.read.parquet(s"${st.base}/groups")
+      .join(broadcast(spark.read.parquet(st.tombstones)), Seq("doc_id"), "left_anti")
+      .unionByName(spark.read.parquet(s"${st.delta}/groups"))
+      .createOrReplaceTempView("bidx_groups")
+    spark.read.parquet(s"${st.base}/bands")
+      .unionByName(spark.read.parquet(s"${st.delta}/bands"))
+      .createOrReplaceTempView("bidx_bands")
+    Dedup.probeBandViews(spark, dir)
+  }
+
+  val dedupRetract: QueryDef = QueryDef.sqlBacked(
+    "ivm_dedup",
+    Dedup.incrementalOracleOver(
+      "i.doc_id % 10 <> 0 AND (i.doc_id % 2 <> 0 OR i.doc_id % 4 = 0)")
+  )((s, d) => dedupRetractProbe(s, d, dedupRetractBuild(s, d)))
+
   val all: Seq[QueryDef] =
     Seq(refresh, extrema, distinct, topk, join, pipeline, postings, bm25Retract,
-      nbRetract, annRetract)
+      nbRetract, annRetract, dedupRetract)
 }

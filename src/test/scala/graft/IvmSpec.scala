@@ -11,6 +11,19 @@ class IvmSpec extends AnyFunSuite {
   private def norm(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** File inventory (path, length, mtime) of a segment directory — the
+    * O(|delta|) pins compare it across an edit to prove the base segment
+    * was never rewritten. */
+  private def inventory(root: String): Set[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try s.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => (p.toString, java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+    finally s.close()
+  }
+
   test("incremental refresh over 3 delta batches equals full recompute") {
     val li = Engine.table(spark, sf, "lineitem")
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
@@ -285,15 +298,6 @@ class IvmSpec extends AnyFunSuite {
     // segment — capture its file inventory (path, length, mtime) before
     // the probe and compare after; retract/append already ran, so the
     // inventory itself proves they wrote elsewhere.
-    def inventory(root: String): Set[(String, Long, Long)] = {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-      try s.iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => (p.toString, java.nio.file.Files.size(p),
-          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
-      finally s.close()
-    }
     val before = inventory(st.base)
 
     val maintained = queries.Ivm.annRetractProbe(spark, sf, st)
@@ -313,5 +317,32 @@ class IvmSpec extends AnyFunSuite {
       "the edit rewrote base segment files — maintenance must be O(|delta|)")
     // vec 0 is retracted AND audit-cleared (0 % 26 == 0): all 8 queries rank
     assert(maintained.map(_.split(",")(0).drop(1)).distinct.size == 8)
+  }
+
+  test("ivm_dedup: tombstone-filtered groups over immutable bands equal one-shot on the edited index") {
+    // Same LSM law on the dedup axis. The probe composes live groups
+    // (base ∖ tombstones ∪ delta) over UNFILTERED bands — valid because
+    // same-fp docs carry identical text (a deleted rep's bands stay a
+    // correct banded signature for its surviving group members).
+    val phases = scala.collection.mutable.Map.empty[String, Double]
+    val st = queries.Ivm.dedupRetractBuild(spark, sf, (k, v) => phases(k) = v)
+    assert(phases.keySet == Set("build", "retract", "append"),
+      "timer hook must see all three phases")
+    val before = inventory(st.base)
+
+    val maintained = queries.Ivm.dedupRetractProbe(spark, sf, st)
+      .collect().map(_.toString).toSeq
+
+    val oneIdx = Engine.scratchDir("graft_ivm_dedup_ref_") + "/index"
+    queries.Dedup.writeBandIndex(spark, sf, oneIdx,
+      pred = "doc_id % 2 <> 0 OR doc_id % 4 = 0")
+    val oneShot = queries.Dedup.probeBandIndex(spark, sf, oneIdx)
+      .collect().map(_.toString).toSeq
+
+    assert(oneShot.nonEmpty && maintained == oneShot,
+      s"composed-index probe diverged (one-shot ${oneShot.size} rows, " +
+        s"maintained ${maintained.size})")
+    assert(inventory(st.base) == before,
+      "the edit rewrote base segment files — maintenance must be O(|delta|)")
   }
 }
