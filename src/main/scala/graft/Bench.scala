@@ -469,7 +469,9 @@ object Bench {
            // relation as BM25/LM: its own cost is the vocabulary-sized
            // model broadcast + one per-doc roll-up — the sf1 → sf10 pair
            // should track the posting-aggregate line, not add to it.
-           queries.Classify.classifyDef,
+           // DSIR's fixed 1024-bucket lattice argues the same sublinear
+           // line; the sf10 cell proves it (VERDICT r13 #5).
+           queries.Classify.classifyDef, queries.Classify.dsirDef,
            queries.Curate.curate, queries.Curate.decontam) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "embeddings"))
          // the WIDE configuration: the 4×4-band default is Θ(N²/16) by
@@ -544,7 +546,7 @@ object Bench {
         System.err.println(
           s"[bench] containment funnel @sf1: cand=${f._1} prelim=${f._2} rpairs=${f._3}")
         extras("containment_funnel_sf1") =
-          s"""{"cand":${f._1},"prelim":${f._2},"rpairs":${f._3}}"""
+          s"""{"cand":${f._1},"prelim":${f._2},"rpairs":${f._3},"cal":${r3(calibrate(s))}}"""
         emitTier("containment_funnel_sf1", extras("containment_funnel_sf1"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] containment funnel failed: $e")
@@ -572,9 +574,11 @@ object Bench {
           System.err.println(f"[bench] ann sweep nProbe=$np: recall@10=$rec%.4f ${sec}%.3fs")
           (np, rec, sec)
         }
-        extras("ann_nprobe_sweep_sf1") = sweep.map { case (np, rec, sec) =>
+        // per-section cal stamp (VERDICT r13 #2): the merge min-keeps the
+        // sec leaves, the stamp records the machine the winner ran on
+        extras("ann_nprobe_sweep_sf1") = (sweep.map { case (np, rec, sec) =>
           s""""p$np":{"recall":${math.rint(rec * 10000) / 10000},"sec":${r3(sec)}}"""
-        }.mkString("{", ",", "}")
+        } :+ s""""cal":${r3(calibrate(s))}""").mkString("{", ",", "}")
         emitTier("ann_nprobe_sweep_sf1", extras("ann_nprobe_sweep_sf1"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ann nProbe sweep failed: $e")
@@ -594,7 +598,8 @@ object Bench {
           System.err.println(f"[bench] kmeans recall np=$np hash=$h%.4f trained=$t%.4f")
           s""""p$np":{"hash":${math.rint(h * 10000) / 10000},"trained":${math.rint(t * 10000) / 10000}}"""
         }
-        extras("kmeans_recall_sf1") = pts.mkString("{", ",", "}")
+        extras("kmeans_recall_sf1") =
+          (pts :+ s""""cal":${r3(calibrate(s))}""").mkString("{", ",", "}")
         emitTier("kmeans_recall_sf1", extras("kmeans_recall_sf1"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] kmeans recall failed: $e")
@@ -626,7 +631,7 @@ object Bench {
         System.err.println(
           f"[bench] ivm delta refresh: sf0.1 base ${r._1}%.3fs, sf1 base ${r._2}%.3fs")
         extras("ivm_delta_refresh") =
-          s"""{"base_sf01":${r3(r._1)},"base_sf1":${r3(r._2)}}"""
+          s"""{"base_sf01":${r3(r._1)},"base_sf1":${r3(r._2)},"cal":${r3(calibrate(s))}}"""
         emitTier("ivm_delta_refresh", extras("ivm_delta_refresh"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ivm delta refresh failed: $e")
@@ -659,10 +664,46 @@ object Bench {
         System.err.println(f"[bench] ivm_bm25 sf1: recompute $recompute%.3fs, " +
           f"init ${phases("init")}%.3fs, refresh ${phases("refresh")}%.3fs, probe $probeSec%.3fs")
         extras("ivm_bm25_refresh_sf1") =
-          s"""{"recompute":${r3(recompute)},"init":${r3(phases("init"))},"refresh":${r3(phases("refresh"))},"probe":${r3(probeSec)}}"""
+          s"""{"recompute":${r3(recompute)},"init":${r3(phases("init"))},"refresh":${r3(phases("refresh"))},"probe":${r3(probeSec)},"cal":${r3(calibrate(s))}}"""
         emitTier("ivm_bm25_refresh_sf1", extras("ivm_bm25_refresh_sf1"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ivm bm25 refresh failed: $e")
+      } finally s.stop()
+    }
+
+    // Text-axis LSM economics (VERDICT r13 #1): the ivm_bm25_lsm loop's
+    // phase costs at sf1 next to the agg-view numbers above. `init` =
+    // the stored token-sorted posting index written once (the corpus
+    // pass); `retract` = the tombstone doc-id write; `append` = ONLY the
+    // re-ingested slice tokenized into a delta segment. retract+append ≪
+    // init is the committed claim — the refresh rides |delta| where the
+    // agg-view's rode |posting state| (its cell shows refresh ≈ init).
+    // `compact` = the fold of (base ∖ tombstones ∖ delta-ids) ∪ delta
+    // into a new base, priced against init (the rebuild it amortizes).
+    if (haveSf1) {
+      val s = Engine.build()
+      try {
+        val phases = scala.collection.mutable.Map.empty[String, Double]
+        val st = queries.Ivm.bm25LsmBuild(s, sf1Dir, (k, v) => phases(k) = v)
+        var t0 = System.nanoTime()
+        queries.Ivm.bm25LsmProbe(s, sf1Dir, st)
+          .write.format("noop").mode("overwrite").save()
+        val probeSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val cst = queries.Ivm.bm25LsmCompact(s, st)
+        val compactSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        queries.Ivm.bm25LsmProbe(s, sf1Dir, cst)
+          .write.format("noop").mode("overwrite").save()
+        val probeC = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] ivm_bm25_lsm sf1: init ${phases("init")}%.3fs, " +
+          f"retract ${phases("retract")}%.3fs, append ${phases("append")}%.3fs, " +
+          f"probe $probeSec%.3fs, compact $compactSec%.3fs, probe_compacted $probeC%.3fs")
+        extras("ivm_bm25_lsm_refresh_sf1") =
+          s"""{"init":${r3(phases("init"))},"retract":${r3(phases("retract"))},"append":${r3(phases("append"))},"probe":${r3(probeSec)},"compact":${r3(compactSec)},"probe_compacted":${r3(probeC)},"cal":${r3(calibrate(s))}}"""
+        emitTier("ivm_bm25_lsm_refresh_sf1", extras("ivm_bm25_lsm_refresh_sf1"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ivm bm25 lsm refresh failed: $e")
       } finally s.stop()
     }
 
@@ -672,8 +713,10 @@ object Bench {
     // over the edited corpus; build/retract/append come from
     // annRetractBuild's timer hook (the same code path as the
     // hash-green census key); `probe` = the composed
-    // (base ∖ tombstones) ∪ delta probe. retract+append+probe ≪ rebuild
-    // is the committed claim — the base segment is never rewritten.
+    // (base ∖ tombstones) ∪ delta probe. retract+append ≪ rebuild is
+    // the committed claim (ADVICE r13: probe is priced separately —
+    // serving pays it against ANY index, composed or rebuilt; at sf1 it
+    // dominates both sides) — the base segment is never rewritten.
     if (haveSf1) {
       val s = Engine.build()
       try {
@@ -689,11 +732,23 @@ object Bench {
         queries.Ivm.annRetractProbe(s, sf1Dir, st)
           .write.format("noop").mode("overwrite").save()
         val probeSec = (System.nanoTime() - t0) / 1e9
+        // compaction (VERDICT r13 #2): fold the edit history into a new
+        // base and price it against the one-shot rebuild it amortizes;
+        // probe_compacted shows what the fold buys the probe (the
+        // anti-join + dead-delta overhead removed)
+        t0 = System.nanoTime()
+        val cst = queries.Ivm.annCompact(s, st)
+        val compactSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        queries.Ivm.annRetractProbe(s, sf1Dir, cst)
+          .write.format("noop").mode("overwrite").save()
+        val probeC = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] ivm_ann sf1: rebuild $rebuild%.3fs, " +
           f"build ${phases("build")}%.3fs, retract ${phases("retract")}%.3fs, " +
-          f"append ${phases("append")}%.3fs, probe $probeSec%.3fs")
+          f"append ${phases("append")}%.3fs, probe $probeSec%.3fs, " +
+          f"compact $compactSec%.3fs, probe_compacted $probeC%.3fs")
         extras("ivm_ann_refresh_sf1") =
-          s"""{"rebuild":${r3(rebuild)},"build":${r3(phases("build"))},"retract":${r3(phases("retract"))},"append":${r3(phases("append"))},"probe":${r3(probeSec)}}"""
+          s"""{"rebuild":${r3(rebuild)},"build":${r3(phases("build"))},"retract":${r3(phases("retract"))},"append":${r3(phases("append"))},"probe":${r3(probeSec)},"compact":${r3(compactSec)},"probe_compacted":${r3(probeC)},"cal":${r3(calibrate(s))}}"""
         emitTier("ivm_ann_refresh_sf1", extras("ivm_ann_refresh_sf1"))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ivm ann refresh failed: $e")

@@ -32,8 +32,15 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   *     that cell from the artifact once — the merge compares what's on
   *     disk, nothing else;
   *   - non-tier object sections (evidence extras without a `queries`
-  *     group) keep the r11 rule: replaced only when the new cal is
-  *     within `bound` (default 2×) of the old;
+  *     group — the nProbe sweeps, refresh-economics cells, funnel
+  *     counts) merge per LEAF (VERDICT r13 #2: the r11 cal-bound rule
+  *     replaced these wholesale, and the sweep sections carry no `cal`
+  *     at all, so a contended run regressed `ann_nprobe_sweep_sf1`
+  *     p2/p4 by ~5× in the committed artifact). Timing leaves (`sec`,
+  *     the refresh-phase names, `cal`) keep the MINIMUM — wall-clock
+  *     only ever inflates under contention; deterministic leaves
+  *     (recall, funnel counts) take the fresh run's value; leaves the
+  *     new run didn't measure are carried forward;
   *   - `errors` always reflects the CURRENT run (stale error text from
   *     a kept tier would be misattributed).
   *
@@ -67,14 +74,38 @@ object BenchArtifact {
   private def calOf(n: JsonNode): Option[Double] =
     Option(n.get("cal")).filter(_.isNumber).map(_.asDouble)
 
-  /** Replacement is admissible when the incoming section's calibration
-    * is within `bound`× of the section it would replace. A missing cal
-    * on either side admits it (nothing to compare against). */
-  private def calOk(neu: JsonNode, old: JsonNode, bound: Double): Boolean =
-    (calOf(neu), calOf(old)) match {
-      case (Some(nc), Some(oc)) => nc <= bound * oc
-      case _ => true
+  /** Leaf keys of evidence-extras sections that are WALL-CLOCK timings —
+    * min-merged across runs (contention can only inflate them). Every
+    * other leaf (recall, funnel counts) is deterministic and takes the
+    * fresh run's value. `cal` rides along as best-machine metadata. */
+  private val timingLeaves = Set("sec", "cal", "build", "retract", "append",
+    "probe", "init", "refresh", "recompute", "rebuild", "compact", "write",
+    "probe_composed", "probe_compacted", "base_sf01", "base_sf1")
+
+  /** Per-leaf merge of one evidence-extras section pair: recurse into
+    * nested objects, min-merge timing leaves, carry forward leaves the
+    * new run didn't measure, let fresh deterministic leaves win.
+    * Mutates `neu` in place. */
+  private def mergeExtras(neu: ObjectNode, old: ObjectNode, label: String,
+      log: String => Unit): Unit = {
+    val it = old.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey
+      (Option(neu.get(k)), e.getValue) match {
+        case (None, ov) =>
+          neu.set[JsonNode](k, ov); () // carry a leaf the new run lacks
+        case (Some(nv: ObjectNode), ov: ObjectNode) =>
+          mergeExtras(nv, ov, s"$label/$k", log)
+        case (Some(nv), ov) if timingLeaves.contains(k) &&
+            nv.isNumber && ov.isNumber && ov.asDouble < nv.asDouble =>
+          log(s"[bench] merge: $label/$k keeps committed " +
+            s"${ov.asDouble} over fresh ${nv.asDouble}")
+          neu.set[JsonNode](k, ov); ()
+        case _ => // deterministic leaf: the fresh measurement stands
+      }
     }
+  }
 
   /** Per-cell merge of one section pair: every numeric cell in the
     * `queries`/`pipeline` groups (and `scaling.queries`) keeps the
@@ -165,7 +196,7 @@ object BenchArtifact {
     * one. `newJson` must be the complete single-object artifact the run
     * has measured SO FAR (Bench calls this after every tier). Returns
     * the JSON to persist. */
-  def merge(oldJson: Option[String], newJson: String, bound: Double = 2.0,
+  def merge(oldJson: Option[String], newJson: String,
       log: String => Unit = _ => ()): String = {
     val neuOpt = parse(newJson)
     val oldOpt = oldJson.flatMap(parse)
@@ -199,10 +230,8 @@ object BenchArtifact {
         } else (neu.get(k), old.get(k)) match {
           case (n: ObjectNode, o: ObjectNode) if n.has("queries") && o.has("queries") =>
             mergeSection(n, o, k, totalKey = "total", log)
-          case (n: ObjectNode, o: ObjectNode) if !calOk(n, o, bound) =>
-            log(s"[bench] merge: keeping $k from prior artifact " +
-              s"(new cal ${calOf(n).orNull} > ${bound}x old ${calOf(o).orNull})")
-            neu.set[JsonNode](k, o)
+          case (n: ObjectNode, o: ObjectNode) =>
+            mergeExtras(n, o, k, log)
           case _ =>
         }
       }

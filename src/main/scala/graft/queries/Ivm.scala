@@ -405,18 +405,23 @@ object Ivm {
     * State: an [[graft.ivm.IncrementalAggView]] keyed by (doc_id, token)
     * over the BIGRAM postings (the non-vacuous spelling — every query
     * bigram carries positive idf on the driver corpus). Deleting the
-    * doc_id % 13 slice is ONE freq −1 delta over those docs' postings;
-    * the refresh shuffles |posting-state ∪ delta-partials| rows and
-    * never re-tokenizes the corpus — at sf100 the corpus pass (the
-    * 26.7 s tokenize+aggregate) is exactly what the incremental path
-    * skips. Retracted postings reach cnt 0 and vanish (full
-    * retraction), so the maintained view IS the edited corpus's posting
-    * relation: dl, N, avgdl, df, and the scores all re-derive from it
-    * with no special-casing — [[TextAnalysis.bm25Sql]] runs against the
-    * view verbatim. The oracle recomputes BM25 from scratch in DuckDB
-    * over `documents WHERE doc_id % 13 <> 0`; hash equality of the two
-    * rankings is the whole claim. (Queries are the live docs < 8; doc 0
-    * is itself deleted, so 7 queries survive — also pinned.) */
+    * doc_id % 13 slice is ONE freq −1 delta over those docs' postings,
+    * and the refresh never re-tokenizes the corpus — at sf100 the corpus
+    * pass (the 26.7 s tokenize+aggregate) is exactly what it skips. BUT
+    * the state it merges into is CORPUS-POSTING-sized, not
+    * vocabulary-sized, and applyDelta rewrites the full snapshot, so the
+    * refresh is O(|posting state|): at sf1 its own bench cell measures
+    * refresh 1.79 s ≈ init 1.83 s (VERDICT r13 #1). This key stays as
+    * the agg-view demonstration of exact posting retraction (cnt 0 rows
+    * vanish, so the view IS the edited corpus's posting relation — dl,
+    * N, avgdl, df, and the scores all re-derive from it and
+    * [[TextAnalysis.bm25Sql]] runs verbatim); the O(|delta|) edit
+    * economics live in its LSM successor [[bm25Lsm]], which never
+    * rewrites the stored posting base. The oracle recomputes BM25 from
+    * scratch in DuckDB over `documents WHERE doc_id % 13 <> 0`; hash
+    * equality of the two rankings is the whole claim. (Queries are the
+    * live docs < 8; doc 0 is itself deleted, so 7 queries survive —
+    * also pinned.) */
   /** The ivm_bm25 loop with a per-phase timer hook (identity by default
     * — the census key IS this function; Bench passes a real timer so the
     * committed `ivm_bm25_refresh_sf1` section times the same code the
@@ -522,7 +527,7 @@ object Ivm {
   }
 
   /** Retractable ANN index — the retract→retrieve loop (`ivm_bm25`,
-    * `ivm_nb`) applied to the vector axis. Unlike those keys, whose
+    * `ivm_nb`) applied to the vector axis. Unlike `ivm_nb`, whose
     * maintained state is vocabulary-sized (so a refresh may rewrite the
     * whole — small — state), the ANN index's state is CORPUS-sized
     * (~600 B/vector: floats + int8 codes + JL projection), so an honest
@@ -543,19 +548,35 @@ object Ivm {
     * over the composed index must equal a one-shot SQ8-IVF probe over
     * the edited corpus — exactly what the DuckDB oracle recomputes from
     * scratch, and what IvmSpec replays in-engine against an index built
-    * directly from the edited slice. */
+    * directly from the edited slice. Slice constraint (ADVICE r13): the
+    * oracle draws its queries from the edited corpus while the engine
+    * probes with the full table's vec_id < 8, so the edit MUST keep ids
+    * 0–7 alive — here 0 is retracted but re-added via % 26, 1–7 are
+    * untouched; any future slice must preserve that property (see
+    * [[Similarity.ivfSq8OracleOver]]). */
   /** One LSM-shaped retractable index: an immutable base segment, an
     * O(|deletes|) tombstone relation, an O(|adds|) delta segment. Shared
-    * by the ANN (`ivm_ann`) and minhash-band (`ivm_dedup`) compositions. */
+    * by the ANN (`ivm_ann`), minhash-band (`ivm_dedup`) and BM25-posting
+    * (`ivm_bm25_lsm`) compositions. */
   final case class SegmentedIndexState(base: String, tombstones: String, delta: String)
 
+  /** Read a segment relation, or an empty relation of `like`'s schema
+    * when the segment hasn't landed yet — a stream that has only seen
+    * deletes has no delta segment, one that has only seen adds has no
+    * tombstones, and the probe must serve correctly at every point of
+    * the edit stream ([[graft.streaming.Streams.maintainAnnIndex]]). */
+  private def segmentOr(spark: SparkSession, path: String,
+      like: => DataFrame): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: org.apache.spark.sql.AnalysisException => like.limit(0) }
+
   def annRetractBuild(spark: SparkSession, dir: String,
-      timer: (String, Double) => Unit = (_, _) => ()): SegmentedIndexState = {
+      timer: (String, Double) => Unit = (_, _) => (),
+      root: String = Engine.scratchDir("graft_ivm_ann_")): SegmentedIndexState = {
     def timed[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime(); val r = body
       timer(label, (System.nanoTime() - t0) / 1e9); r
     }
-    val root = Engine.scratchDir("graft_ivm_ann_")
     val st = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
     timed("build") { Similarity.writeIvfSq8Index(spark, dir, st.base) }
     timed("retract") {
@@ -569,13 +590,49 @@ object Ivm {
     st
   }
 
+  /** The live composed index as a DataFrame: (base ∖ tombstones ∖
+    * delta-ids) ∪ delta. DELTA WINS (ADVICE r13): a re-ingested id
+    * replaces any base copy whether or not the edit stream tombstoned it
+    * first, so correctness never depends on delta ⊆ tombstones and a
+    * re-add can never duplicate cand_id rows into the rerank join. Both
+    * edit relations broadcast — edits are small next to the corpus. */
+  private def annLiveIndex(spark: SparkSession, st: SegmentedIndexState): DataFrame = {
+    val base = spark.read.parquet(st.base)
+    val tomb = segmentOr(spark, st.tombstones, base.select(col("cand_id")))
+    val delta = segmentOr(spark, st.delta, base)
+    base
+      .join(broadcast(tomb.select("cand_id")), Seq("cand_id"), "left_anti")
+      .join(broadcast(delta.select("cand_id")), Seq("cand_id"), "left_anti")
+      .unionByName(delta)
+  }
+
   def annRetractProbe(spark: SparkSession, dir: String,
       st: SegmentedIndexState): DataFrame = {
-    val live = spark.read.parquet(st.base)
-      .join(broadcast(spark.read.parquet(st.tombstones)), Seq("cand_id"), "left_anti")
-      .unionByName(spark.read.parquet(st.delta))
-    live.createOrReplaceTempView("sq8_index")
+    annLiveIndex(spark, st).createOrReplaceTempView("sq8_index")
     Similarity.probeSq8View(spark, dir)
+  }
+
+  /** Compaction — the GC the LSM comments promise (VERDICT r13 #2): fold
+    * the live composition (base ∖ tombstones ∖ delta-ids) ∪ delta into a
+    * NEW immutable base segment under the index's own cell layout, with
+    * the tombstone and delta relations reset to empty. The composed and
+    * compacted probes are the same relation by construction (IvmSpec
+    * pins composed ≡ compacted ≡ one-shot, and that probing leaves the
+    * new base's files untouched). Cost: one pass over the live state —
+    * pay it when the edit history's probe overhead (tombstone anti-join
+    * input + dead delta rows) outgrows a base rewrite; the
+    * `ivm_compact_sf1` bench cell prices it against the one-shot rebuild
+    * it replaces. */
+  def annCompact(spark: SparkSession, st: SegmentedIndexState,
+      root: String = Engine.scratchDir("graft_ivm_ann_c_")): SegmentedIndexState = {
+    val nu = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
+    annLiveIndex(spark, st).write.partitionBy("cell").parquet(nu.base)
+    // empty edit relations, schema preserved (flat — a partitionBy write
+    // of zero rows would produce an unreadable directory)
+    spark.read.parquet(st.base).select("cand_id").limit(0)
+      .coalesce(1).write.parquet(nu.tombstones)
+    spark.read.parquet(nu.base).limit(0).coalesce(1).write.parquet(nu.delta)
+    nu
   }
 
   val annRetract: QueryDef = QueryDef.sqlBacked(
@@ -611,12 +668,12 @@ object Ivm {
     * from the edited side — which is what the DuckDB oracle recomputes
     * from scratch, delta × edited-index exact Jaccard. */
   def dedupRetractBuild(spark: SparkSession, dir: String,
-      timer: (String, Double) => Unit = (_, _) => ()): SegmentedIndexState = {
+      timer: (String, Double) => Unit = (_, _) => (),
+      root: String = Engine.scratchDir("graft_ivm_dedup_")): SegmentedIndexState = {
     def timed[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime(); val r = body
       timer(label, (System.nanoTime() - t0) / 1e9); r
     }
-    val root = Engine.scratchDir("graft_ivm_dedup_")
     val st = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
     timed("build") { Dedup.writeBandIndex(spark, dir, st.base) }
     timed("retract") {
@@ -630,16 +687,59 @@ object Ivm {
     st
   }
 
+  /** Live group map: (base groups ∖ tombstones ∖ delta-ids) ∪ delta
+    * groups — the same delta-wins rule as [[annLiveIndex]] (ADVICE r13:
+    * a re-ingested doc must not appear twice in the membership map even
+    * when the edit stream never tombstoned it). */
+  private def dedupLiveGroups(spark: SparkSession, st: SegmentedIndexState): DataFrame = {
+    val base = spark.read.parquet(s"${st.base}/groups")
+    val tomb = segmentOr(spark, st.tombstones, base.select(col("doc_id")))
+    val delta = segmentOr(spark, s"${st.delta}/groups", base)
+    base
+      .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
+      .join(broadcast(delta.select("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(delta)
+  }
+
   def dedupRetractProbe(spark: SparkSession, dir: String,
       st: SegmentedIndexState): DataFrame = {
-    spark.read.parquet(s"${st.base}/groups")
-      .join(broadcast(spark.read.parquet(st.tombstones)), Seq("doc_id"), "left_anti")
-      .unionByName(spark.read.parquet(s"${st.delta}/groups"))
-      .createOrReplaceTempView("bidx_groups")
-    spark.read.parquet(s"${st.base}/bands")
-      .unionByName(spark.read.parquet(s"${st.delta}/bands"))
+    val baseBands = spark.read.parquet(s"${st.base}/bands")
+    dedupLiveGroups(spark, st).createOrReplaceTempView("bidx_groups")
+    baseBands.unionByName(segmentOr(spark, s"${st.delta}/bands", baseBands))
       .createOrReplaceTempView("bidx_bands")
     Dedup.probeBandViews(spark, dir)
+  }
+
+  /** Compaction on the dedup axis — same law as [[annCompact]], plus the
+    * GC this index actually needs: a band row is keyed by its segment's
+    * REP doc, which may itself be tombstoned while its exact-dup group
+    * lives (its bands stay a valid banded signature for the survivors),
+    * so band liveness is per FP, not per doc. The new base keeps a band
+    * iff its rep's fp still has a live member — dead groups' orphan
+    * bands, the "dead weight" the composed probe expands to zero rows,
+    * are dropped here. rep → fp resolves through the PRE-tombstone group
+    * maps (a rep is a member of its own segment's map by construction). */
+  def dedupCompact(spark: SparkSession, st: SegmentedIndexState,
+      root: String = Engine.scratchDir("graft_ivm_dedup_c_")): SegmentedIndexState = {
+    val nu = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
+    val live = dedupLiveGroups(spark, st)
+    live.write.parquet(s"${nu.base}/groups")
+    val baseGroups = spark.read.parquet(s"${st.base}/groups")
+    val allGroups = baseGroups
+      .unionByName(segmentOr(spark, s"${st.delta}/groups", baseGroups))
+      .distinct()
+    val baseBands = spark.read.parquet(s"${st.base}/bands")
+    baseBands.unionByName(segmentOr(spark, s"${st.delta}/bands", baseBands))
+      .distinct()
+      .join(allGroups, Seq("doc_id"))
+      .join(spark.read.parquet(s"${nu.base}/groups").select("fp").distinct(),
+        Seq("fp"), "left_semi")
+      .select("doc_id", "band_idx", "band_sig")
+      .write.parquet(s"${nu.base}/bands")
+    baseGroups.select("doc_id").limit(0).coalesce(1).write.parquet(nu.tombstones)
+    live.limit(0).coalesce(1).write.parquet(s"${nu.delta}/groups")
+    baseBands.limit(0).coalesce(1).write.parquet(s"${nu.delta}/bands")
+    nu
   }
 
   val dedupRetract: QueryDef = QueryDef.sqlBacked(
@@ -648,7 +748,144 @@ object Ivm {
       "i.doc_id % 10 <> 0 AND (i.doc_id % 2 <> 0 OR i.doc_id % 4 = 0)")
   )((s, d) => dedupRetractProbe(s, d, dedupRetractBuild(s, d)))
 
+  /** LSM-shaped retractable BM25 index (VERDICT r13 #1) — the text
+    * axis's O(|delta|) edit economics, closing the gap [[bm25Retract]]'s
+    * agg-view spelling leaves: that view keys on (doc_id, token), so
+    * every applyDelta rewrites the corpus-sized posting snapshot (its
+    * bench cell shows refresh ≈ init at sf1). Here the STORED
+    * token-sorted posting index ([[TextAnalysis.writeBm25Index]]) is the
+    * immutable base segment:
+    *   - deletes land as a tombstone relation of doc_ids — O(|deletes|);
+    *   - re-ingests tokenize ONLY their slice into a delta segment under
+    *     the same token sort ([[TextAnalysis.writeBm25IndexSlice]]) —
+    *     O(|adds|);
+    *   - the live posting relation is (base ∖ tombstones ∖ delta-ids) ∪
+    *     delta, composed at probe time with broadcast anti-joins (delta
+    *     wins, so a re-ingest never depends on being tombstoned first);
+    *     doclen composes identically, and N/avgdl/df re-derive from the
+    *     composed relations, so [[TextAnalysis.bm25Sql]] runs verbatim.
+    * The base segment's files are never rewritten (IvmSpec pins the
+    * inventory captured when the init phase completes), so an edit costs
+    * the tombstone write plus |delta|'s tokenization — the
+    * `ivm_bm25_lsm_refresh_sf1` bench cell measures retract+append ≪
+    * init. Scenario: retract doc_id % 13 = 0, re-ingest the % 26 = 0
+    * half; the probe must equal one-shot bigram BM25 over the edited
+    * corpus — what the DuckDB oracle recomputes from scratch. (Query
+    * docs < 8 must survive the edit for engine and oracle to agree on
+    * the query set — doc 0 is retracted AND re-added, so all 8 do.) */
+  def bm25LsmBuild(spark: SparkSession, dir: String,
+      timer: (String, Double) => Unit = (_, _) => (),
+      root: String = Engine.scratchDir("graft_ivm_bm25lsm_")): SegmentedIndexState = {
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val r = body
+      timer(label, (System.nanoTime() - t0) / 1e9); r
+    }
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    val st = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
+    timed("init") { TextAnalysis.writeBm25Index(spark, dir, st.base) }
+    timed("retract") {
+      spark.sql("SELECT doc_id FROM documents WHERE doc_id % 13 = 0")
+        .write.mode("overwrite").parquet(st.tombstones)
+    }
+    timed("append") {
+      TextAnalysis.writeBm25IndexSlice(spark, dir, st.delta, pred = "doc_id % 26 = 0")
+    }
+    st
+  }
+
+  def bm25LsmProbe(spark: SparkSession, dir: String,
+      st: SegmentedIndexState): DataFrame = {
+    val basePost = spark.read.parquet(s"${st.base}/postings")
+    val tomb = segmentOr(spark, st.tombstones, basePost.select(col("doc_id")))
+    val deltaPost = segmentOr(spark, s"${st.delta}/postings", basePost)
+    val deltaIds = broadcast(deltaPost.select("doc_id").distinct())
+    def live(base: DataFrame, delta: DataFrame): DataFrame =
+      base
+        .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
+        .join(deltaIds, Seq("doc_id"), "left_anti")
+        .unionByName(delta)
+    live(basePost, deltaPost).createOrReplaceTempView("ivm_bm25_lsm_post")
+    val baseDl = spark.read.parquet(s"${st.base}/doclen")
+    live(baseDl, segmentOr(spark, s"${st.delta}/doclen", baseDl))
+      .createOrReplaceTempView("ivm_bm25_lsm_dl")
+    spark.sql(TextAnalysis.bm25Sql(
+      "SELECT DISTINCT doc_id AS query_id, token FROM ivm_bm25_lsm_post WHERE doc_id < 8",
+      10, postRel = "ivm_bm25_lsm_post",
+      dlRel = "SELECT doc_id, dl FROM ivm_bm25_lsm_dl"))
+  }
+
+  /** Compaction on the text axis — same law as [[annCompact]]: fold the
+    * live posting and doclen relations into a new immutable base (under
+    * the same token sort, so probe-side row-group pruning survives the
+    * fold), reset the edit relations. */
+  def bm25LsmCompact(spark: SparkSession, st: SegmentedIndexState,
+      root: String = Engine.scratchDir("graft_ivm_bm25lsm_c_")): SegmentedIndexState = {
+    val nu = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
+    val basePost = spark.read.parquet(s"${st.base}/postings")
+    val tomb = segmentOr(spark, st.tombstones, basePost.select(col("doc_id")))
+    val deltaPost = segmentOr(spark, s"${st.delta}/postings", basePost)
+    val deltaIds = broadcast(deltaPost.select("doc_id").distinct())
+    def live(base: DataFrame, delta: DataFrame): DataFrame =
+      base
+        .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
+        .join(deltaIds, Seq("doc_id"), "left_anti")
+        .unionByName(delta)
+    live(basePost, deltaPost)
+      .repartition(col("token")).sortWithinPartitions("token")
+      .write.parquet(s"${nu.base}/postings")
+    val baseDl = spark.read.parquet(s"${st.base}/doclen")
+    live(baseDl, segmentOr(spark, s"${st.delta}/doclen", baseDl))
+      .write.parquet(s"${nu.base}/doclen")
+    tomb.limit(0).coalesce(1).write.parquet(nu.tombstones)
+    basePost.limit(0).coalesce(1).write.parquet(s"${nu.delta}/postings")
+    baseDl.limit(0).coalesce(1).write.parquet(s"${nu.delta}/doclen")
+    nu
+  }
+
+  val bm25Lsm: QueryDef = QueryDef.sqlBacked(
+    "ivm_bm25_lsm",
+    TextAnalysis.bm25OracleOver(TextAnalysis.bigramDtDuck(
+      "(SELECT * FROM documents WHERE doc_id % 13 <> 0 OR doc_id % 26 = 0)"))
+  )((s, d) => bm25LsmProbe(s, d, bm25LsmBuild(s, d)))
+
+  /** The ANN retract loop maintained by a STREAM of signed edits
+    * (VERDICT r13 #4): the same (retract % 13, re-ingest % 26) scenario
+    * as `ivm_ann`, but the edits arrive as micro-batches of (vec_id,
+    * freq ±1) rows that [[graft.streaming.Streams.maintainAnnIndex]]
+    * folds into tombstone appends and delta segments via foreachBatch —
+    * the production serving loop for the LSM indexes, probed live
+    * between batches (the probe's segment-tolerant reads and delta-wins
+    * rule make it correct at every stream point). Same edited-corpus
+    * oracle as `ivm_ann`: stream-of-edits ≡ batch edit ≡ one-shot
+    * rebuild. */
+  val annStream: QueryDef = QueryDef.sqlBacked(
+    "ivm_ann_stream",
+    Similarity.ivfSq8OracleOver(
+      "(SELECT * FROM embeddings WHERE vec_id % 13 <> 0 OR vec_id % 26 = 0)")
+  ) { (spark, dir) =>
+    val root = Engine.scratchDir("graft_ivm_annstr_")
+    val st = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
+    Similarity.writeIvfSq8Index(spark, dir, st.base) // registers `embeddings`
+    val editDir = Engine.scratchDir("graft_ivm_annstr_e_")
+    spark.sql("""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(-1 AS BIGINT) AS freq
+                |FROM embeddings WHERE vec_id % 13 = 0""".stripMargin)
+      .write.parquet(s"$editDir/b1")
+    spark.sql("""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(1 AS BIGINT) AS freq
+                |FROM embeddings WHERE vec_id % 26 = 0""".stripMargin)
+      .write.parquet(s"$editDir/b2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("freq",
+        org.apache.spark.sql.types.LongType)))
+    val edits = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(editDir)
+    val q = graft.streaming.Streams.maintainAnnIndex(edits, dir, st)
+    try q.processAllAvailable() finally q.stop()
+    annRetractProbe(spark, dir, st)
+  }
+
   val all: Seq[QueryDef] =
     Seq(refresh, extrema, distinct, topk, join, pipeline, postings, bm25Retract,
-      nbRetract, annRetract, dedupRetract)
+      nbRetract, annRetract, dedupRetract, bm25Lsm, annStream)
 }

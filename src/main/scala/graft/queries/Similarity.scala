@@ -1308,10 +1308,20 @@ object Similarity {
   }
 
   /** The SQ8 probe oracle over an arbitrary corpus source — `src` is any
-    * DuckDB relation with (vec_id, embedding). The retractable-index key
-    * (`ivm_ann`, [[graft.queries.Ivm.annRetract]]) recomputes the probe
-    * from scratch over the EDITED corpus with this same text; the plain
-    * keys use the full table. */
+    * DuckDB relation with (vec_id, embedding). The retractable-index keys
+    * (`ivm_ann`/`ivm_ann_stream`, [[graft.queries.Ivm.annRetract]])
+    * recompute the probe from scratch over the EDITED corpus with this
+    * same text; the plain keys use the full table.
+    *
+    * Constraint on edited sources (ADVICE r13): this oracle draws its
+    * query set (`vec_id < 8`) from `src` — the edited corpus — while the
+    * engine's [[probeSq8View]] draws queries from the FULL embeddings
+    * table. They agree exactly when every query id survives the edit, so
+    * any edit slice passed here MUST keep vec_ids 0–7 alive (the
+    * % 13 / % 26 scenario does: 0 is retracted but re-added, 1–7 are
+    * untouched). A slice retracting a query id without re-adding it
+    * would silently drop that query from the oracle only — declare the
+    * survival property at the slice definition, as Ivm's keys do. */
   private[graft] def ivfSq8OracleOver(src: String): String =
     s"""WITH cent AS ($centroidDuck),
        |e AS (

@@ -45,15 +45,21 @@ object TextAnalysis {
     * to double digits and every query bigram carries positive idf. A doc
     * with fewer than two tokens owns no bigrams and drops out of N/avgdl —
     * a declared contract the oracle replays. */
+  /** The bigram posting aggregate as Spark SQL over `srcRel` — shared by
+    * the session cache ([[bigramPostings]]) and the LSM delta-segment
+    * writer ([[writeBm25IndexSlice]], which must tokenize only its slice
+    * without evicting the session's full-corpus cache). */
+  private def bigramAggSql(srcRel: String): String =
+    s"""SELECT doc_id, token, count(*) AS tf FROM (
+       |  SELECT doc_id, explode(CASE WHEN size(tk) < 2 THEN array()
+       |    ELSE zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+       |                  (a, b) -> concat(a, ' ', b)) END) AS token
+       |  FROM (SELECT doc_id, filter(split(lower(text), ' '), x -> x <> '') AS tk
+       |        FROM $srcRel)) t
+       |GROUP BY doc_id, token""".stripMargin
+
   private[queries] def bigramPostings(spark: SparkSession, corpusRel: String): Unit = {
-    val tf = Engine.cacheSwap("btok_tf", spark.sql(
-      s"""SELECT doc_id, token, count(*) AS tf FROM (
-         |  SELECT doc_id, explode(CASE WHEN size(tk) < 2 THEN array()
-         |    ELSE zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
-         |                  (a, b) -> concat(a, ' ', b)) END) AS token
-         |  FROM (SELECT doc_id, filter(split(lower(text), ' '), x -> x <> '') AS tk
-         |        FROM $corpusRel)) t
-         |GROUP BY doc_id, token""".stripMargin))
+    val tf = Engine.cacheSwap("btok_tf", spark.sql(bigramAggSql(corpusRel)))
     tf.createOrReplaceTempView("btok_tf")
   }
 
@@ -1077,6 +1083,29 @@ object TextAnalysis {
       bigram: Boolean = true): Unit = {
     docs(spark, dir)
     writeBm25Slice(spark, "documents", path, "overwrite", bigram)
+  }
+
+  /** Write ONE doc slice's bigram postings + lengths as an index segment
+    * — the delta-segment writer of the LSM-shaped retractable text index
+    * ([[graft.queries.Ivm.bm25LsmBuild]]). Same layout as
+    * [[writeBm25Index]] (token-sorted postings so a probe's token
+    * predicate still prunes row groups, plus the per-doc length
+    * relation), but the slice's postings are computed in one direct pass
+    * and cached only for the duration of the two writes — a delta write
+    * must never evict the session's full-corpus posting cache, and its
+    * cost must ride |slice|, not the corpus. */
+  def writeBm25IndexSlice(spark: SparkSession, dir: String, path: String,
+      pred: String): Unit = {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    docs(spark, dir)
+    val post = spark.sql(
+      bigramAggSql(s"(SELECT doc_id, text FROM documents WHERE $pred)")).cache()
+    try {
+      post.repartition(col("token")).sortWithinPartitions("token")
+        .write.mode("overwrite").parquet(s"$path/postings")
+      post.groupBy(col("doc_id")).agg(fsum(col("tf")).as("dl"))
+        .write.mode("overwrite").parquet(s"$path/doclen")
+    } finally { post.unpersist(blocking = false); () }
   }
 
   /** The query batch's (query_id, token) relation over `bm25_queries`,

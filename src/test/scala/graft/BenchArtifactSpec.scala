@@ -9,8 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * true floor — a deliberately contended run leaves every committed
   * cell's time unchanged or better and can only ADD evidence); totals
   * and floors are recomputed from the merged cells; the winning side's
-  * cellcal stamp rides with its time; non-tier evidence extras keep the
-  * r11 2×-cal-bound rule; and the per-cell outlier-retry decision fires
+  * cellcal stamp rides with its time; non-tier evidence extras min-merge
+  * their timing leaves per leaf (VERDICT r13 #2 — the wholesale rule let
+  * a contended run regress the committed nProbe sweep ~5×) while
+  * deterministic leaves take the fresh value; and the per-cell
+  * outlier-retry decision fires
   * exactly on the ">3× committed AND >1 s" class that produced the
   * r9/r10/r11 "driver artifact vs warm floor" adjudications. */
 class BenchArtifactSpec extends AnyFunSuite {
@@ -109,13 +112,48 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(merged.get("scaling").get("queries").get("q1_agg").asDouble == 0.5)
   }
 
-  test("non-tier evidence extras keep the cal-bound replacement rule") {
-    // ann_nprobe_sweep has no queries group: r11 rule applies — here it
-    // has no cal either, so replacement is admitted (nothing to compare)
-    val newSweep = full.replace("{\"p1\":{\"recall\":0.2,\"sec\":0.3}}",
-      "{\"p1\":{\"recall\":0.25,\"sec\":0.28}}")
-    val merged = node(BenchArtifact.merge(Some(full), newSweep))
-    assert(merged.get("ann_nprobe_sweep_sf1").get("p1").get("recall").asDouble == 0.25)
+  test("evidence extras min-merge timing leaves per leaf (the r13 sweep regression class)") {
+    // the r13 failure shape: a contended run measured the sweep's sec
+    // cells ~5x slower and the old wholesale rule committed them. Timing
+    // leaves now keep the min; recall is deterministic so fresh wins.
+    val contendedSweep = full.replace("{\"p1\":{\"recall\":0.2,\"sec\":0.3}}",
+      "{\"p1\":{\"recall\":0.25,\"sec\":1.97}}")
+    var logged = List.empty[String]
+    val merged = node(BenchArtifact.merge(Some(full), contendedSweep,
+      log = m => logged ::= m))
+    val p1 = merged.get("ann_nprobe_sweep_sf1").get("p1")
+    assert(p1.get("sec").asDouble == 0.3) // committed floor kept
+    assert(p1.get("recall").asDouble == 0.25) // deterministic: fresh stands
+    assert(logged.exists(m => m.contains("ann_nprobe_sweep_sf1/p1/sec")))
+
+    // a faster fresh timing replaces the committed one
+    val faster = full.replace("{\"p1\":{\"recall\":0.2,\"sec\":0.3}}",
+      "{\"p1\":{\"recall\":0.2,\"sec\":0.22}}")
+    val merged2 = node(BenchArtifact.merge(Some(full), faster))
+    assert(merged2.get("ann_nprobe_sweep_sf1").get("p1").get("sec").asDouble == 0.22)
+  }
+
+  test("evidence extras carry forward leaves and nested points the new run lacks") {
+    // an extras section measured with FEWER sweep points must not lose
+    // the committed ones (interrupted run), and refresh-phase cells
+    // min-merge by name
+    val withRefresh = full.replace(
+      "\"ann_nprobe_sweep_sf1\":{\"p1\":{\"recall\":0.2,\"sec\":0.3}}",
+      "\"ann_nprobe_sweep_sf1\":{\"p1\":{\"recall\":0.2,\"sec\":0.3}," +
+        "\"p2\":{\"recall\":0.4,\"sec\":0.42}}," +
+        "\"ivm_bm25_refresh_sf1\":{\"init\":1.8,\"refresh\":1.7,\"probe\":0.9}")
+    val partialNew = full.replace(
+      "\"ann_nprobe_sweep_sf1\":{\"p1\":{\"recall\":0.2,\"sec\":0.3}}",
+      "\"ann_nprobe_sweep_sf1\":{\"p1\":{\"recall\":0.2,\"sec\":0.29}}," +
+        "\"ivm_bm25_refresh_sf1\":{\"init\":2.1,\"refresh\":0.4,\"probe\":1.2}")
+    val merged = node(BenchArtifact.merge(Some(withRefresh), partialNew))
+    val sweep = merged.get("ann_nprobe_sweep_sf1")
+    assert(sweep.get("p1").get("sec").asDouble == 0.29) // fresh faster
+    assert(sweep.get("p2").get("sec").asDouble == 0.42) // carried forward
+    val r = merged.get("ivm_bm25_refresh_sf1")
+    assert(r.get("init").asDouble == 1.8)    // committed faster
+    assert(r.get("refresh").asDouble == 0.4) // fresh faster
+    assert(r.get("probe").asDouble == 0.9)   // committed faster
   }
 
   test("no or unparseable committed artifact: the new run stands as-is") {

@@ -213,6 +213,32 @@ class ClassifySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpus-drift guards: both classes populated in the train slice; the curve has real bins") {
+    // The ta_bm25 lesson applied to this axis (VERDICT r13 #6): every
+    // classifier key rides the two-token 'fast'/'slow' rule — a corpus
+    // regeneration that rebalanced those tokens would silently vacuate
+    // the axis (degenerate one-class training, a flat operating curve)
+    // while every oracle stayed green. Fail LOUDLY here instead, at the
+    // test corpus and at the driver's sf0.01 gate corpus.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")
+         if new java.io.File(s"$dir/documents.parquet").exists) {
+      Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+      val r = spark.sql(
+        """SELECT sum(pos) AS p, count(*) AS n FROM (
+          |  SELECT CASE WHEN size(filter(split(lower(text), ' '), x -> x = 'fast'))
+          |            > size(filter(split(lower(text), ' '), x -> x = 'slow'))
+          |         THEN 1 ELSE 0 END AS pos
+          |  FROM documents WHERE doc_id % 2 = 0) t""".stripMargin).collect()(0)
+      val (p, n) = (r.getLong(0), r.getLong(1))
+      assert(p * 10 >= n && (n - p) * 10 >= n,
+        s"train slice degenerate at $dir: $p positive of $n — corpus drift " +
+          "has vacuated the weak-supervision rule; re-pick the label tokens")
+    }
+    val bins = Classify.nbPr(spark, sf).collect().map(_.getLong(0)).distinct
+    assert(bins.length >= 3,
+      s"operating curve collapsed to ${bins.length} bit bins — scores no longer separate")
+  }
+
   test("plan contracts: the model broadcasts into the scoring join; DSIR selects via top-k, not a global sort") {
     val cPlan = Classify.classify(spark, sf).queryExecution.executedPlan.toString
     assert(cPlan.contains("BroadcastHashJoin"),

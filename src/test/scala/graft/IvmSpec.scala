@@ -290,15 +290,20 @@ class IvmSpec extends AnyFunSuite {
     // oracle proves the same cross-engine; this localizes a failure to
     // the segment composition.)
     val phases = scala.collection.mutable.Map.empty[String, Double]
-    val st = queries.Ivm.annRetractBuild(spark, sf, (k, v) => phases(k) = v)
+    // O(|delta|) law: the base inventory is captured the moment the
+    // BUILD phase completes (ADVICE r13 — snapshotting after the builder
+    // returned only proved the PROBE left the base alone; this proves
+    // retract and append never rewrote it either).
+    val root = Engine.scratchDir("graft_ivm_ann_spec_")
+    var atBuild: Set[(String, Long, Long)] = null
+    val st = queries.Ivm.annRetractBuild(spark, sf, (k, v) => {
+      phases(k) = v
+      if (k == "build") atBuild = inventory(s"$root/base")
+    }, root)
     assert(phases.keySet == Set("build", "retract", "append"),
       "timer hook must see all three phases")
-
-    // O(|delta|) law: composing the edit must not touch the base
-    // segment — capture its file inventory (path, length, mtime) before
-    // the probe and compare after; retract/append already ran, so the
-    // inventory itself proves they wrote elsewhere.
-    val before = inventory(st.base)
+    assert(inventory(st.base) == atBuild,
+      "retract/append rewrote base segment files — maintenance must be O(|delta|)")
 
     val maintained = queries.Ivm.annRetractProbe(spark, sf, st)
       .collect().map(_.toString).toSeq
@@ -313,10 +318,25 @@ class IvmSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty && maintained == oneShot,
       s"composed-index ranking diverged (one-shot ${oneShot.size} rows, " +
         s"maintained ${maintained.size})")
-    assert(inventory(st.base) == before,
-      "the edit rewrote base segment files — maintenance must be O(|delta|)")
+    assert(inventory(st.base) == atBuild,
+      "the probe rewrote base segment files — maintenance must be O(|delta|)")
     // vec 0 is retracted AND audit-cleared (0 % 26 == 0): all 8 queries rank
     assert(maintained.map(_.split(",")(0).drop(1)).distinct.size == 8)
+
+    // compaction law (VERDICT r13 #2): folding (base ∖ tombstones ∖
+    // delta-ids) ∪ delta into a new base changes NOTHING the probe can
+    // see, and the new base is itself immutable under probing
+    val cst = queries.Ivm.annCompact(spark, st)
+    val atCompact = inventory(cst.base)
+    val compacted = queries.Ivm.annRetractProbe(spark, sf, cst)
+      .collect().map(_.toString).toSeq
+    assert(compacted == maintained, "compacted probe diverged from composed probe")
+    assert(inventory(cst.base) == atCompact,
+      "probing rewrote compacted base files")
+    // and the consumed edit history is gone: the compacted state's edit
+    // relations are empty (dead weight GC'd, not carried)
+    assert(spark.read.parquet(cst.tombstones).count() == 0)
+    assert(spark.read.parquet(cst.delta).count() == 0)
   }
 
   test("ivm_dedup: tombstone-filtered groups over immutable bands equal one-shot on the edited index") {
@@ -325,10 +345,16 @@ class IvmSpec extends AnyFunSuite {
     // same-fp docs carry identical text (a deleted rep's bands stay a
     // correct banded signature for its surviving group members).
     val phases = scala.collection.mutable.Map.empty[String, Double]
-    val st = queries.Ivm.dedupRetractBuild(spark, sf, (k, v) => phases(k) = v)
+    val root = Engine.scratchDir("graft_ivm_dedup_spec_")
+    var atBuild: Set[(String, Long, Long)] = null
+    val st = queries.Ivm.dedupRetractBuild(spark, sf, (k, v) => {
+      phases(k) = v
+      if (k == "build") atBuild = inventory(s"$root/base")
+    }, root)
     assert(phases.keySet == Set("build", "retract", "append"),
       "timer hook must see all three phases")
-    val before = inventory(st.base)
+    assert(inventory(st.base) == atBuild,
+      "retract/append rewrote base segment files — maintenance must be O(|delta|)")
 
     val maintained = queries.Ivm.dedupRetractProbe(spark, sf, st)
       .collect().map(_.toString).toSeq
@@ -342,7 +368,128 @@ class IvmSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty && maintained == oneShot,
       s"composed-index probe diverged (one-shot ${oneShot.size} rows, " +
         s"maintained ${maintained.size})")
-    assert(inventory(st.base) == before,
-      "the edit rewrote base segment files — maintenance must be O(|delta|)")
+    assert(inventory(st.base) == atBuild,
+      "the probe rewrote base segment files — maintenance must be O(|delta|)")
+
+    // compaction law on the dedup axis, including the GC this index
+    // needs: dead groups' orphan bands are DROPPED in the fold (band
+    // liveness is per fp — a tombstoned rep's bands survive while any
+    // group member lives), yet the probe sees no difference
+    val cst = queries.Ivm.dedupCompact(spark, st)
+    val compacted = queries.Ivm.dedupRetractProbe(spark, sf, cst)
+      .collect().map(_.toString).toSeq
+    assert(compacted == maintained, "compacted probe diverged from composed probe")
+    assert(spark.read.parquet(cst.tombstones).count() == 0)
+    assert(spark.read.parquet(s"${cst.delta}/groups").count() == 0)
+    // the GC is real: every surviving band's fp has a live member, and
+    // at least one dead group's bands were actually dropped by the fold
+    val liveFps = spark.read.parquet(s"${cst.base}/groups")
+      .select("fp").distinct().collect().map(_.getString(0)).toSet
+    val allGroups = spark.read.parquet(s"${st.base}/groups")
+      .unionByName(spark.read.parquet(s"${st.delta}/groups"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keptBandReps = spark.read.parquet(s"${cst.base}/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(keptBandReps.forall(r => liveFps.contains(allGroups(r))),
+      "compaction kept a band whose whole group is dead")
+    val beforeBands = spark.read.parquet(s"${st.base}/bands")
+      .unionByName(spark.read.parquet(s"${st.delta}/bands")).count()
+    assert(spark.read.parquet(s"${cst.base}/bands").count() < beforeBands,
+      "compaction GC'd nothing — the edit kills whole groups, bands must shrink")
+  }
+
+  test("ivm_bm25_lsm: tombstone + delta-segment posting probe equals one-shot BM25 on the edited corpus") {
+    // The text axis's O(|delta|) shape (VERDICT r13 #1): the stored
+    // token-sorted posting index is the immutable base; the edit is a
+    // tombstone write plus the re-ingested slice's OWN tokenization.
+    val phases = scala.collection.mutable.Map.empty[String, Double]
+    val root = Engine.scratchDir("graft_ivm_bm25lsm_spec_")
+    var atInit: Set[(String, Long, Long)] = null
+    val st = queries.Ivm.bm25LsmBuild(spark, sf, (k, v) => {
+      phases(k) = v
+      if (k == "init") atInit = inventory(s"$root/base")
+    }, root)
+    assert(phases.keySet == Set("init", "retract", "append"),
+      "timer hook must see all three phases")
+    assert(inventory(st.base) == atInit,
+      "retract/append rewrote base posting files — maintenance must be O(|delta|)")
+
+    val maintained = queries.Ivm.bm25LsmProbe(spark, sf, st)
+      .collect().map(_.toString).toSeq
+
+    // one-shot reference: bigram BM25 over a corpus that never contained
+    // the deleted docs (and kept the re-ingested ones)
+    val editedDir = Engine.scratchDir("graft_ivm_bm25lsm_ref_")
+    Engine.table(spark, sf, "documents")
+      .filter("doc_id % 13 <> 0 OR doc_id % 26 = 0")
+      .write.mode("overwrite").parquet(s"$editedDir/documents.parquet")
+    val oneShot = queries.TextAnalysis.bm25Bigram(spark, editedDir)
+      .collect().map(_.toString).toSeq
+
+    assert(oneShot.nonEmpty && maintained == oneShot,
+      s"composed posting probe diverged (one-shot ${oneShot.size} rows, " +
+        s"maintained ${maintained.size})")
+    assert(inventory(st.base) == atInit,
+      "the probe rewrote base posting files")
+    // doc 0 is retracted AND re-added via % 26: all 8 census queries rank
+    assert(maintained.map(_.split(",")(0).drop(1)).distinct.size == 8)
+
+    // compaction law on the text axis
+    val cst = queries.Ivm.bm25LsmCompact(spark, st)
+    val compacted = queries.Ivm.bm25LsmProbe(spark, sf, cst)
+      .collect().map(_.toString).toSeq
+    assert(compacted == maintained, "compacted probe diverged from composed probe")
+    assert(spark.read.parquet(cst.tombstones).count() == 0)
+    assert(spark.read.parquet(s"${cst.delta}/postings").count() == 0)
+  }
+
+  test("ivm_ann_stream: a stream of signed edits equals the batch edit and the one-shot rebuild") {
+    // The serving loop (VERDICT r13 #4): micro-batches of (vec_id, ±1)
+    // edits fold into tombstone appends / delta segments via
+    // foreachBatch, and the index serves correctly BETWEEN batches.
+    val root = Engine.scratchDir("graft_ivm_annstr_spec_")
+    val st = queries.Ivm.SegmentedIndexState(
+      s"$root/base", s"$root/tombstones", s"$root/delta")
+    queries.Similarity.writeIvfSq8Index(spark, sf, st.base)
+    val baseInv = inventory(st.base)
+    val editDir = Engine.scratchDir("graft_ivm_annstr_spec_e_")
+    spark.sql("""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(-1 AS BIGINT) AS freq
+                |FROM embeddings WHERE vec_id % 13 = 0""".stripMargin)
+      .write.parquet(s"$editDir/b1")
+    val schema = spark.read.parquet(s"$editDir/b1").schema
+    val edits = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(editDir)
+    val q = graft.streaming.Streams.maintainAnnIndex(edits, sf, st)
+    try {
+      q.processAllAvailable()
+      // mid-stream: only the retract batch has landed (no delta segment
+      // exists yet — the segment-tolerant probe must still serve) and
+      // the live index equals a one-shot over the deletes-only corpus
+      val midProbe = queries.Ivm.annRetractProbe(spark, sf, st)
+        .collect().map(_.toString).toSeq
+      val midIdx = Engine.scratchDir("graft_ivm_annstr_mid_") + "/index"
+      queries.Similarity.writeIvfSq8Index(spark, sf, midIdx,
+        slice = "vec_id % 13 <> 0")
+      val midOneShot = queries.Similarity.probeIvfSq8Index(spark, sf, midIdx)
+        .collect().map(_.toString).toSeq
+      assert(midProbe.nonEmpty && midProbe == midOneShot,
+        "mid-stream probe diverged from the deletes-only one-shot")
+
+      // second micro-batch: the audit-cleared re-ingests
+      spark.sql("""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(1 AS BIGINT) AS freq
+                  |FROM embeddings WHERE vec_id % 26 = 0""".stripMargin)
+        .write.parquet(s"$editDir/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = queries.Ivm.annRetractProbe(spark, sf, st)
+      .collect().map(_.toString).toSeq
+    val batchSt = queries.Ivm.annRetractBuild(spark, sf)
+    val batch = queries.Ivm.annRetractProbe(spark, sf, batchSt)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "stream-of-edits diverged from the batch edit")
+    assert(inventory(st.base) == baseInv,
+      "the edit stream rewrote base segment files")
   }
 }
