@@ -42,12 +42,17 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // Let AQE swap a sort-merge join for a shuffled hash join when the
-      // runtime stats show every build-side partition fits a local map
-      // (<=256 MiB). The two O(n log n) sorts on lineitem⋈orders are the
-      // dominant cost of q3/q5/q10 at sf10; the conversion is safe at any
-      // scale because AQE only applies it per-partition-size, never on
-      // estimates.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
+      // runtime stats show every build-side partition fits a local map.
+      // The two O(n log n) sorts on lineitem⋈orders are the dominant
+      // cost of q3/q5/q10 at sf10, and their per-partition build sides
+      // are tens of MB — well under this cap. The cap itself must price
+      // CONCURRENCY, not one task: at 256m, 32 simultaneous builds may
+      // claim the entire 8 GiB unified pool, and at the 1000× tier the
+      // classifier's corpus×corpus doc_id joins died exactly there
+      // ("not enough memory to build hash map", measured r14). 64 MiB ×
+      // 32 tasks caps concurrent build memory at 2 GiB; anything larger
+      // belongs in a sort-merge join anyway.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       // Broadcast threshold stays at the Spark DEFAULT (10m). Round 7
       // raised it session-wide to 64m for the TPC-H dimension joins and
       // the judge measured the blast radius: dedup_minhash_lsh compiled

@@ -102,9 +102,14 @@ object Classify {
     * dropped. llr adds the prior flog2(n1+1) − flog2(n0+1) once per doc;
     * keep = llr >= 0. Every sum is a BIGINT sum.
     *
-    * Plan: cls/w are vocabulary-sized → Spark broadcasts them into the
-    * left join over the scoring postings; tot/pri are scalar cross joins;
-    * the per-doc roll-up is the one corpus-proportional exchange. */
+    * Plan: cls/w are vocabulary-sized → the explicit BROADCAST hint puts
+    * them on the build side of the left join over the scoring postings
+    * at ANY tier (the aggregate's size is statistics-less, so at the
+    * 1000× tier the estimator alone stops broadcasting and falls into a
+    * corpus-side hashed relation — the hint is correctness-of-plan, and
+    * DuckDB reads it as a plain comment, so the shared text stays one
+    * source); tot/pri are scalar cross joins; the per-doc roll-up is the
+    * one corpus-proportional exchange. */
   private[queries] def nbScoreSql(trBody: String, priBody: String,
       scoreBody: String, f: String => String): String =
     s"""WITH tr AS ($trBody),
@@ -121,7 +126,7 @@ object Classify {
        |      - (${f("c.c0 + 1")} - ${f("t.t0 + t.v")}) AS w
        |  FROM cls c CROSS JOIN tot t),
        |sc AS (
-       |  SELECT s.doc_id,
+       |  SELECT /*+ BROADCAST(w) */ s.doc_id,
        |    sum(s.tf * coalesce(w.w, ${f("t.t0 + t.v")} - ${f("t.t1 + t.v")})) AS lw
        |  FROM ($scoreBody) s
        |  LEFT JOIN w ON s.token = w.token
@@ -143,8 +148,12 @@ object Classify {
       |GROUP BY doc_id, token""".stripMargin
   private val sparkPost = "SELECT doc_id, token, tf FROM tok_tf"
 
+  // MERGE hint: postings ⋈ labels is corpus×corpus on doc_id — sort-merge
+  // at any tier (co-partitioned on a real cluster); a hash build of either
+  // side rides corpus size (the measured sf100 OOM class). DuckDB reads
+  // the hint as a comment.
   private def trOver(postRel: String, edit: String = ""): String =
-    s"""SELECT t.token, d.pos, t.tf
+    s"""SELECT /*+ MERGE(d) */ t.token, d.pos, t.tf
        |FROM ($postRel) t JOIN (${trainDocsOver(postRel, edit)}) d ON t.doc_id = d.doc_id""".stripMargin
   private def priOver(docsRel: String): String =
     s"""SELECT sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS n1,
@@ -216,7 +225,7 @@ object Classify {
     s"""WITH sc AS (${nbScoreSql(trBody, priBody, scoreBody, f)}),
        |lab AS ($truthBody),
        |binned AS (
-       |  SELECT CAST(floor(sc.llr / 65536.0) AS BIGINT) AS bit_bin,
+       |  SELECT /*+ MERGE(lab) */ CAST(floor(sc.llr / 65536.0) AS BIGINT) AS bit_bin,
        |    count(*) AS n, sum(lab.pos) AS pos
        |  FROM sc JOIN lab ON sc.doc_id = lab.doc_id
        |  GROUP BY CAST(floor(sc.llr / 65536.0) AS BIGINT))
@@ -269,6 +278,14 @@ object Classify {
   // truncating `div` and DuckDB's flooring `//` agree. Bounds: |w| ≤
   // 2·63·2^16 < 2^23 even at BIGINT-count scale, so w+2^24 > 0 and the
   // scaled sum stays far inside BIGINT.
+  // Plan discipline at the 1000× tier (measured, 5 M docs): every CTE
+  // here is statistics-less, so the estimator alone neither broadcasts
+  // the 1024-row bucket-weight relation nor avoids hashing a corpus-
+  // sized side of the doc_id joins — the first sf100 run died building
+  // a corpus-sized LongHashedRelation. The hints state what is true at
+  // ANY scale: wb is lattice-sized (broadcast), bt⋈tgtd and dw⋈dlen are
+  // corpus×corpus doc_id joins (sort-merge; co-partitioned on a real
+  // cluster). DuckDB reads the hints as comments — one shared text.
   private val dsirBuckets = 1024
   private val dsirK = 128
   private val dsirShift = 1 << 24
@@ -286,7 +303,7 @@ object Classify {
        |    FROM post GROUP BY doc_id) g
        |  WHERE v * 16 >= n),
        |tgt AS (
-       |  SELECT bt.b, sum(bt.tf) AS ct FROM bt
+       |  SELECT /*+ MERGE(tgtd) */ bt.b, sum(bt.tf) AS ct FROM bt
        |  JOIN tgtd ON bt.doc_id = tgtd.doc_id
        |  GROUP BY bt.b),
        |raw AS (SELECT b, sum(tf) AS cr FROM bt GROUP BY b),
@@ -298,11 +315,11 @@ object Classify {
        |      - (${f("r.cr + 1")} - ${f(s"t.tr + $dsirBuckets")}) + $dsirShift AS w
        |  FROM raw r LEFT JOIN tgt g ON r.b = g.b CROSS JOIN tots t),
        |dw AS (
-       |  SELECT bt.doc_id, sum(bt.tf * wb.w) AS sw
+       |  SELECT /*+ BROADCAST(wb) */ bt.doc_id, sum(bt.tf * wb.w) AS sw
        |  FROM bt JOIN wb ON bt.b = wb.b
        |  GROUP BY bt.doc_id),
        |nwr AS (
-       |  SELECT dw.doc_id,
+       |  SELECT /*+ MERGE(dlen) */ dw.doc_id,
        |    CAST((dw.sw * 65536) $idiv dlen.n_tok AS BIGINT) AS nw
        |  FROM dw JOIN dlen ON dw.doc_id = dlen.doc_id)
        |SELECT doc_id, nw,
@@ -365,7 +382,7 @@ object Classify {
     * retractable state's deltas on (a document's withdrawal is one freq
     * −1 over exactly these rows). */
   private[queries] def sparkTrainPostingsWithDoc(edit: String = ""): String =
-    s"""SELECT t.doc_id, t.token, d.pos, t.tf
+    s"""SELECT /*+ MERGE(d) */ t.doc_id, t.token, d.pos, t.tf
        |FROM tok_tf t JOIN (${trainDocsOver(sparkPost, edit)}) d ON t.doc_id = d.doc_id""".stripMargin
 
   val all: Seq[QueryDef] = Seq(nbTrain, classifyDef, nbPrDef, dsirDef)

@@ -793,24 +793,66 @@ object Ivm {
     st
   }
 
+  /** Probe the composed text index. The probe PRUNES both posting
+    * segments to the query batch's vocabulary BEFORE composing them
+    * (the same bounded-collect → pushed-filter shape as
+    * [[TextAnalysis.probeBm25Index]], riding the token sort's row-group
+    * pruning): the first cut composed the full corpus-sized posting
+    * union and ran bm25Sql over it — at the 1000× tier (5 M docs) that
+    * plan built corpus-sized hash maps from a statistics-less union and
+    * died of executor memory, a measured scale-killer. After pruning,
+    * everything downstream of the anti-joins is proportional to the
+    * query tokens' postings; the one corpus-sized input left is the
+    * composed doclen relation, which feeds a 2-column aggregate (N,
+    * avgdl) and the per-candidate length join — the same inputs the
+    * stored-index probe handles at 5 M docs. df still comes exactly
+    * from the pruned slice (count over the live postings per token). */
   def bm25LsmProbe(spark: SparkSession, dir: String,
-      st: SegmentedIndexState): DataFrame = {
+      st: SegmentedIndexState, k: Int = 10): DataFrame = {
     val basePost = spark.read.parquet(s"${st.base}/postings")
-    val tomb = segmentOr(spark, st.tombstones, basePost.select(col("doc_id")))
+    val tomb = broadcast(segmentOr(spark, st.tombstones,
+      basePost.select(col("doc_id"))).select("doc_id"))
     val deltaPost = segmentOr(spark, s"${st.delta}/postings", basePost)
     val deltaIds = broadcast(deltaPost.select("doc_id").distinct())
     def live(base: DataFrame, delta: DataFrame): DataFrame =
       base
-        .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
+        .join(tomb, Seq("doc_id"), "left_anti")
         .join(deltaIds, Seq("doc_id"), "left_anti")
         .unionByName(delta)
-    live(basePost, deltaPost).createOrReplaceTempView("ivm_bm25_lsm_post")
+
+    // query tokens = the LIVE postings of the census query docs; the
+    // doc_id predicate pushes through the union into both segment scans
+    live(basePost, deltaPost).filter(col("doc_id") < 8)
+      .createOrReplaceTempView("ivm_bm25_lsm_qt")
+    // bounded collect: the query batch's vocabulary (8 docs' bigrams —
+    // the same bounded class as probeBm25Index's pushed filter)
+    val toks = spark.sql("SELECT DISTINCT token FROM ivm_bm25_lsm_qt")
+      .collect().map(_.getString(0))
+    if (toks.isEmpty)
+      return spark.sql(
+        """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS cand_id,
+          |  CAST(NULL AS BIGINT) AS score, CAST(NULL AS INT) AS rnk WHERE false""".stripMargin)
+    // same 4096 In-list cap as probeBm25Index (ADVICE r12): a bigger
+    // batch degrades to a broadcast left-semi join — still one scan
+    val tokRel =
+      if (toks.length > 4096) Some(broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          toks.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("token", org.apache.spark.sql.types.StringType, nullable = false))))
+      else None
+    def pruned(df: DataFrame): DataFrame = tokRel match {
+      case Some(r) => df.join(r, Seq("token"), "left_semi")
+      case None => df.filter(col("token").isin(toks.toIndexedSeq: _*))
+    }
+    live(pruned(basePost), pruned(deltaPost))
+      .createOrReplaceTempView("ivm_bm25_lsm_post")
     val baseDl = spark.read.parquet(s"${st.base}/doclen")
     live(baseDl, segmentOr(spark, s"${st.delta}/doclen", baseDl))
       .createOrReplaceTempView("ivm_bm25_lsm_dl")
     spark.sql(TextAnalysis.bm25Sql(
-      "SELECT DISTINCT doc_id AS query_id, token FROM ivm_bm25_lsm_post WHERE doc_id < 8",
-      10, postRel = "ivm_bm25_lsm_post",
+      "SELECT DISTINCT doc_id AS query_id, token FROM ivm_bm25_lsm_qt",
+      k, postRel = "ivm_bm25_lsm_post",
       dlRel = "SELECT doc_id, dl FROM ivm_bm25_lsm_dl"))
   }
 
