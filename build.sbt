@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: local[32] runs 32 concurrent tasks in ONE JVM — 8g gave each
+  // task ~256 MB, far under any real cluster's per-core provisioning,
+  // and the r14 sf10 bench cell died of raw heap exhaustion mid-set
+  // (task OOM recorded, then the JVM wedged). The machine has 128 GiB;
+  // 16g is still conservative per-core (0.5 GB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

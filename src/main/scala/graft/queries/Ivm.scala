@@ -595,11 +595,19 @@ object Ivm {
     * replaces any base copy whether or not the edit stream tombstoned it
     * first, so correctness never depends on delta ⊆ tombstones and a
     * re-add can never duplicate cand_id rows into the rerank join. Both
-    * edit relations broadcast — edits are small next to the corpus. */
+    * edit relations broadcast — edits are small next to the corpus.
+    *
+    * Delta reads dropDuplicates on the id: an edit STREAM may land the
+    * same id in several appended delta segments, and the segment model
+    * is content-addressed — delta rows for one id are replicas of one
+    * deterministic derivation, so keep-any is exact. (An id whose
+    * CONTENT changed must be tombstoned and re-added after a compact();
+    * mutable re-derivation would need versioned segments, which the
+    * reference's append-only storage doesn't model either.) */
   private def annLiveIndex(spark: SparkSession, st: SegmentedIndexState): DataFrame = {
     val base = spark.read.parquet(st.base)
     val tomb = segmentOr(spark, st.tombstones, base.select(col("cand_id")))
-    val delta = segmentOr(spark, st.delta, base)
+    val delta = segmentOr(spark, st.delta, base).dropDuplicates("cand_id")
     base
       .join(broadcast(tomb.select("cand_id")), Seq("cand_id"), "left_anti")
       .join(broadcast(delta.select("cand_id")), Seq("cand_id"), "left_anti")
@@ -694,7 +702,10 @@ object Ivm {
   private def dedupLiveGroups(spark: SparkSession, st: SegmentedIndexState): DataFrame = {
     val base = spark.read.parquet(s"${st.base}/groups")
     val tomb = segmentOr(spark, st.tombstones, base.select(col("doc_id")))
-    val delta = segmentOr(spark, s"${st.delta}/groups", base)
+    // dropDuplicates: same content-addressed multi-append rule as
+    // [[annLiveIndex]] — a doc streamed into several delta segments owns
+    // ONE live membership row (duplicates would double same-fp pairs)
+    val delta = segmentOr(spark, s"${st.delta}/groups", base).dropDuplicates("doc_id")
     base
       .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
       .join(broadcast(delta.select("doc_id")), Seq("doc_id"), "left_anti")
@@ -812,7 +823,11 @@ object Ivm {
     val basePost = spark.read.parquet(s"${st.base}/postings")
     val tomb = broadcast(segmentOr(spark, st.tombstones,
       basePost.select(col("doc_id"))).select("doc_id"))
+    // dropDuplicates: content-addressed multi-append rule (see
+    // [[annLiveIndex]]) — a doc streamed into several delta segments
+    // must not double its postings' tf into the scores
     val deltaPost = segmentOr(spark, s"${st.delta}/postings", basePost)
+      .dropDuplicates("doc_id", "token")
     val deltaIds = broadcast(deltaPost.select("doc_id").distinct())
     def live(base: DataFrame, delta: DataFrame): DataFrame =
       base
@@ -848,7 +863,8 @@ object Ivm {
     live(pruned(basePost), pruned(deltaPost))
       .createOrReplaceTempView("ivm_bm25_lsm_post")
     val baseDl = spark.read.parquet(s"${st.base}/doclen")
-    live(baseDl, segmentOr(spark, s"${st.delta}/doclen", baseDl))
+    live(baseDl, segmentOr(spark, s"${st.delta}/doclen", baseDl)
+        .dropDuplicates("doc_id"))
       .createOrReplaceTempView("ivm_bm25_lsm_dl")
     spark.sql(TextAnalysis.bm25Sql(
       "SELECT DISTINCT doc_id AS query_id, token FROM ivm_bm25_lsm_qt",
@@ -866,6 +882,7 @@ object Ivm {
     val basePost = spark.read.parquet(s"${st.base}/postings")
     val tomb = segmentOr(spark, st.tombstones, basePost.select(col("doc_id")))
     val deltaPost = segmentOr(spark, s"${st.delta}/postings", basePost)
+      .dropDuplicates("doc_id", "token")
     val deltaIds = broadcast(deltaPost.select("doc_id").distinct())
     def live(base: DataFrame, delta: DataFrame): DataFrame =
       base
@@ -876,7 +893,8 @@ object Ivm {
       .repartition(col("token")).sortWithinPartitions("token")
       .write.parquet(s"${nu.base}/postings")
     val baseDl = spark.read.parquet(s"${st.base}/doclen")
-    live(baseDl, segmentOr(spark, s"${st.delta}/doclen", baseDl))
+    live(baseDl, segmentOr(spark, s"${st.delta}/doclen", baseDl)
+        .dropDuplicates("doc_id"))
       .write.parquet(s"${nu.base}/doclen")
     tomb.limit(0).coalesce(1).write.parquet(nu.tombstones)
     basePost.limit(0).coalesce(1).write.parquet(s"${nu.delta}/postings")
@@ -908,26 +926,76 @@ object Ivm {
     val root = Engine.scratchDir("graft_ivm_annstr_")
     val st = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
     Similarity.writeIvfSq8Index(spark, dir, st.base) // registers `embeddings`
-    val editDir = Engine.scratchDir("graft_ivm_annstr_e_")
-    spark.sql("""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(-1 AS BIGINT) AS freq
-                |FROM embeddings WHERE vec_id % 13 = 0""".stripMargin)
-      .write.parquet(s"$editDir/b1")
-    spark.sql("""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(1 AS BIGINT) AS freq
-                |FROM embeddings WHERE vec_id % 26 = 0""".stripMargin)
-      .write.parquet(s"$editDir/b2")
+    val edits = editBatches(spark, "vec_id", "vec_id",
+      "FROM embeddings WHERE vec_id % 13 = 0",
+      "FROM embeddings WHERE vec_id % 26 = 0")
+    drainEdits(spark, edits, "vec_id",
+      graft.streaming.Streams.maintainAnnIndex(_, dir, st))
+    annRetractProbe(spark, dir, st)
+  }
+
+  private def editBatches(spark: SparkSession, idCol: String, idSql: String,
+      delPred: String, addPred: String): String = {
+    val editDir = Engine.scratchDir("graft_ivm_edits_")
+    spark.sql(s"""SELECT CAST($idSql AS BIGINT) AS $idCol, CAST(-1 AS BIGINT) AS freq
+                 |$delPred""".stripMargin).write.parquet(s"$editDir/b1")
+    spark.sql(s"""SELECT CAST($idSql AS BIGINT) AS $idCol, CAST(1 AS BIGINT) AS freq
+                 |$addPred""".stripMargin).write.parquet(s"$editDir/b2")
+    editDir
+  }
+
+  private def drainEdits(spark: SparkSession, editDir: String, idCol: String,
+      start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.StructField(idCol,
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("freq",
         org.apache.spark.sql.types.LongType)))
-    val edits = spark.readStream.schema(schema)
-      .option("recursiveFileLookup", "true").parquet(editDir)
-    val q = graft.streaming.Streams.maintainAnnIndex(edits, dir, st)
+    val q = start(spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(editDir))
     try q.processAllAvailable() finally q.stop()
-    annRetractProbe(spark, dir, st)
+  }
+
+  /** The text axis's LSM state maintained by the SAME signed-edit stream
+    * shape as `ivm_ann_stream` — deletes tombstone, re-ingests tokenize
+    * only their micro-batch into appended delta segments; same
+    * edited-corpus oracle as `ivm_bm25_lsm`. */
+  val bm25Stream: QueryDef = QueryDef.sqlBacked(
+    "ivm_bm25_stream",
+    TextAnalysis.bm25OracleOver(TextAnalysis.bigramDtDuck(
+      "(SELECT * FROM documents WHERE doc_id % 13 <> 0 OR doc_id % 26 = 0)"))
+  ) { (spark, dir) =>
+    val root = Engine.scratchDir("graft_ivm_bm25str_")
+    val st = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
+    TextAnalysis.writeBm25Index(spark, dir, st.base) // registers `documents`
+    val edits = editBatches(spark, "doc_id", "doc_id",
+      "FROM documents WHERE doc_id % 13 = 0",
+      "FROM documents WHERE doc_id % 26 = 0")
+    drainEdits(spark, edits, "doc_id",
+      graft.streaming.Streams.maintainBm25Index(_, dir, st))
+    bm25LsmProbe(spark, dir, st)
+  }
+
+  /** The dedup axis's LSM state maintained by the signed-edit stream —
+    * same edited-index oracle as `ivm_dedup`. */
+  val dedupStream: QueryDef = QueryDef.sqlBacked(
+    "ivm_dedup_stream",
+    Dedup.incrementalOracleOver(
+      "i.doc_id % 10 <> 0 AND (i.doc_id % 2 <> 0 OR i.doc_id % 4 = 0)")
+  ) { (spark, dir) =>
+    val root = Engine.scratchDir("graft_ivm_dedupstr_")
+    val st = SegmentedIndexState(s"$root/base", s"$root/tombstones", s"$root/delta")
+    Dedup.writeBandIndex(spark, dir, st.base) // registers `dedup_sh`
+    val edits = editBatches(spark, "doc_id", "doc_id",
+      "FROM dedup_sh WHERE doc_id % 10 <> 0 AND doc_id % 2 = 0",
+      "FROM dedup_sh WHERE doc_id % 4 = 0")
+    drainEdits(spark, edits, "doc_id",
+      graft.streaming.Streams.maintainBandIndex(_, dir, st))
+    dedupRetractProbe(spark, dir, st)
   }
 
   val all: Seq[QueryDef] =
     Seq(refresh, extrema, distinct, topk, join, pipeline, postings, bm25Retract,
-      nbRetract, annRetract, dedupRetract, bm25Lsm, annStream)
+      nbRetract, annRetract, dedupRetract, bm25Lsm, annStream, bm25Stream,
+      dedupStream)
 }

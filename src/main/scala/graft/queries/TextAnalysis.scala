@@ -1095,16 +1095,16 @@ object TextAnalysis {
     * must never evict the session's full-corpus posting cache, and its
     * cost must ride |slice|, not the corpus. */
   def writeBm25IndexSlice(spark: SparkSession, dir: String, path: String,
-      pred: String): Unit = {
+      pred: String, mode: String = "overwrite"): Unit = {
     import org.apache.spark.sql.functions.{col, sum => fsum}
     docs(spark, dir)
     val post = spark.sql(
       bigramAggSql(s"(SELECT doc_id, text FROM documents WHERE $pred)")).cache()
     try {
       post.repartition(col("token")).sortWithinPartitions("token")
-        .write.mode("overwrite").parquet(s"$path/postings")
+        .write.mode(mode).parquet(s"$path/postings")
       post.groupBy(col("doc_id")).agg(fsum(col("tf")).as("dl"))
-        .write.mode("overwrite").parquet(s"$path/doclen")
+        .write.mode(mode).parquet(s"$path/doclen")
     } finally { post.unpersist(blocking = false); () }
   }
 

@@ -491,5 +491,77 @@ class IvmSpec extends AnyFunSuite {
       "stream-of-edits diverged from the batch edit")
     assert(inventory(st.base) == baseInv,
       "the edit stream rewrote base segment files")
+
+    // replay idempotence: foreachBatch is at-least-once after failure,
+    // so the SAME re-ingest batch landing twice (two delta segments with
+    // identical content-addressed rows) must not change the probe —
+    // the live composition dropDuplicates on the id
+    val q2 = graft.streaming.Streams.maintainAnnIndex(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(editDir), sf, st)
+    try {
+      spark.sql("""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(1 AS BIGINT) AS freq
+                  |FROM embeddings WHERE vec_id % 26 = 0""".stripMargin)
+        .write.parquet(s"$editDir/b3")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val replayed = queries.Ivm.annRetractProbe(spark, sf, st)
+      .collect().map(_.toString).toSeq
+    assert(replayed == streamed, "a replayed re-ingest batch changed the probe")
+  }
+
+  test("ivm_bm25_stream / ivm_dedup_stream: streamed edits equal the batch edit on the text and dedup axes") {
+    // text axis
+    val broot = Engine.scratchDir("ivm_bm25str_spec_")
+    val bst = queries.Ivm.SegmentedIndexState(
+      s"$broot/base", s"$broot/tombstones", s"$broot/delta")
+    queries.TextAnalysis.writeBm25Index(spark, sf, bst.base)
+    val bschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("freq",
+        org.apache.spark.sql.types.LongType)))
+    val beDir = Engine.scratchDir("ivm_bm25str_spec_e_")
+    spark.sql("""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS freq
+                |FROM documents WHERE doc_id % 13 = 0""".stripMargin)
+      .write.parquet(s"$beDir/b1")
+    spark.sql("""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS freq
+                |FROM documents WHERE doc_id % 26 = 0""".stripMargin)
+      .write.parquet(s"$beDir/b2")
+    val bq = graft.streaming.Streams.maintainBm25Index(
+      spark.readStream.schema(bschema)
+        .option("recursiveFileLookup", "true").parquet(beDir), sf, bst)
+    try bq.processAllAvailable() finally bq.stop()
+    val bStreamed = queries.Ivm.bm25LsmProbe(spark, sf, bst)
+      .collect().map(_.toString).toSeq
+    val bBatch = queries.Ivm.bm25LsmProbe(spark, sf,
+      queries.Ivm.bm25LsmBuild(spark, sf))
+      .collect().map(_.toString).toSeq
+    assert(bStreamed.nonEmpty && bStreamed == bBatch,
+      "streamed text-index edits diverged from the batch edit")
+
+    // dedup axis
+    val droot = Engine.scratchDir("ivm_dedupstr_spec_")
+    val dst = queries.Ivm.SegmentedIndexState(
+      s"$droot/base", s"$droot/tombstones", s"$droot/delta")
+    queries.Dedup.writeBandIndex(spark, sf, dst.base)
+    val deDir = Engine.scratchDir("ivm_dedupstr_spec_e_")
+    spark.sql("""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS freq
+                |FROM dedup_sh WHERE doc_id % 10 <> 0 AND doc_id % 2 = 0""".stripMargin)
+      .write.parquet(s"$deDir/b1")
+    spark.sql("""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS freq
+                |FROM dedup_sh WHERE doc_id % 4 = 0""".stripMargin)
+      .write.parquet(s"$deDir/b2")
+    val dq = graft.streaming.Streams.maintainBandIndex(
+      spark.readStream.schema(bschema)
+        .option("recursiveFileLookup", "true").parquet(deDir), sf, dst)
+    try dq.processAllAvailable() finally dq.stop()
+    val dStreamed = queries.Ivm.dedupRetractProbe(spark, sf, dst)
+      .collect().map(_.toString).toSeq
+    val dBatch = queries.Ivm.dedupRetractProbe(spark, sf,
+      queries.Ivm.dedupRetractBuild(spark, sf))
+      .collect().map(_.toString).toSeq
+    assert(dStreamed.nonEmpty && dStreamed == dBatch,
+      "streamed band-index edits diverged from the batch edit")
   }
 }
