@@ -976,6 +976,65 @@ object Ivm {
     bm25LsmProbe(spark, dir, st)
   }
 
+  /** The classifier axis's model state maintained by STREAMS — the
+    * fourth axis of the streamed retract→serve loop, and the one whose
+    * state is vocabulary-sized, so it rides the generic
+    * [[IncrementalAggView.maintainFrom]] loop (each micro-batch of
+    * freq-signed labeled-posting deltas becomes one applyDelta merge)
+    * instead of LSM segments. Same edited-slice scenario and oracle as
+    * `ivm_nb`: un-label the % 13 docs, re-label the % 4 half; scoring
+    * from the stream-maintained model+prior views must equal one-shot
+    * training on the edited slice. */
+  val nbStream: QueryDef = QueryDef.sqlBacked(
+    "ivm_nb_stream",
+    Classify.classifyOracleEdited(nbEdit)
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    TextAnalysis.tokenPostings(spark, "documents")
+    val trp = spark.sql(Classify.sparkTrainPostingsWithDoc())
+    val trd = spark.sql(Classify.sparkTrainDocs())
+
+    val model = new IncrementalAggView(spark, Seq("token", "pos"), Seq("tf"),
+      Engine.scratchDir("graft_ivm_nbs_m_"))
+    model.initialize(trp.select(col("token"), col("pos"), col("tf")))
+    val prior = new IncrementalAggView(spark, Seq("pos"), Seq.empty,
+      Engine.scratchDir("graft_ivm_nbs_p_"))
+    prior.initialize(trd.select(col("pos")))
+
+    def drain(view: IncrementalAggView, deltas: Seq[DataFrame]): Unit = {
+      val dir0 = Engine.scratchDir("graft_ivm_nbs_d_")
+      deltas.zipWithIndex.foreach { case (d, i) => d.write.parquet(s"$dir0/b$i") }
+      val schema = spark.read.parquet(s"$dir0/b0").schema
+      val q = view.maintainFrom(spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(dir0))
+      try q.processAllAvailable() finally q.stop()
+    }
+    val retractP = trp.filter(col("doc_id") % 13 === 0)
+    drain(model, Seq(
+      retractP.select(col("token"), col("pos"), col("tf"),
+        lit(-1L).as(model.freqCol)),
+      retractP.filter(col("doc_id") % 4 === 0)
+        .select(col("token"), col("pos"), col("tf"), lit(1L).as(model.freqCol))))
+    val retractD = trd.filter(col("doc_id") % 13 === 0)
+    drain(prior, Seq(
+      retractD.select(col("pos"), lit(-1L).as(prior.freqCol)),
+      retractD.filter(col("doc_id") % 4 === 0)
+        .select(col("pos"), lit(1L).as(prior.freqCol))))
+
+    model.current()
+      .select(col("token"), col("pos"), col("sum_tf").cast(LongType).as("tf"))
+      .createOrReplaceTempView("ivm_nbs_model")
+    prior.current()
+      .select(col("pos"), col("cnt").cast(LongType).as("cnt"))
+      .createOrReplaceTempView("ivm_nbs_prior")
+    spark.sql(Classify.nbScoreSql(
+      "SELECT token, pos, tf FROM ivm_nbs_model",
+      """SELECT sum(CASE WHEN pos = 1 THEN cnt ELSE 0 END) AS n1,
+        |       sum(CASE WHEN pos = 0 THEN cnt ELSE 0 END) AS n0
+        |FROM ivm_nbs_prior""".stripMargin,
+      Classify.sparkScoreBody, Classify.flog2Spark))
+  }
+
   /** The dedup axis's LSM state maintained by the signed-edit stream —
     * same edited-index oracle as `ivm_dedup`. */
   val dedupStream: QueryDef = QueryDef.sqlBacked(
@@ -997,5 +1056,5 @@ object Ivm {
   val all: Seq[QueryDef] =
     Seq(refresh, extrema, distinct, topk, join, pipeline, postings, bm25Retract,
       nbRetract, annRetract, dedupRetract, bm25Lsm, annStream, bm25Stream,
-      dedupStream)
+      dedupStream, nbStream)
 }

@@ -260,6 +260,27 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "rn <= k lost its partial top-k")
   }
 
+  test("ivm_bm25_lsm probe: query tokens push into BOTH segment scans; edits compose as broadcast anti-joins") {
+    // The r14 scale lesson pinned: the first-cut probe composed the full
+    // corpus-sized posting union and died of executor memory at 5 M docs.
+    // The fix — prune both segments to the query batch's vocabulary
+    // BEFORE composing — only holds while the In-filter actually reaches
+    // the parquet scans, and while the tombstone/delta-id edits stay
+    // broadcast anti-joins (never a corpus-side shuffle).
+    val st = queries.Ivm.bm25LsmBuild(spark, sf)
+    val df = queries.Ivm.bm25LsmProbe(spark, sf, st)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pushedIn = "PushedFilters: \\[In\\(token".r.findAllIn(p).size
+    assert(pushedIn >= 2,
+      s"query-token In-filter must push into base AND delta posting scans, saw $pushedIn:\n")
+    val anti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(p).size
+    assert(anti >= 4, // tombstones + delta-ids on postings (×2 via qt) at least
+      s"edit composition must be broadcast anti-joins, saw $anti LeftAnti broadcasts")
+    assert(!p.contains("SortMergeJoin [token"),
+      "posting-side token join fell back to a corpus shuffle")
+  }
+
   test("ta_winnow: gram hashes compute map-side — no exchange ever carries document text") {
     val p = plan("ta_winnow")
     assert(p.contains("Generate"), "the gram-position explode disappeared")
@@ -391,21 +412,30 @@ class PlanContractSpec extends AnyFunSuite {
     queries.Dedup.ngramJaccardPairs(spark, sf).collect()
     // cached-plan strings embed the NESTED dedup_sh cache build (whose
     // document-level fingerprint exchange is a different relation's
-    // cost) — assert on the slice ABOVE the cache boundary only. The
-    // boundary prints as TableCacheQueryStage when this test triggers
-    // the materialization, but as InMemoryRelation (build plan inlined)
-    // when an earlier suite already materialized the cache — truncate
-    // at whichever appears first.
-    def aboveCache(p: String): String =
-      p.split("TableCacheQueryStage|InMemoryRelation")(0)
-    val rinv = aboveCache(
-      spark.table("ngram_rinv").queryExecution.executedPlan.toString)
+    // cost) — assert on the build slice between the view and the FIRST
+    // cache boundary below it. Two forms exist depending on what ran
+    // before in the session (the pin must hold in both — this test used
+    // to fail when run standalone because it assumed one of them):
+    //   - un-substituted: the view's plan IS the build, truncate at the
+    //     dedup_sh cache boundary → segment 0;
+    //   - cache-substituted: the view's plan is an InMemoryTableScan of
+    //     the relation's own cache, whose printed InMemoryRelation node
+    //     embeds the build → the build is segment 1, ending at the
+    //     nested dedup_sh boundary.
+    def buildSlice(p: String, marker: String): String = {
+      val segs = p.split("TableCacheQueryStage|InMemoryRelation")
+      if (segs(0).contains(marker)) segs(0) else segs.lift(1).getOrElse("")
+    }
+    val rinv = buildSlice(
+      spark.table("ngram_rinv").queryExecution.executedPlan.toString,
+      "not_in_sorted64")
     assert(rinv.contains("not_in_sorted64"),
       "rare subset no longer computed by the scan kernel:\n" + rinv)
     assert(!rinv.contains("Exchange") && !rinv.contains("Sort ["),
       "the rare-index build regained a posting-level exchange/sort:\n" + rinv)
-    val head = aboveCache(
-      spark.table("ngram_rinv_common").queryExecution.executedPlan.toString)
+    val head = buildSlice(
+      spark.table("ngram_rinv_common").queryExecution.executedPlan.toString,
+      "partial_count")
     assert(head.contains("partial_count"),
       "df head lost its map-side partial aggregation:\n" + head)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(head).size
