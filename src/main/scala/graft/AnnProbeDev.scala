@@ -8,6 +8,8 @@ package graft
   * writes the shared SQ8(+pv) index ONCE, then times n passes each of
   *   - the stored-code SQ8 probe (ann_sq8_probe's body),
   *   - the three-stage JL∘SQ8∘float probe (ann_rproj_sq8_probe's body),
+  *   - the packed-code PQ/ADC probe (ann_pq_probe's body — the 16
+  *     B/candidate scan),
   *   - the tombstone-composed retract probe (ivm_ann's probe half; its
   *     tombstone + delta segments are built once, outside the loop).
   * Caches are dropped between passes so every pass pays the real index
@@ -22,6 +24,10 @@ object AnnProbeDev {
     var t0 = System.nanoTime()
     queries.Similarity.writeIvfSq8Index(spark, dir, idx)
     println(f"[annprobe] index write: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val pqIdx = Engine.scratchDir("graft_annprobe_pq_") + "/index"
+    t0 = System.nanoTime()
+    queries.Similarity.writeIvfPqIndex(spark, dir, pqIdx)
+    println(f"[annprobe] pq index write: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     val st = queries.Ivm.annRetractBuild(spark, dir,
       (k, v) => println(f"[annprobe] ivm_ann $k: $v%.2fs"))
     def time(label: String)(body: => org.apache.spark.sql.DataFrame): Unit =
@@ -33,6 +39,7 @@ object AnnProbeDev {
       }
     time("sq8_probe") { queries.Similarity.probeIvfSq8Index(spark, dir, idx) }
     time("rproj_sq8_probe") { queries.Similarity.probeRprojSq8Index(spark, dir, idx) }
+    time("pq_probe") { queries.Similarity.probeIvfPqIndex(spark, dir, pqIdx) }
     time("ivm_ann_probe") { queries.Ivm.annRetractProbe(spark, dir, st) }
     spark.stop()
   }

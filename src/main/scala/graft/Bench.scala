@@ -189,6 +189,27 @@ object Bench {
     }
   }
 
+  // Packed-code PQ twin of sq8ProbeTime: build the 8-byte-code index
+  // once, time the probe whose ADC stage reads ONLY (cand_id, cw) in the
+  // probed cells — 16 B/candidate vs the SQ8 probe's ~72 (codes+scale)
+  // and the float path's 256. Against ann_sq8_probe this cell prices
+  // the packed-code scan's bandwidth win.
+  private def pqProbeTime(s: SparkSession, dir: String): Option[Double] = {
+    try {
+      val idx = Engine.scratchDir("graft_bench_pq_") + "/index"
+      queries.Similarity.writeIvfPqIndex(s, dir, idx)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        queries.Similarity.probeIvfPqIndex(s, dir, idx)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Some(math.min(once(), once()))
+    } catch { case e: Throwable =>
+      recordError(QueryDef.rowsOnly("ann_pq_probe")((_, _) => null), dir, e); None
+    }
+  }
+
   // BM25 split cells (VERDICT r12 #4): ta_bm25_indexed's in-cell number
   // rebuilds the stored posting index inside every invocation, so it
   // prices "append ≡ one-shot", never serving. These two cells commit
@@ -293,11 +314,13 @@ object Bench {
           cellcal += ("ann_sq8_probe" -> Some(calibrate(s)))
           val rpp = "ann_rproj_sq8_probe" -> rprojSq8ProbeTime(s, dir)
           cellcal += ("ann_rproj_sq8_probe" -> Some(calibrate(s)))
+          val pqp = "ann_pq_probe" -> pqProbeTime(s, dir)
+          cellcal += ("ann_pq_probe" -> Some(calibrate(s)))
           val (bmW, bmP) = bm25SplitTimes(s, dir)
           val bmCal = Some(calibrate(s))
           cellcal += ("ta_bm25_write" -> bmCal)
           cellcal += ("ta_bm25_probe" -> bmCal)
-          timed.init :+ (timed.last :+ probe :+ sq8p :+ rpp :+
+          timed.init :+ (timed.last :+ probe :+ sq8p :+ rpp :+ pqp :+
             ("ta_bm25_write" -> bmW) :+ ("ta_bm25_probe" -> bmP))
         } else timed
       (withP, cal, cellcal.result())
@@ -419,9 +442,11 @@ object Bench {
       queries.Dedup.keepBest, queries.Dedup.spanExact, queries.Curate.srcCapQ,
       queries.Similarity.ivfFiltered, queries.Similarity.kmeans,
       queries.Similarity.hybrid, queries.Similarity.ivfSq8,
+      queries.Similarity.ivfPq,
       queries.TextAnalysis.bm25Def, queries.TextAnalysis.bm25BigramDef,
       queries.Similarity.rprojRerankDef,
-      queries.Classify.classifyDef, queries.Classify.dsirDef)
+      queries.Classify.classifyDef, queries.Classify.dsirDef,
+      queries.Curate.lmPplQ)
     // gapfill is benched as its LIBRARY surface (evt_gapfill_series —
     // no global ORDER BY); the total order exists for the oracle compare
     // only and was the sf10 cell's dominant cost (VERDICT r9 #3).
@@ -437,7 +462,9 @@ object Bench {
       queries.TextAnalysis.bm25Def, queries.TextAnalysis.bm25BigramDef,
       queries.Events.gapfillSeriesDef, queries.Similarity.ivfC256,
       queries.Similarity.kmeansScaled, queries.Similarity.rprojRerankDef,
-      queries.Classify.classifyDef, queries.Classify.dsirDef)
+      queries.Similarity.ivfPq,
+      queries.Classify.classifyDef, queries.Classify.dsirDef,
+      queries.Curate.lmPplQ)
     // sf10 docs is where banding/explode become compute-bound (at sf1 the
     // doc pipelines are overhead-dominated); events/embeddings join the
     // tier when GenData has produced them (window + ANN shapes). The full
@@ -472,6 +499,10 @@ object Bench {
            // DSIR's fixed 1024-bucket lattice argues the same sublinear
            // line; the sf10 cell proves it (VERDICT r13 #5).
            queries.Classify.classifyDef, queries.Classify.dsirDef,
+           // the trigram LM filter's count relations ride the corpus
+           // n-gram vocabulary; sf1 → sf10 measures the three posting
+           // aggregates + the five-way hash-join score
+           queries.Curate.lmPplQ,
            queries.Curate.curate, queries.Curate.decontam) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "embeddings"))
          // the WIDE configuration: the 4×4-band default is Θ(N²/16) by
@@ -481,7 +512,11 @@ object Bench {
          Seq(queries.Dedup.embeddingCosineWide, queries.Similarity.kmeansScaled,
            // two-stage JL search: shortlist in the 16-d integer space,
            // float re-rank of shortlist·|queries| survivors only
-           queries.Similarity.rprojRerankDef) else Nil) ++
+           queries.Similarity.rprojRerankDef,
+           // PQ: the encode is the corpus pass (N×128 8-dim L2s inside
+           // one codegen pipeline, argmin as a map-side MIN); the ADC
+           // probe rides the probed cells — sf1 → sf10 prices the encode
+           queries.Similarity.ivfPq) else Nil) ++
       (if (haveSf10 && has(sf10Dir, "events"))
          Seq(queries.Events.gapfillSeriesDef, queries.Events.sessionize,
            queries.Events.windowAgg) else Nil)

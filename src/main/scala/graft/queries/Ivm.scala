@@ -526,6 +526,56 @@ object Ivm {
       Classify.sparkScoreBody, Classify.flog2Spark))
   }
 
+  /** Retractable LANGUAGE-MODEL statistics — `ivm_nb`'s loop applied to
+    * the fifth axis, the trigram backoff LM (`pipeline_lm_ppl`): the
+    * model is three freq-retractable count views (unigram / bigram /
+    * trigram corpus counts over the train half), each keyed by its
+    * n-gram string, so un-training documents is a freq delta and a
+    * refresh shuffles |n-gram vocabulary ∪ delta partials| rows — never
+    * the corpus. Scoring the held-out half from the maintained views
+    * provably equals one-shot training on the edited slice, which is
+    * what the oracle recomputes from scratch. Full retraction matters
+    * three ways at once here: a trigram whose last train doc leaves
+    * must VANISH from c3 (or the backoff arm selection itself — not
+    * just a count — goes wrong: a dead trigram row would keep arm 1
+    * alive where the edited model must back off to arm 2), same for
+    * bigrams, and c1's row count IS the smoothing vocabulary V, so the
+    * Laplace denominator must shrink with the edit.
+    *
+    * Scenario: the `ivm_nb` audit-withdrawal slice — initialize from
+    * the even (train) half, retract doc_id % 13 = 0, re-ingest the
+    * % 4 = 0 half of the retracted docs. */
+  val lmRetract: QueryDef = QueryDef.sqlBacked(
+    "ivm_lm",
+    Curate.lmPplOracleOver("doc_id % 2 = 0 AND (doc_id % 13 <> 0 OR doc_id % 4 = 0)")
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    TextAnalysis.tokenPostings(spark, "documents")
+    TextAnalysis.bigramPostings(spark, "documents")
+    TextAnalysis.trigramPostings(spark, "documents")
+    def countView(srcView: String, name: String): String = {
+      val base = spark.table(srcView)
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("token"), col("tf"))
+      val v = new IncrementalAggView(spark, Seq("token"), Seq("tf"),
+        Engine.scratchDir(s"graft_ivm_lm_${name}_"))
+      v.initialize(base.select(col("token"), col("tf")))
+      val retract = base.filter(col("doc_id") % 13 === 0)
+      v.applyDelta(retract.select(col("token"), col("tf"),
+        lit(-1L).as(v.freqCol)))
+      v.applyDelta(retract.filter(col("doc_id") % 4 === 0)
+        .select(col("token"), col("tf"), lit(1L).as(v.freqCol)))
+      v.current()
+        .select(col("token"), col("sum_tf").cast(LongType).as("c"))
+        .createOrReplaceTempView(s"ivm_lm_$name")
+      s"SELECT token, c FROM ivm_lm_$name"
+    }
+    spark.sql(Curate.lmPplScoreSparkSql(
+      countView("tok_tf", "c1"),
+      countView("btok_tf", "c2"),
+      countView("ttok_tf", "c3")))
+  }
+
   /** Retractable ANN index — the retract→retrieve loop (`ivm_bm25`,
     * `ivm_nb`) applied to the vector axis. Unlike `ivm_nb`, whose
     * maintained state is vocabulary-sized (so a refresh may rewrite the
@@ -1035,6 +1085,51 @@ object Ivm {
       Classify.sparkScoreBody, Classify.flog2Spark))
   }
 
+  /** The LM axis's count views maintained by STREAMS — the fifth axis
+    * of the streamed retract→serve loop. Like the classifier axis the
+    * state is vocabulary-sized, so all three n-gram count views ride
+    * the generic [[IncrementalAggView.maintainFrom]] loop (each
+    * micro-batch of freq-signed posting deltas becomes one applyDelta
+    * merge); same audit-withdrawal scenario and oracle as `ivm_lm` —
+    * backoff scoring from the stream-maintained views must equal
+    * one-shot training on the edited slice. */
+  val lmStream: QueryDef = QueryDef.sqlBacked(
+    "ivm_lm_stream",
+    Curate.lmPplOracleOver("doc_id % 2 = 0 AND (doc_id % 13 <> 0 OR doc_id % 4 = 0)")
+  ) { (spark, dir) =>
+    Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    TextAnalysis.tokenPostings(spark, "documents")
+    TextAnalysis.bigramPostings(spark, "documents")
+    TextAnalysis.trigramPostings(spark, "documents")
+    def countView(srcView: String, name: String): String = {
+      val base = spark.table(srcView)
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("token"), col("tf"))
+      val v = new IncrementalAggView(spark, Seq("token"), Seq("tf"),
+        Engine.scratchDir(s"graft_ivm_lms_${name}_"))
+      v.initialize(base.select(col("token"), col("tf")))
+      val retract = base.filter(col("doc_id") % 13 === 0)
+      val dir0 = Engine.scratchDir(s"graft_ivm_lms_d_${name}_")
+      Seq(
+        retract.select(col("token"), col("tf"), lit(-1L).as(v.freqCol)),
+        retract.filter(col("doc_id") % 4 === 0)
+          .select(col("token"), col("tf"), lit(1L).as(v.freqCol))
+      ).zipWithIndex.foreach { case (d, i) => d.write.parquet(s"$dir0/b$i") }
+      val schema = spark.read.parquet(s"$dir0/b0").schema
+      val q = v.maintainFrom(spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(dir0))
+      try q.processAllAvailable() finally q.stop()
+      v.current()
+        .select(col("token"), col("sum_tf").cast(LongType).as("c"))
+        .createOrReplaceTempView(s"ivm_lms_$name")
+      s"SELECT token, c FROM ivm_lms_$name"
+    }
+    spark.sql(Curate.lmPplScoreSparkSql(
+      countView("tok_tf", "c1"),
+      countView("btok_tf", "c2"),
+      countView("ttok_tf", "c3")))
+  }
+
   /** The dedup axis's LSM state maintained by the signed-edit stream —
     * same edited-index oracle as `ivm_dedup`. */
   val dedupStream: QueryDef = QueryDef.sqlBacked(
@@ -1055,6 +1150,6 @@ object Ivm {
 
   val all: Seq[QueryDef] =
     Seq(refresh, extrema, distinct, topk, join, pipeline, postings, bm25Retract,
-      nbRetract, annRetract, dedupRetract, bm25Lsm, annStream, bm25Stream,
-      dedupStream, nbStream)
+      nbRetract, lmRetract, annRetract, dedupRetract, bm25Lsm, annStream,
+      bm25Stream, dedupStream, nbStream, lmStream)
 }

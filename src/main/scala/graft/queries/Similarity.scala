@@ -1897,8 +1897,285 @@ object Similarity {
   val rprojRerankDef: QueryDef =
     QueryDef.sqlBacked("ann_rproj_rerank", rprojRerankOracle)(rprojRerank(_, _))
 
+  // --- IVF-PQ: product quantization + ADC (Jégou/Douze/Schmid 2011) --------
+  // Completes the quantization ladder (float → JL-16d → SQ8 → PQ, the
+  // FAISS IndexIVFPQ shape): the 64 dims split into m=8 subspaces of 8
+  // dims, each coded against a 16-entry per-subspace codebook (4 bits),
+  // so a vector's ENTIRE code word packs into one BIGINT — 8 bytes per
+  // candidate, 32× smaller than the float vector and 8× smaller than the
+  // SQ8 codes. The probe's approximate stage is Asymmetric Distance
+  // Computation: each query precomputes an m×ks lookup table of
+  // fixed-point partial inner products against the codebooks (128
+  // BIGINTs, riding along with the broadcast query side), and scoring a
+  // candidate is 8 array lookups + BIGINT adds — no float arithmetic, so
+  // approximate ranks replay bit-exactly in the oracle. Codebooks are
+  // sampled deterministically from the corpus head (the subvectors of
+  // vec_id < 16 — FAISS's sample-init under the repo's no-RNG
+  // discipline; a trained variant would run the same per-subspace Lloyd
+  // rounds as trainCentroids). Encoding is argmin L2 in 2^20 fixed
+  // point with ties to the lowest codeword — the composite BIGINT key
+  // d2·16+j makes the argmin a plain MIN aggregate (map-side
+  // combinable, no window). Survivors re-rank by exact float dot, as
+  // SQ8 does. Reference has no vector ops (SURVEY §2 north-star scope).
+
+  /** Shared CTE text: fixed-point vectors `f`, sampled codebooks `cb`
+    * (m=8 × ks=16 × 8 dims), per-subspace codes `enc`, packed code
+    * words `codes(vec_id, cw)`. Engine-side (Spark) spelling. */
+  private def pqCodesCte(src: String): String =
+    s"""e AS (
+       |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM $src),
+       |f AS (
+       |  SELECT vec_id, v,
+       |    transform(v, x -> CAST(floor(x * 1048576.0D + 0.5D) AS BIGINT)) AS vf
+       |  FROM e),
+       |cb AS (
+       |  SELECT sub.s, f.vec_id AS j, slice(f.vf, sub.s * 8 + 1, 8) AS cf
+       |  FROM f CROSS JOIN (SELECT explode(sequence(0, 7)) AS s) sub
+       |  WHERE f.vec_id < 16),
+       |enc AS (
+       |  SELECT vec_id, s, CAST(mk % 16 AS INT) AS code FROM (
+       |    SELECT t.vec_id, t.s, min(t.d2 * 16 + t.j) AS mk FROM (
+       |      SELECT f.vec_id, cb.s, cb.j,
+       |        aggregate(zip_with(slice(f.vf, cb.s * 8 + 1, 8), cb.cf,
+       |          (x, y) -> (x - y) * (x - y)), 0L, (acc, p) -> acc + p) AS d2
+       |      FROM f CROSS JOIN cb) t
+       |    GROUP BY t.vec_id, t.s)),
+       |codes AS (
+       |  SELECT vec_id, sum(shiftleft(CAST(code AS BIGINT), 4 * s)) AS cw
+       |  FROM enc GROUP BY vec_id)""".stripMargin
+
+  /** Query-side LUT CTE: one 128-entry BIGINT array per query, index
+    * s·16+j (1-based at read). Requires `f` and `cb` from
+    * [[pqCodesCte]] in scope. */
+  private def pqLutCte(nQueries: Int): String =
+    s"""queries AS (
+       |  SELECT vec_id AS query_id, v AS qv, vf AS qf
+       |  FROM f WHERE vec_id < $nQueries),
+       |lut AS (
+       |  SELECT query_id,
+       |    transform(sort_array(collect_list(named_struct(
+       |      'idx', s * 16 + CAST(j AS INT), 'dp', dp))), x -> x.dp) AS lutv
+       |  FROM (
+       |    SELECT q.query_id, cb.s, cb.j,
+       |      aggregate(zip_with(slice(q.qf, cb.s * 8 + 1, 8), cb.cf,
+       |        (x, y) -> x * y), 0L, (acc, p) -> acc + p) AS dp
+       |    FROM queries q CROSS JOIN cb) t
+       |  GROUP BY query_id)""".stripMargin
+
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10, nProbe: Int = 4, rerank: Int = 50): DataFrame = {
+    emb(spark, dir)
+    spark.sql(
+      s"""WITH cent AS ($centroidSql),
+         |${pqCodesCte("embeddings")},
+         |corpus AS (
+         |  SELECT f.vec_id AS cand_id, f.v AS cv, codes.cw,
+         |    argmax_dot(f.v, $centroidMatrixSql) AS cell
+         |  FROM f JOIN codes ON f.vec_id = codes.vec_id),
+         |${pqLutCte(nQueries)},
+         |probes AS (
+         |  SELECT query_id, qv, lutv, cid AS cell FROM (
+         |    SELECT q.query_id, q.qv, l.lutv, cent.cid,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        dot_product(q.qv, cent.cv) DESC, cent.cid) AS pr
+         |    FROM queries q JOIN lut l ON q.query_id = l.query_id
+         |    CROSS JOIN cent) t
+         |  WHERE pr <= $nProbe),
+         |approx AS (
+         |  SELECT query_id, cand_id, qv, cv,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ascore DESC, cand_id) AS arnk
+         |  FROM (
+         |    SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id, p.qv, c.cv,
+         |      aggregate(sequence(0, 7), 0L, (acc, s) ->
+         |        acc + element_at(p.lutv, CAST(s * 16 +
+         |          (shiftright(c.cw, 4 * s) % 16) + 1 AS INT))) AS ascore
+         |    FROM probes p JOIN corpus c
+         |      ON p.cell = c.cell AND p.query_id <> c.cand_id) raw)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT query_id, cand_id, dot_product(qv, cv) AS score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      dot_product(qv, cv) DESC, cand_id) AS rnk
+         |  FROM approx WHERE arnk <= $rerank) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  /** DuckDB replay of the full PQ pipeline — codebook sampling, fixed-
+    * point encode (identical composite-key argmin), packed code words,
+    * ADC lookups, exact re-rank — over an arbitrary (vec_id, embedding)
+    * source. Bit-exact: every ranking stage is BIGINT or the pinned
+    * IEEE dot fold. */
+  private[graft] def ivfPqOracleOver(src: String): String =
+    s"""WITH cent AS ($centroidDuck),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM $src),
+       |f AS (
+       |  SELECT vec_id, v,
+       |    list_transform(v, x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS vf
+       |  FROM e),
+       |cb AS (
+       |  SELECT sub.s, f.vec_id AS j,
+       |    list_slice(f.vf, sub.s * 8 + 1, sub.s * 8 + 8) AS cf
+       |  FROM f CROSS JOIN range(0, 8) sub(s)
+       |  WHERE f.vec_id < 16),
+       |enc AS (
+       |  SELECT vec_id, s, CAST(mk % 16 AS INT) AS code FROM (
+       |    SELECT t.vec_id, t.s, min(t.d2 * 16 + t.j) AS mk FROM (
+       |      SELECT f.vec_id, cb.s, cb.j,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(1, 9), i ->
+       |            (f.vf[cb.s * 8 + i] - cb.cf[i]) * (f.vf[cb.s * 8 + i] - cb.cf[i]))),
+       |          (x, y) -> x + y) AS d2
+       |      FROM f CROSS JOIN cb) t
+       |    GROUP BY t.vec_id, t.s)),
+       |codes AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(code AS BIGINT) * (CAST(1 AS BIGINT) << (4 * s))) AS BIGINT) AS cw
+       |  FROM enc GROUP BY vec_id),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT f.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY f.vec_id ORDER BY
+       |        ${Dedup.dotDuckSql("f.v", "cent.cv")} DESC, cent.cid) AS rn
+       |    FROM f CROSS JOIN cent) t
+       |  WHERE rn = 1),
+       |corpus AS (
+       |  SELECT f.vec_id AS cand_id, f.v AS cv, codes.cw, a.cell
+       |  FROM f JOIN codes ON f.vec_id = codes.vec_id
+       |         JOIN assign a ON f.vec_id = a.vec_id),
+       |queries AS (
+       |  SELECT vec_id AS query_id, v AS qv, vf AS qf
+       |  FROM f WHERE vec_id < 8),
+       |lut AS (
+       |  SELECT query_id, list(dp ORDER BY idx) AS lutv FROM (
+       |    SELECT q.query_id, cb.s * 16 + cb.j AS idx,
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, 9), i -> q.qf[cb.s * 8 + i] * cb.cf[i])),
+       |        (x, y) -> x + y) AS dp
+       |    FROM queries q CROSS JOIN cb) t
+       |  GROUP BY query_id),
+       |probes AS (
+       |  SELECT query_id, qv, lutv, cell FROM (
+       |    SELECT q.query_id, q.qv, l.lutv, cent.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${Dedup.dotDuckSql("q.qv", "cent.cv")} DESC, cent.cid) AS pr
+       |    FROM queries q JOIN lut l ON q.query_id = l.query_id
+       |    CROSS JOIN cent) t
+       |  WHERE pr <= 4),
+       |approx AS (
+       |  SELECT query_id, cand_id, qv, cv,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ascore DESC, cand_id) AS arnk
+       |  FROM (
+       |    SELECT p.query_id, c.cand_id, p.qv, c.cv,
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(0, 8), s ->
+       |          p.lutv[s * 16 + ((c.cw >> (4 * s)) & 15) + 1])),
+       |        (x, y) -> x + y) AS ascore
+       |    FROM probes p JOIN corpus c
+       |      ON p.cell = c.cell AND p.query_id <> c.cand_id) raw)
+       |SELECT query_id, cand_id, score, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT query_id, cand_id, ${Dedup.dotDuckSql("qv", "cv")} AS score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      ${Dedup.dotDuckSql("qv", "cv")} DESC, cand_id) AS rnk
+       |  FROM approx WHERE arnk <= 50) t
+       |WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  private val ivfPqOracle = ivfPqOracleOver("embeddings")
+
+  val ivfPq: QueryDef =
+    QueryDef.sqlBacked("ann_ivf_pq", ivfPqOracle)(ivfPqTopK(_, _))
+
+  // --- IVF-PQ with STORED code words ---------------------------------------
+  // The production serving shape: the 8-byte packed code word is written
+  // into the cell-partitioned index ONCE; a probe's ADC stage reads ONLY
+  // (cand_id, cw) within its probed cells — 16 bytes per candidate
+  // against SQ8's ~72 (64 int8 codes + scale) and the float path's 256,
+  // the bandwidth ratio that makes PQ the memory-resident tier at
+  // billion-vector scale. Survivors fetch floats back by cand_id.
+  // Encoding is deterministic, so stored ≡ in-flight code words and the
+  // key shares ann_ivf_pq's oracle verbatim.
+  def writeIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
+      mode: String = "overwrite"): Unit = {
+    emb(spark, dir)
+    spark.sql(
+      s"""WITH ${pqCodesCte("embeddings")}
+         |SELECT f.vec_id AS cand_id, f.v AS cv, codes.cw,
+         |  argmax_dot(f.v, $centroidMatrixSql) AS cell
+         |FROM f JOIN codes ON f.vec_id = codes.vec_id""".stripMargin)
+      .write.mode(mode).partitionBy("cell").parquet(indexPath)
+  }
+
+  /** The PQ probe against whatever relation is registered as
+    * `pq_index` (cand_id, cv, cw, cell). Queries derive their LUT
+    * in-flight against the corpus-head codebooks (they are `nQueries`
+    * rows); candidates score from the stored code words. */
+  def probePqView(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    emb(spark, dir)
+    spark.sql(
+      s"""WITH cent AS ($centroidSql),
+         |${pqCodesCte("embeddings")},
+         |${pqLutCte(nQueries)},
+         |probes AS (
+         |  SELECT query_id, qv, lutv, cid AS cell FROM (
+         |    SELECT q.query_id, q.qv, l.lutv, cent.cid,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        dot_product(q.qv, cent.cv) DESC, cent.cid) AS pr
+         |    FROM queries q JOIN lut l ON q.query_id = l.query_id
+         |    CROSS JOIN cent) t
+         |  WHERE pr <= $nProbe),
+         |approx AS (
+         |  SELECT query_id, cand_id, qv,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ascore DESC, cand_id) AS arnk
+         |  FROM (
+         |    SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id, p.qv,
+         |      aggregate(sequence(0, 7), 0L, (acc, s) ->
+         |        acc + element_at(p.lutv, CAST(s * 16 +
+         |          (shiftright(c.cw, 4 * s) % 16) + 1 AS INT))) AS ascore
+         |    FROM probes p JOIN pq_index c
+         |      ON p.cell = c.cell AND p.query_id <> c.cand_id) raw),
+         |surv AS (SELECT query_id, cand_id, qv FROM approx WHERE arnk <= $rerank)
+         |SELECT query_id, cand_id, score, rnk FROM (
+         |  SELECT /*+ BROADCAST(s) */ s.query_id, s.cand_id,
+         |    dot_product(s.qv, x.cv) AS score,
+         |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+         |      dot_product(s.qv, x.cv) DESC, s.cand_id) AS rnk
+         |  FROM surv s JOIN pq_index x ON s.cand_id = x.cand_id) t
+         |WHERE rnk <= $k
+         |ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  def probeIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    spark.read.parquet(indexPath).createOrReplaceTempView("pq_index")
+    probePqView(spark, dir, nQueries, k, nProbe, rerank)
+  }
+
+  /** Self-contained census composition: write the packed-code index to
+    * a session scratch path, probe it. Same oracle as ann_ivf_pq — the
+    * storage layout is invisible in the result. */
+  def ivfPqIndexedTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10, nProbe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    val idx = Engine.scratchDir("graft_pq_idx_") + "/index"
+    writeIvfPqIndex(spark, dir, idx)
+    probeIvfPqIndex(spark, dir, idx, nQueries, k, nProbe, rerank)
+  }
+
+  val ivfPqIndexed: QueryDef =
+    QueryDef.sqlBacked("ann_ivf_pq_idx", ivfPqOracle)(ivfPqIndexedTopK(_, _))
+
   val all: Seq[QueryDef] =
     Seq(bruteForce, ivf, ivfFiltered, ivfC256, ivfIndexed, ivfAppend,
       quantized, semantic, recall, kmeans, ivfTrained, hybrid, ivfSq8,
-      ivfSq8Indexed, rprojDef, rprojTopKDef, rprojRerankDef, rprojSq8)
+      ivfSq8Indexed, rprojDef, rprojTopKDef, rprojRerankDef, rprojSq8,
+      ivfPq, ivfPqIndexed)
 }

@@ -63,6 +63,40 @@ object TextAnalysis {
     tf.createOrReplaceTempView("btok_tf")
   }
 
+  /** Word-TRIGRAM posting aggregate (doc_id, "w_i w_i+1 w_i+2", tf) —
+    * swap-cached view `ttok_tf`; same one-corpus-pass discipline as
+    * [[tokenPostings]]/[[bigramPostings]]. The trigram relation is the
+    * backoff LM's top order (`pipeline_lm_ppl`): its per-doc tf bag is
+    * all the scorer needs (surprisal depends only on the context triple,
+    * so positions collapse into counts before any join). Docs with fewer
+    * than three tokens own no trigrams and drop out of scoring — a
+    * declared contract the oracle replays. */
+  private[queries] def trigramAggSql(srcRel: String): String =
+    s"""SELECT doc_id, token, count(*) AS tf FROM (
+       |  SELECT doc_id, explode(CASE WHEN size(tk) < 3 THEN array()
+       |    ELSE transform(sequence(0, size(tk) - 3),
+       |                   i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2])) END) AS token
+       |  FROM (SELECT doc_id, filter(split(lower(text), ' '), x -> x <> '') AS tk
+       |        FROM $srcRel)) t
+       |GROUP BY doc_id, token""".stripMargin
+
+  private[queries] def trigramPostings(spark: SparkSession, corpusRel: String): Unit = {
+    val tf = Engine.cacheSwap("ttok_tf", spark.sql(trigramAggSql(corpusRel)))
+    tf.createOrReplaceTempView("ttok_tf")
+  }
+
+  /** Oracle twin of [[trigramPostings]] (1-indexed list ops; the len<3
+    * guard kept for parity with the Spark spelling, where a descending
+    * sequence() would otherwise fire). */
+  private[queries] def trigramDtDuck(srcRel: String): String =
+    s"""SELECT doc_id, token, count(*) AS tf FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN []
+       |    ELSE list_transform(generate_series(1, len(tk) - 2),
+       |                        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) END) AS token
+       |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+       |        FROM $srcRel))
+       |GROUP BY doc_id, token""".stripMargin
+
   /** The bigram posting aggregate as DuckDB SQL over `srcRel` — the oracle
     * twin of [[bigramPostings]] (1-indexed list ops; generate_series(1, 0)
     * is empty so the len<2 guard only spares the lambda, kept for parity
@@ -1010,11 +1044,11 @@ object TextAnalysis {
        |WHERE rn <= $k
        |ORDER BY query_id, rnk""".stripMargin
 
-  private val unigramDtDuck =
-    """SELECT doc_id, token, count(*) AS tf FROM (
-      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
-      |  FROM documents) t
-      |GROUP BY doc_id, token""".stripMargin
+  private[queries] def unigramDtDuck(srcRel: String = "documents"): String =
+    s"""SELECT doc_id, token, count(*) AS tf FROM (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+       |  FROM $srcRel) t
+       |GROUP BY doc_id, token""".stripMargin
 
   /** Unigram census key. ALLOWLISTED EMPTINESS CONTRACT at the gate
     * tiers: the driver's synthetic corpus is stopword-dense — every
@@ -1025,7 +1059,7 @@ object TextAnalysis {
     * exercise real multi-term sums on this same corpus; BM25Spec replays
     * the unigram formula on planted data where it does rank. */
   val bm25Def: QueryDef =
-    QueryDef.sqlBackedEmptyOk("ta_bm25", bm25OracleOver(unigramDtDuck))(bm25(_, _))
+    QueryDef.sqlBackedEmptyOk("ta_bm25", bm25OracleOver(unigramDtDuck()))(bm25(_, _))
 
   /** Bigram census key — the non-vacuous BM25 spelling (VERDICT r12 #1):
     * identical integer formula, word-bigram posting unit. Every query
