@@ -53,7 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("rproj_i64", "integer-exact JL random projection of a double vector through a ±1 sign matrix",
         exprs => RProjI64(exprs(0), exprs(1))),
       ("dot_i64", "exact dot product of two bigint arrays",
-        exprs => DotI64(exprs(0), exprs(1))))
+        exprs => DotI64(exprs(0), exprs(1))),
+      ("pq_encode", "packed PQ code word of a fixed-point vector vs per-subspace codebooks (argmin d2*16+j per subspace)",
+        exprs => PqEncode(exprs(0), exprs(1))),
+      ("pq_adc", "asymmetric-distance score of a packed PQ code word against a query LUT",
+        exprs => PqAdc(exprs(0), exprs(1))))
     val fns = base ++ GraftFunctions.referenceNames.map { case (name, builder) =>
       (name, s"reference registry name $name (cast/predicate semantics)", builder)
     }

@@ -230,6 +230,10 @@ object GraftFunctions {
       "rproj_i64", exprs => RProjI64(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_i64", exprs => DotI64(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_adc", exprs => PqAdc(exprs(0), exprs(1)), "built-in")
     GraftFunctions.referenceNames.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }

@@ -1172,3 +1172,182 @@ case class NotInSorted64(child: Expression,
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Packed product-quantization code word of a fixed-point vector against
+  * per-subspace codebooks — the codegen kernel behind `ann_ivf_pq`'s
+  * encode (OPTIMIZATION r14).
+  *
+  * Contract (identical arithmetic to the SQL spelling it replaces and to
+  * the DuckDB oracle's replay):
+  *   - `vf`: array<bigint>, the 2^20 fixed-point vector;
+  *   - `cb`: array<array<bigint>> of m*16 entries ordered by s*16+j, each
+  *     a subDim-long codebook centroid (subDim = len(vf)/m, m = len(cb)/16);
+  *   - for each subspace s: d2(j) = sum_i (vf[s*subDim+i] - cb[s*16+j][i])^2,
+  *     code_s = argmin_j over the composite key d2*16+j (the key embeds j,
+  *     so the min is unique — exactly `min(d2*16+j) % 16`);
+  *   - result cw = sum_s code_s << 4s.
+  *
+  * The SQL spelling computed this as an N x (m*16)-row cross join with one
+  * interpreted `aggregate(zip_with(slice(...)))` lambda chain per row,
+  * then two aggregate exchanges (argmin per (vec,s), pack per vec) and a
+  * corpus self-join to attach cw — this kernel folds all of it into one
+  * projection inside the scan's codegen span: no cross join, no exchange,
+  * no attach join. Same 100 TB argument as [[ArgmaxDot]]: encode must be
+  * a scan-speed map pass, never a corpus shuffle.
+  *
+  * NULL domain: a NULL element in `vf` (or a NULL codebook entry/element)
+  * yields NULL — nothing may read as 0 through the primitive slot
+  * (ADVICE r12 discipline). Empty codebook yields NULL. */
+case class PqEncode(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode needs (array<bigint>, array<array<bigint>>), got $other")
+    }
+
+  override def nullSafeEval(v: Any, cbAny: Any): Any = {
+    val vf = v.asInstanceOf[ArrayData]
+    val cb = cbAny.asInstanceOf[ArrayData]
+    val m = cb.numElements() / 16
+    if (m == 0) return null
+    val subDim = vf.numElements() / m
+    var i = 0
+    while (i < vf.numElements()) { if (vf.isNullAt(i)) return null; i += 1 }
+    var cw = 0L
+    var s = 0
+    while (s < m) {
+      var bestKey = Long.MaxValue
+      var j = 0
+      while (j < 16) {
+        if (cb.isNullAt(s * 16 + j)) return null
+        val cf = cb.getArray(s * 16 + j)
+        var d2 = 0L
+        var d = 0
+        while (d < subDim) {
+          if (cf.isNullAt(d)) return null
+          val diff = vf.getLong(s * subDim + d) - cf.getLong(d)
+          d2 += diff * diff
+          d += 1
+        }
+        val key = d2 * 16 + j
+        if (key < bestKey) bestKey = key
+        j += 1
+      }
+      cw += (bestKey % 16) << (4 * s)
+      s += 1
+    }
+    cw
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) => {
+      val m = ctx.freshName("m"); val subDim = ctx.freshName("subDim")
+      val cw = ctx.freshName("cw"); val s = ctx.freshName("s")
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val d2 = ctx.freshName("d2"); val diff = ctx.freshName("diff")
+      val key = ctx.freshName("key"); val bestKey = ctx.freshName("bestKey")
+      val cf = ctx.freshName("cf"); val i = ctx.freshName("i")
+      val outer = ctx.freshName("outer")
+      s"""
+         |int $m = $cb.numElements() / 16;
+         |if ($m == 0) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $v.numElements(); $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; }
+         |}
+         |if (!${ev.isNull}) {
+         |  int $subDim = $v.numElements() / $m;
+         |  long $cw = 0L;
+         |  $outer: for (int $s = 0; $s < $m; $s++) {
+         |    long $bestKey = Long.MAX_VALUE;
+         |    for (int $j = 0; $j < 16; $j++) {
+         |      if ($cb.isNullAt($s * 16 + $j)) { ${ev.isNull} = true; break $outer; }
+         |      org.apache.spark.sql.catalyst.util.ArrayData $cf = $cb.getArray($s * 16 + $j);
+         |      long $d2 = 0L;
+         |      for (int $d = 0; $d < $subDim; $d++) {
+         |        if ($cf.isNullAt($d)) { ${ev.isNull} = true; break $outer; }
+         |        long $diff = $v.getLong($s * $subDim + $d) - $cf.getLong($d);
+         |        $d2 += $diff * $diff;
+         |      }
+         |      long $key = $d2 * 16 + $j;
+         |      if ($key < $bestKey) $bestKey = $key;
+         |    }
+         |    $cw += ($bestKey % 16) << (4 * $s);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $cw; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Asymmetric-distance score of a packed PQ code word against a query's
+  * lookup table — the codegen kernel behind the `ann_ivf_pq` / PQ-probe
+  * ADC stage (OPTIMIZATION r14).
+  *
+  * Contract (identical to the SQL fold it replaces):
+  *   score = sum_{s=0..m-1} lut[s*16 + ((cw >> 4s) & 15)]   (m = len(lut)/16)
+  * exactly `aggregate(sequence(0, m-1), 0L, (acc, s) -> acc +
+  * element_at(lut, s*16 + shiftright(cw, 4*s) % 16 + 1))`, which paid one
+  * interpreted lambda chain per candidate row (the probed cells' full
+  * candidate set). NULL domain: NULL lut element at a read index → NULL
+  * (element_at parity); a lut whose length isn't a multiple of 16 scores
+  * its complete subspaces (our luts are exactly m*16 by construction). */
+case class PqAdc(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc needs (array<bigint>, bigint), got $other")
+    }
+
+  override def nullSafeEval(lutAny: Any, cwAny: Any): Any = {
+    val lut = lutAny.asInstanceOf[ArrayData]
+    val cw = cwAny.asInstanceOf[Long]
+    val m = lut.numElements() / 16
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      val idx = s * 16 + ((cw >> (4 * s)) & 15L).toInt
+      if (lut.isNullAt(idx)) return null
+      acc += lut.getLong(idx)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, cw) => {
+      val m = ctx.freshName("m"); val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc"); val idx = ctx.freshName("idx")
+      s"""
+         |int $m = $lut.numElements() / 16;
+         |long $acc = 0L;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $idx = $s * 16 + (int) (($cw >> (4 * $s)) & 15L);
+         |  if ($lut.isNullAt($idx)) { ${ev.isNull} = true; break; }
+         |  $acc += $lut.getLong($idx);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -162,6 +162,36 @@ object Classify {
   private def scoreOver(postRel: String): String =
     s"SELECT doc_id, token, tf FROM ($postRel) sp WHERE NOT ($trainPred)"
 
+  /** Swap-cached training statistics — OPTIMIZATION r14 (guide §2.4 /
+    * §7.2 "duplicated subtrees"). `nbScoreSql` references its train
+    * relation through cls (for w), through tot (the smoothing
+    * denominators), and through tot again in the scoring roll-up's OOV
+    * arm; with plain CTE inlining the labeled-postings SORT-MERGE JOIN
+    * ran THREE times per invocation and the doc-label aggregate a fourth
+    * time for pri (plans/r14/pipeline_classify_before.txt: SMJ at nodes
+    * 22, 39, 65). The model is vocabulary-sized and the doc labels one
+    * narrow row per training doc — both ride the session swap-cache
+    * (the tok_tf pattern): the join and the label aggregate each run
+    * once per corpus epoch, every reference reads the InMemoryRelation,
+    * and the cached relations carry exact size statistics for the
+    * broadcast decisions downstream. Returns (trBody, priBody) for
+    * [[nbScoreSql]]; `edit` keeps the `ivm_nb` ground-truth path on its
+    * own cache epoch (a different edit is a different plan, so
+    * cacheSwap swaps rather than aliasing).
+    */
+  private def cachedModelBodies(spark: SparkSession, edit: String = ""): (String, String) = {
+    val td = Engine.cacheSwap("nb_traindocs", spark.sql(trainDocsOver(sparkPost, edit)))
+    td.createOrReplaceTempView("nb_traindocs")
+    val tr = Engine.cacheSwap("nb_tragg", spark.sql(
+      s"""SELECT /*+ MERGE(d) */ t.token, d.pos, sum(t.tf) AS tf
+         |FROM tok_tf t JOIN (SELECT doc_id, pos FROM nb_traindocs) d
+         |  ON t.doc_id = d.doc_id
+         |GROUP BY t.token, d.pos""".stripMargin))
+    tr.createOrReplaceTempView("nb_tragg")
+    ("SELECT token, pos, tf FROM nb_tragg",
+      priOver("SELECT doc_id, pos FROM nb_traindocs"))
+  }
+
   // --- ta_nb_train: the trained model is itself a relation ------------------
   /** Training IS one hash aggregate over the labeled slice — the model
     * (per-token class counts) is data, inspectable and joinable, which is
@@ -176,8 +206,9 @@ object Classify {
   ) { (spark, dir) =>
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
     TextAnalysis.tokenPostings(spark, "documents")
+    val (trBody, _) = cachedModelBodies(spark)
     spark.sql(
-      s"""WITH tr AS (${trOver(sparkPost)})
+      s"""WITH tr AS ($trBody)
          |SELECT token,
          |  CAST(sum(CASE WHEN pos = 1 THEN tf ELSE 0 END) AS BIGINT) AS c1,
          |  CAST(sum(CASE WHEN pos = 0 THEN tf ELSE 0 END) AS BIGINT) AS c0
@@ -195,8 +226,8 @@ object Classify {
   def classifyOneShot(spark: SparkSession, dir: String, edit: String = ""): DataFrame = {
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
     TextAnalysis.tokenPostings(spark, "documents")
-    spark.sql(nbScoreSql(trOver(sparkPost, edit),
-      priOver(trainDocsOver(sparkPost, edit)), scoreOver(sparkPost), flog2Spark))
+    val (trBody, priBody) = cachedModelBodies(spark, edit)
+    spark.sql(nbScoreSql(trBody, priBody, scoreOver(sparkPost), flog2Spark))
   }
 
   private val classifyOracle = nbScoreSql(trOver(duckPost),
@@ -246,7 +277,8 @@ object Classify {
   def nbPr(spark: SparkSession, dir: String): DataFrame = {
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
     TextAnalysis.tokenPostings(spark, "documents")
-    spark.sql(nbPrSql(trOver(sparkPost), priOver(trainDocsOver(sparkPost)),
+    val (trBody, priBody) = cachedModelBodies(spark)
+    spark.sql(nbPrSql(trBody, priBody,
       scoreOver(sparkPost), labelDocsOver(sparkPost, s"NOT ($trainPred)"),
       flog2Spark))
   }
@@ -290,12 +322,23 @@ object Classify {
   private val dsirK = 128
   private val dsirShift = 1 << 24
 
+  // OPTIMIZATION r14 (guide §2.4 "remove shuffles outright"): the
+  // normalized weight used to be two per-doc aggregates joined back
+  // together — dw (Σ tf·w) MERGE-joined to dlen (Σ tf), a corpus×corpus
+  // sort-merge join whose two inputs were aggregates of the SAME rows.
+  // Because wb carries one row for EVERY bucket in raw (raw ⊇ the
+  // buckets of bt by construction, LEFT JOIN tgt keeps them all), the
+  // bt⋈wb inner join preserves every bt row — so Σ tf over the joined
+  // rows IS n_tok, and both sums fuse into ONE hash aggregate: the
+  // dlen pass, its exchange, and the nwr sort-merge join all disappear
+  // (plan: 2 per-doc exchanges + SMJ → 1 exchange; see
+  // plans/r14/pipeline_dsir_{before,after}.txt). Oracle and engine share
+  // this text, and the fused form is provably row-identical.
   private def dsirSql(hash: String => String, f: String => String,
       postBody: String, idiv: String): String =
     s"""WITH post AS ($postBody),
        |bt AS (
        |  SELECT doc_id, ${hash("token")} % $dsirBuckets AS b, tf FROM post),
-       |dlen AS (SELECT doc_id, sum(tf) AS n_tok FROM post GROUP BY doc_id),
        |tgtd AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id, sum(CASE WHEN token = 'vector' THEN tf ELSE 0 END) AS v,
@@ -314,14 +357,11 @@ object Classify {
        |    (${f("coalesce(g.ct, 0) + 1")} - ${f(s"t.tt + $dsirBuckets")})
        |      - (${f("r.cr + 1")} - ${f(s"t.tr + $dsirBuckets")}) + $dsirShift AS w
        |  FROM raw r LEFT JOIN tgt g ON r.b = g.b CROSS JOIN tots t),
-       |dw AS (
-       |  SELECT /*+ BROADCAST(wb) */ bt.doc_id, sum(bt.tf * wb.w) AS sw
-       |  FROM bt JOIN wb ON bt.b = wb.b
-       |  GROUP BY bt.doc_id),
        |nwr AS (
-       |  SELECT /*+ MERGE(dlen) */ dw.doc_id,
-       |    CAST((dw.sw * 65536) $idiv dlen.n_tok AS BIGINT) AS nw
-       |  FROM dw JOIN dlen ON dw.doc_id = dlen.doc_id)
+       |  SELECT /*+ BROADCAST(wb) */ bt.doc_id,
+       |    CAST((sum(bt.tf * wb.w) * 65536) $idiv sum(bt.tf) AS BIGINT) AS nw
+       |  FROM bt JOIN wb ON bt.b = wb.b
+       |  GROUP BY bt.doc_id)
        |SELECT doc_id, nw,
        |  CAST(row_number() OVER (ORDER BY nw DESC, doc_id) AS INT) AS rnk
        |FROM (SELECT doc_id, nw FROM nwr ORDER BY nw DESC, doc_id LIMIT $dsirK) s

@@ -801,10 +801,30 @@ object Curate {
     TextAnalysis.tokenPostings(spark, "documents")
     TextAnalysis.bigramPostings(spark, "documents")
     TextAnalysis.trigramPostings(spark, "documents")
+    // OPTIMIZATION r14 (guide §2.4 / §7.2 "duplicated subtrees"): the
+    // score SQL references c2 twice (bxv and bvu arms) and c1 three
+    // times (uv, uu, tot) — CTE inlining re-AGGREGATED the train half
+    // per reference (plans/r14/pipeline_lm_ppl_before.txt: five
+    // Exchange+HashAggregate pairs + a sixth two-level pair under tot,
+    // for three distinct relations). The count relations ARE the model
+    // (vocabulary-sized, the same class as tok_tf itself), so they ride
+    // the session swap-cache like every other posting relation: each is
+    // computed once per corpus epoch, every reference reads the
+    // InMemoryRelation, and — because cached relations carry EXACT size
+    // statistics — the planner's broadcast decision for the five probe
+    // joins is grounded at any tier instead of estimated.
+    def model(key: String, rel: String): Unit = {
+      val df = Engine.cacheSwap(key, spark.sql(
+        s"SELECT token, sum(tf) AS c FROM $rel WHERE doc_id % 2 = 0 GROUP BY token"))
+      df.createOrReplaceTempView(key)
+    }
+    model("lm_c1", "tok_tf")
+    model("lm_c2", "btok_tf")
+    model("lm_c3", "ttok_tf")
     spark.sql(lmPplScoreSparkSql(
-      "SELECT token, sum(tf) AS c FROM tok_tf WHERE doc_id % 2 = 0 GROUP BY token",
-      "SELECT token, sum(tf) AS c FROM btok_tf WHERE doc_id % 2 = 0 GROUP BY token",
-      "SELECT token, sum(tf) AS c FROM ttok_tf WHERE doc_id % 2 = 0 GROUP BY token"))
+      "SELECT token, c FROM lm_c1",
+      "SELECT token, c FROM lm_c2",
+      "SELECT token, c FROM lm_c3"))
   }
 
   /** The scorer over arbitrary count relations (token, c) — the plain

@@ -1919,8 +1919,22 @@ object Similarity {
   // SQ8 does. Reference has no vector ops (SURVEY §2 north-star scope).
 
   /** Shared CTE text: fixed-point vectors `f`, sampled codebooks `cb`
-    * (m=8 × ks=16 × 8 dims), per-subspace codes `enc`, packed code
-    * words `codes(vec_id, cw)`. Engine-side (Spark) spelling. */
+    * (m=8 × ks=16 × 8 dims), the codebook matrix `cbm` (one row, the
+    * 128 entries ordered by s·16+j), packed code words `codes(vec_id,
+    * cw)`. Engine-side (Spark) spelling.
+    *
+    * OPTIMIZATION r14 (guide §1.2 "per-task work" + §2.4 "remove
+    * shuffles outright"): the encode was an N×128-row cross join
+    * computing one interpreted `aggregate(zip_with(slice(...)))` lambda
+    * chain per row, followed by TWO aggregate exchanges (argmin per
+    * (vec, s), pack per vec) whose output was then JOINED back to the
+    * corpus. It is now the [[graft.functions.PqEncode]] codegen kernel:
+    * the codebook folds to a single 128×8 array (one scalar subquery —
+    * model-sized, same class as the centroid literal), and each vector's
+    * entire code word is one generated-loop projection inside the scan's
+    * codegen span — zero encode exchanges, zero attach join, identical
+    * argmin-key arithmetic (PqSpec pins kernel ≡ SQL spelling ≡ oracle).
+    */
   private def pqCodesCte(src: String): String =
     s"""e AS (
        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1933,17 +1947,12 @@ object Similarity {
        |  SELECT sub.s, f.vec_id AS j, slice(f.vf, sub.s * 8 + 1, 8) AS cf
        |  FROM f CROSS JOIN (SELECT explode(sequence(0, 7)) AS s) sub
        |  WHERE f.vec_id < 16),
-       |enc AS (
-       |  SELECT vec_id, s, CAST(mk % 16 AS INT) AS code FROM (
-       |    SELECT t.vec_id, t.s, min(t.d2 * 16 + t.j) AS mk FROM (
-       |      SELECT f.vec_id, cb.s, cb.j,
-       |        aggregate(zip_with(slice(f.vf, cb.s * 8 + 1, 8), cb.cf,
-       |          (x, y) -> (x - y) * (x - y)), 0L, (acc, p) -> acc + p) AS d2
-       |      FROM f CROSS JOIN cb) t
-       |    GROUP BY t.vec_id, t.s)),
+       |cbm AS (
+       |  SELECT transform(sort_array(collect_list(named_struct(
+       |    'idx', s * 16 + CAST(j AS INT), 'cf', cf))), x -> x.cf) AS m
+       |  FROM cb),
        |codes AS (
-       |  SELECT vec_id, sum(shiftleft(CAST(code AS BIGINT), 4 * s)) AS cw
-       |  FROM enc GROUP BY vec_id)""".stripMargin
+       |  SELECT vec_id, pq_encode(vf, (SELECT m FROM cbm)) AS cw FROM f)""".stripMargin
 
   /** Query-side LUT CTE: one 128-entry BIGINT array per query, index
     * s·16+j (1-based at read). Requires `f` and `cb` from
@@ -1970,9 +1979,10 @@ object Similarity {
       s"""WITH cent AS ($centroidSql),
          |${pqCodesCte("embeddings")},
          |corpus AS (
-         |  SELECT f.vec_id AS cand_id, f.v AS cv, codes.cw,
-         |    argmax_dot(f.v, $centroidMatrixSql) AS cell
-         |  FROM f JOIN codes ON f.vec_id = codes.vec_id),
+         |  SELECT vec_id AS cand_id, v AS cv,
+         |    pq_encode(vf, (SELECT m FROM cbm)) AS cw,
+         |    argmax_dot(v, $centroidMatrixSql) AS cell
+         |  FROM f),
          |${pqLutCte(nQueries)},
          |probes AS (
          |  SELECT query_id, qv, lutv, cid AS cell FROM (
@@ -1988,9 +1998,7 @@ object Similarity {
          |      ORDER BY ascore DESC, cand_id) AS arnk
          |  FROM (
          |    SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id, p.qv, c.cv,
-         |      aggregate(sequence(0, 7), 0L, (acc, s) ->
-         |        acc + element_at(p.lutv, CAST(s * 16 +
-         |          (shiftright(c.cw, 4 * s) % 16) + 1 AS INT))) AS ascore
+         |      pq_adc(p.lutv, c.cw) AS ascore
          |    FROM probes p JOIN corpus c
          |      ON p.cell = c.cell AND p.query_id <> c.cand_id) raw)
          |SELECT query_id, cand_id, score, rnk FROM (
@@ -2104,9 +2112,10 @@ object Similarity {
     emb(spark, dir)
     spark.sql(
       s"""WITH ${pqCodesCte("embeddings")}
-         |SELECT f.vec_id AS cand_id, f.v AS cv, codes.cw,
-         |  argmax_dot(f.v, $centroidMatrixSql) AS cell
-         |FROM f JOIN codes ON f.vec_id = codes.vec_id""".stripMargin)
+         |SELECT vec_id AS cand_id, v AS cv,
+         |  pq_encode(vf, (SELECT m FROM cbm)) AS cw,
+         |  argmax_dot(v, $centroidMatrixSql) AS cell
+         |FROM f""".stripMargin)
       .write.mode(mode).partitionBy("cell").parquet(indexPath)
   }
 
@@ -2136,9 +2145,7 @@ object Similarity {
          |      ORDER BY ascore DESC, cand_id) AS arnk
          |  FROM (
          |    SELECT /*+ BROADCAST(p) */ p.query_id, c.cand_id, p.qv,
-         |      aggregate(sequence(0, 7), 0L, (acc, s) ->
-         |        acc + element_at(p.lutv, CAST(s * 16 +
-         |          (shiftright(c.cw, 4 * s) % 16) + 1 AS INT))) AS ascore
+         |      pq_adc(p.lutv, c.cw) AS ascore
          |    FROM probes p JOIN pq_index c
          |      ON p.cell = c.cell AND p.query_id <> c.cand_id) raw),
          |surv AS (SELECT query_id, cand_id, qv FROM approx WHERE arnk <= $rerank)

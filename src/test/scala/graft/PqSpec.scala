@@ -62,6 +62,55 @@ class PqSpec extends AnyFunSuite {
       "no re-rank index scan reading only the float column:\n" + indexScans.mkString("\n"))
   }
 
+  test("pq_encode / pq_adc kernels equal the interpreted SQL folds (r14)") {
+    // OPTIMIZATION r14 replaced the N×128 cross-join encode and the
+    // per-candidate aggregate() ADC fold with codegen kernels; this pins
+    // kernel ≡ the original higher-order-function spelling on real
+    // corpus vectors (same composite-key argmin, same packed word, same
+    // LUT fold), so the census keys' oracle equality can never hinge on
+    // the kernel silently drifting.
+    import spark.implicits._
+    Engine.table(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    val both = spark.sql(
+      """WITH f AS (
+        |  SELECT vec_id,
+        |    transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D + 0.5D) AS BIGINT)) AS vf
+        |  FROM embeddings),
+        |cb AS (
+        |  SELECT sub.s, f.vec_id AS j, slice(f.vf, sub.s * 8 + 1, 8) AS cf
+        |  FROM f CROSS JOIN (SELECT explode(sequence(0, 7)) AS s) sub
+        |  WHERE f.vec_id < 16),
+        |cbm AS (
+        |  SELECT transform(sort_array(collect_list(named_struct(
+        |    'idx', s * 16 + CAST(j AS INT), 'cf', cf))), x -> x.cf) AS m
+        |  FROM cb),
+        |sqlcodes AS (
+        |  SELECT vec_id, sum(shiftleft(CAST(code AS BIGINT), 4 * s)) AS cw FROM (
+        |    SELECT vec_id, s, CAST(mk % 16 AS INT) AS code FROM (
+        |      SELECT t.vec_id, t.s, min(t.d2 * 16 + t.j) AS mk FROM (
+        |        SELECT f.vec_id, cb.s, cb.j,
+        |          aggregate(zip_with(slice(f.vf, cb.s * 8 + 1, 8), cb.cf,
+        |            (x, y) -> (x - y) * (x - y)), 0L, (acc, p) -> acc + p) AS d2
+        |        FROM f CROSS JOIN cb) t
+        |      GROUP BY t.vec_id, t.s)) e
+        |  GROUP BY vec_id),
+        |kcodes AS (SELECT vec_id, pq_encode(vf, (SELECT m FROM cbm)) AS cw FROM f)
+        |SELECT s.vec_id, s.cw AS sql_cw, k.cw AS k_cw
+        |FROM sqlcodes s JOIN kcodes k ON s.vec_id = k.vec_id""".stripMargin)
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"pq_encode diverged from the SQL argmin at vec_id=${r.getLong(0)}"))
+    // ADC fold parity on a synthetic LUT covering every subspace index
+    val adc = spark.sql(
+      s"""SELECT pq_adc(lut, cw) AS k,
+         |  aggregate(sequence(0, 7), 0L, (acc, s) ->
+         |    acc + element_at(lut, CAST(s * 16 + (shiftright(cw, 4 * s) % 16) + 1 AS INT))) AS s
+         |FROM (SELECT transform(sequence(1, 128), i -> CAST(i * 37 - 1000 AS BIGINT)) AS lut,
+         |             CAST(81985529216486895 AS BIGINT) AS cw)""".stripMargin).head()
+    assert(adc.getLong(0) == adc.getLong(1), "pq_adc diverged from the aggregate() fold")
+  }
+
   test("recall@10 vs exact brute force holds the measured floor") {
     // The quality bar at the default widths (nProbe=4/16 cells,
     // rerank=50, m=8 x ks=16 sampled codebooks) on the gate corpus.
