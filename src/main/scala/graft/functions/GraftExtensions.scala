@@ -54,6 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => RProjI64(exprs(0), exprs(1))),
       ("dot_i64", "exact dot product of two bigint arrays",
         exprs => DotI64(exprs(0), exprs(1))),
+      ("word_ngrams", "word n-grams of a single-space-tokenized string (one codegen pass; args: text, n)",
+        exprs => WordNgrams.build(exprs)),
       ("pq_encode", "packed PQ code word of a fixed-point vector vs per-subspace codebooks (argmin d2*16+j per subspace)",
         exprs => PqEncode(exprs(0), exprs(1))),
       ("pq_adc", "asymmetric-distance score of a packed PQ code word against a query LUT",

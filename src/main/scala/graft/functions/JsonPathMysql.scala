@@ -231,6 +231,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "dot_i64", exprs => DotI64(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "word_ngrams", exprs => WordNgrams.build(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "pq_adc", exprs => PqAdc(exprs(0), exprs(1)), "built-in")

@@ -401,7 +401,7 @@ object Classify {
       "SELECT token, pos, tf FROM nb_model",
       "SELECT n1, n0 FROM nb_prior",
       """SELECT doc_id, token, count(*) AS tf FROM (
-        |  SELECT doc_id, explode(filter(split(lower(text), ' '), x -> x <> '')) AS token
+        |  SELECT doc_id, explode(word_ngrams(lower(text), 1)) AS token
         |  FROM nb_batch) t
         |GROUP BY doc_id, token""".stripMargin,
       flog2Spark))

@@ -1169,8 +1169,7 @@ object Similarity {
       .createOrReplaceTempView("hybrid_vec")
     spark.sql(
       s"""WITH tok AS (
-         |  SELECT doc_id, explode(array_distinct(
-         |    filter(split(lower(text), ' '), x -> x <> ''))) AS tk
+         |  SELECT doc_id, explode(array_distinct(word_ngrams(lower(text), 1))) AS tk
          |  FROM documents),
          |qtok AS (SELECT doc_id AS query_id, tk FROM tok WHERE doc_id < $nQueries),
          |lex AS (
