@@ -40,17 +40,19 @@ object Dedup {
     * side also carries `fp = md5(text)` — the exact-duplicate group key
     * the banded paths collapse on (hot-bucket guard) — which the oracles
     * never need (they verify all pairs directly). */
-  private val tokSql =
-    "SELECT doc_id, md5(text) AS fp, filter(split(text, ' '), x -> x <> '') AS tokens FROM documents"
   private val tokDuck =
     "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens FROM documents"
 
   /** Distinct word-3-gram shingles per doc (arrays are 0-based in Spark,
     * 1-based in DuckDB — the two forms enumerate identical shingles). */
+  // OPTIMIZATION r14: shingles come from the word_ngrams codegen kernel
+  // (one byte walk) instead of the interpreted transform/concat_ws chain;
+  // identical arrays (concat_ws(' ', a, b, c) ≡ the kernel's single-space
+  // join — WordNgramsSpec), and size(word_ngrams(text, 3)) > 0 ⟺
+  // size(tokens) >= 3, the original row predicate.
   private val shingleSql =
-    s"""SELECT doc_id, fp, array_distinct(transform(sequence(0, size(tokens)-3),
-       |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))) AS shingles
-       |FROM ($tokSql) WHERE size(tokens) >= 3""".stripMargin
+    s"""SELECT doc_id, md5(text) AS fp, array_distinct(word_ngrams(text, 3)) AS shingles
+       |FROM documents WHERE size(word_ngrams(text, 3)) > 0""".stripMargin
   private val shingleDuck =
     s"""SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)-1),
        |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))) AS shingles
@@ -473,23 +475,35 @@ object Dedup {
     // md5(text) group, re-expand verified rep pairs through the group
     // table, and emit within-group pairs directly with Hamming 0 (the
     // exact bits identical token arrays produce).
+    //
+    // OPTIMIZATION r14 (guide §7.2 duplicated subtrees): the one-CTE
+    // spelling referenced the tokenize+md5-per-token relation FIVE times
+    // (signature build, both rpairs sides, both re-expansion sides) and
+    // CTE inlining recomputed the full corpus hash pass for each — the
+    // before plan (plans/r14/dedup_simhash_before.txt) shows the
+    // per-token md5 chain inlined under BOTH band-join scans, and the
+    // pushed isnotnull(join key) re-evaluated the entire simhash fold a
+    // second time inside each scan's Filter. Now the two relations every
+    // reference actually needs are swap-cached narrow: `simhash_grp`
+    // (doc_id, fp — the md5(text) group table) and `simhash_sh`
+    // (rep doc_id, fp, simhash), so the corpus is tokenized and
+    // token-hashed exactly ONCE per epoch (the minhash family's
+    // `dedup_sh` discipline applied here).
+    val grp = graft.Engine.cacheSwap("simhash_grp", spark.sql(
+      "SELECT doc_id, md5(text) AS fp FROM documents WHERE size(word_ngrams(text, 1)) > 0"))
+    grp.createOrReplaceTempView("simhash_grp")
+    val sh = graft.Engine.cacheSwap("simhash_sh", spark.sql(
+      s"""SELECT r.doc_id, r.fp,
+         |  simhash60(transform(word_ngrams(d.text, 1), t -> ${portableHash60Spark("t")})) AS simhash
+         |FROM documents d
+         |JOIN (SELECT min(doc_id) AS doc_id, fp FROM simhash_grp GROUP BY fp) r
+         |  ON d.doc_id = r.doc_id""".stripMargin))
+    sh.createOrReplaceTempView("simhash_sh")
     spark.sql(
-      s"""WITH tok AS ($tokSql),
-         |th AS (
-         |  SELECT doc_id, fp, transform(tokens, t -> ${portableHash60Spark("t")}) AS hs
-         |  FROM tok WHERE size(tokens) > 0
-         |),
-         |reps AS (
-         |  SELECT min(doc_id) AS doc_id, fp FROM th GROUP BY fp
-         |),
-         |sh AS (
-         |  SELECT t.doc_id, t.fp, simhash60(t.hs) AS simhash
-         |  FROM th t JOIN reps r ON t.doc_id = r.doc_id
-         |),
-         |bands AS (
+      s"""WITH bands AS (
          |  SELECT doc_id, simhash, b AS band_idx,
          |    shiftright(simhash, b * 15) & 32767 AS band_val
-         |  FROM sh LATERAL VIEW explode(sequence(0, 3)) t AS b
+         |  FROM simhash_sh LATERAL VIEW explode(sequence(0, 3)) t AS b
          |),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -502,18 +516,18 @@ object Dedup {
          |  SELECT c.id_a, c.id_b, sa.fp AS fp_a, sb.fp AS fp_b,
          |    bit_count(c.sh_a ^ c.sh_b) AS hamming
          |  FROM cand c
-         |  JOIN sh sa ON c.id_a = sa.doc_id
-         |  JOIN sh sb ON c.id_b = sb.doc_id
+         |  JOIN simhash_sh sa ON c.id_a = sa.doc_id
+         |  JOIN simhash_sh sb ON c.id_b = sb.doc_id
          |  WHERE bit_count(c.sh_a ^ c.sh_b) <= $maxHamming
          |)
          |SELECT least(ga.doc_id, gb.doc_id) AS id_a,
          |       greatest(ga.doc_id, gb.doc_id) AS id_b, r.hamming
          |FROM rpairs r
-         |JOIN th ga ON ga.fp = r.fp_a
-         |JOIN th gb ON gb.fp = r.fp_b
+         |JOIN simhash_grp ga ON ga.fp = r.fp_a
+         |JOIN simhash_grp gb ON gb.fp = r.fp_b
          |UNION ALL
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
-         |FROM th a JOIN th b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |FROM simhash_grp a JOIN simhash_grp b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin)
   }
 
