@@ -109,9 +109,18 @@ object Bench {
   // otherwise taxes run 2's allocations — measured on sf1 containment as
   // a best-of-2 that never got under 6 s in-cell while a fresh session
   // ran the identical plan in ~4 s.
-  private def bestOf(n: Int, s: SparkSession, dir: String)(q: QueryDef): Option[Double] = {
+  // Swap caches are ALSO released between attempts (OPTIMIZATION r15 /
+  // VERDICT r14 #1): a query that swap-caches its model inside the timed
+  // region (lm_c1-3, nb_tragg, *_dl, simhash_grp/sh, tok_tf itself)
+  // would otherwise skip the model build from run 2 on, and min() would
+  // report the warm-model serving cost instead of the one-shot
+  // invocation every other cell prices. Each attempt now starts from the
+  // same cold-cache state the between-queries clear (see `cell`)
+  // establishes for run 1 — min() is noise damping again, not cache
+  // riding. BenchSpec pins the per-attempt clear.
+  private[graft] def bestOf(n: Int, s: SparkSession, dir: String)(q: QueryDef): Option[Double] = {
     val ok = (1 to n).flatMap { i =>
-      if (i > 1) System.gc()
+      if (i > 1) { Engine.clearSwapCaches(s); System.gc() }
       timeOnce(s, dir)(q)
     }
     if (ok.isEmpty) None else Some(ok.min)
@@ -294,6 +303,9 @@ object Bench {
             if (BenchArtifact.needsRetry(q.name, t, prev)) {
               System.err.println(f"[bench] outlier retry ${q.name}@$dir: " +
                 f"$t%.3fs > 3x committed ${prev(q.name)}%.3fs")
+              // same one-shot discipline as bestOf's attempts: the retry
+              // must not ride the last attempt's swap caches
+              Engine.clearSwapCaches(s)
               System.gc()
               timeOnce(s, dir)(q).map(math.min(_, t)).getOrElse(t)
             } else t

@@ -52,7 +52,14 @@ object Engine {
       // ("not enough memory to build hash map", measured r14). 64 MiB ×
       // 32 tasks caps concurrent build memory at 2 GiB; anything larger
       // belongs in a sort-merge join anyway.
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // Parameterized (OPTIMIZATION r15, VERDICT r14 #2's adjudication
+      // hook): SPARK_GRAFT_SHJ_THRESHOLD overrides for controlled A/Bs
+      // (graft.ShjDev runs the TPC-H set under a given cap and dumps the
+      // FINAL adaptive plans); the default stays the concurrency-priced
+      // 64m above. The r15 A/B evidence lives in OPTIMIZATION_r15.md and
+      // plans/r15/q*_shj*.txt.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       // Broadcast threshold stays at the Spark DEFAULT (10m). Round 7
       // raised it session-wide to 64m for the TPC-H dimension joins and
       // the judge measured the blast radius: dedup_minhash_lsh compiled
@@ -200,6 +207,16 @@ object Engine {
       if (e.getKey._1 eq spark) { e.getValue.unpersist(blocking = false); true }
       else false
     }
+
+  /** The keys currently swap-cached for `spark` — test visibility only
+    * (BenchSpec pins that Bench's best-of-N attempts each start from a
+    * cold swap-cache state; production code never enumerates the map). */
+  private[graft] def swapCacheKeys(spark: SparkSession): Set[String] = {
+    val it = swapCache.keySet.iterator()
+    val b = Set.newBuilder[String]
+    while (it.hasNext) { val k = it.next(); if (k._1 eq spark) b += k._2 }
+    b.result()
+  }
 
   /** Cache `df` under `key`, releasing whatever the key cached before
     * (unless it is the same logical plan, which stays live and is

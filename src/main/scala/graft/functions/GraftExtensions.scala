@@ -56,6 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => DotI64(exprs(0), exprs(1))),
       ("word_ngrams", "word n-grams of a single-space-tokenized string (one codegen pass; args: text, n)",
         exprs => WordNgrams.build(exprs)),
+      ("word_ngram_tfs", "distinct word n-grams with in-document counts, array<struct<token,tf>> (one codegen pass; args: text, n)",
+        exprs => WordNgramTfs.build(exprs)),
       ("pq_encode", "packed PQ code word of a fixed-point vector vs per-subspace codebooks (argmin d2*16+j per subspace)",
         exprs => PqEncode(exprs(0), exprs(1))),
       ("pq_adc", "asymmetric-distance score of a packed PQ code word against a query LUT",

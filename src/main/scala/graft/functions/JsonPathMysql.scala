@@ -233,6 +233,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgrams.build(exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "word_ngram_tfs", exprs => WordNgramTfs.build(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "pq_adc", exprs => PqAdc(exprs(0), exprs(1)), "built-in")

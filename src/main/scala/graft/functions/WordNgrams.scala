@@ -1,10 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word n-grams of a single-space-tokenized string in ONE codegen pass —
@@ -143,4 +144,106 @@ object WordNgrams {
   }
 
   private val EmptyArray = new Array[UTF8String](0)
+}
+
+/** Per-document n-gram term frequencies in ONE codegen pass —
+  * OPTIMIZATION r15 (guide §2.4 "remove shuffles outright", with problem
+  * knowledge the optimizer lacks).
+  *
+  * `word_ngram_tfs(t, n)` returns `array<struct<token string, tf bigint>>`
+  * — the distinct n-grams of [[WordNgrams]] with their in-document
+  * occurrence counts, in first-occurrence order. Every posting builder
+  * used to spell the (doc_id, token, tf) aggregate as
+  * `explode(word_ngrams(...)) ... GROUP BY doc_id, token` — but `doc_id`
+  * is unique per input ROW, so no (doc_id, token) group ever spans rows
+  * and the aggregate's corpus-wide Exchange moves bytes only to combine
+  * rows that were already co-located. The kernel counts inside the row:
+  * `SELECT doc_id, inline(word_ngram_tfs(lower(text), n))` produces the
+  * identical (doc_id, token, tf) bag with ZERO exchanges — measured at
+  * sf10, the unigram posting aggregate is 2.5-3.2 s of which the
+  * explode-only scan floor is ~1 s.
+  *
+  * Determinism: first-occurrence order (LinkedHashMap) — same input,
+  * same array, so retried tasks reproduce their output exactly.
+  * Equality with the aggregate spelling is pinned by WordNgramsSpec
+  * (kernel tf ≡ GROUP BY count on edge shapes and the gate corpus);
+  * every consumer's DuckDB oracle re-aggregates independently, so the
+  * census hash compare re-proves it end to end.
+  */
+case class WordNgramTfs(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "word_ngram_tfs: n must be positive")
+
+  override def dataType: DataType = WordNgramTfs.OutType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_ngram_tfs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"word_ngram_tfs needs string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramTfs.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.WordNgramTfs.compute($c, $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WordNgramTfs {
+
+  private[functions] val OutType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Validated SQL-registry builder (the WordNgrams discipline). */
+  def build(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"word_ngram_tfs expects 2 arguments (text, n INT); got ${exprs.length}")
+    val e = exprs(1)
+    if (!e.foldable || e.dataType != IntegerType)
+      throw new IllegalArgumentException(
+        s"word_ngram_tfs: n must be a foldable INT literal, got ${e.sql}")
+    val n = e.eval() match {
+      case v: Int => v
+      case _ => throw new IllegalArgumentException(
+        "word_ngram_tfs: n must be a non-null INT literal")
+    }
+    WordNgramTfs(exprs.head, n)
+  }
+
+  /** (token, tf) structs of `s`'s n-grams, first-occurrence order.
+    * Called from generated code. */
+  def compute(s: UTF8String, n: Int): GenericArrayData = {
+    val grams = WordNgrams.compute(s, n)
+    if (grams.length == 0) return Empty
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]](grams.length * 2)
+    var i = 0
+    while (i < grams.length) {
+      val prev = m.get(grams(i))
+      if (prev == null) m.put(grams(i), Array(1L)) else prev(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val Empty = new GenericArrayData(new Array[Any](0))
 }

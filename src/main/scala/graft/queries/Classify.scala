@@ -330,33 +330,46 @@ object Classify {
   // buckets of bt by construction, LEFT JOIN tgt keeps them all), the
   // bt⋈wb inner join preserves every bt row — so Σ tf over the joined
   // rows IS n_tok, and both sums fuse into ONE hash aggregate: the
-  // dlen pass, its exchange, and the nwr sort-merge join all disappear
-  // (plan: 2 per-doc exchanges + SMJ → 1 exchange; see
-  // plans/r14/pipeline_dsir_{before,after}.txt). Oracle and engine share
-  // this text, and the fused form is provably row-identical.
-  private def dsirSql(hash: String => String, f: String => String,
-      postBody: String, idiv: String): String =
-    s"""WITH post AS ($postBody),
-       |bt AS (
-       |  SELECT doc_id, ${hash("token")} % $dsirBuckets AS b, tf FROM post),
-       |tgtd AS (
-       |  SELECT doc_id FROM (
-       |    SELECT doc_id, sum(CASE WHEN token = 'vector' THEN tf ELSE 0 END) AS v,
-       |           sum(tf) AS n
-       |    FROM post GROUP BY doc_id) g
-       |  WHERE v * 16 >= n),
-       |tgt AS (
-       |  SELECT /*+ MERGE(tgtd) */ bt.b, sum(bt.tf) AS ct FROM bt
-       |  JOIN tgtd ON bt.doc_id = tgtd.doc_id
-       |  GROUP BY bt.b),
-       |raw AS (SELECT b, sum(tf) AS cr FROM bt GROUP BY b),
-       |tots AS (
-       |  SELECT (SELECT sum(ct) FROM tgt) AS tt, (SELECT sum(cr) FROM raw) AS tr),
+  // dlen pass, its exchange, and the nwr sort-merge join all disappear.
+  //
+  // OPTIMIZATION r15 (guide §2.4 again — VERDICT r14 #5): what remained
+  // was the bt⋈tgtd corpus×corpus MERGE join and the double per-bucket
+  // pass (`tgt` and `raw` each aggregated bt). Both fold away:
+  //   - the target-doc flag is a PER-DOC predicate over the same posting
+  //     rows, so it comes from one window over doc_id (`is_tgt`) instead
+  //     of a per-doc aggregate joined back on doc_id — the tgtd
+  //     aggregate, both SMJ sorts and the join disappear;
+  //   - `tgt` and `raw` fuse into ONE per-bucket aggregate (`btot`):
+  //     cr = Σtf, ct = Σtf·is_tgt — identical values, since the old
+  //     LEFT JOIN kept every bt row and coalesce(ct,0) ≡ the conditional
+  //     sum over non-target buckets;
+  //   - `tots` folds into wb as unbounded window sums over the
+  //     1024-row btot relation (sum OVER () ≡ the scalar subqueries).
+  // The flagged-bucket relation `bt` is referenced twice (btot, nwr), so
+  // the Spark side swap-caches it (`dsir_bt`, the tok_tf pattern) — the
+  // window runs once, and because InMemoryRelation preserves the
+  // window's hash(doc_id) partitioning, the nwr per-doc roll-up needs NO
+  // exchange. Corpus-scale exchanges: 3 (tgtd agg + SMJ sort + nwr) → 1
+  // (the window). The oracle inlines the same bt text (DuckDB
+  // materializes multi-referenced CTEs); provably row-identical, and the
+  // shared template keeps both engines on one spelling.
+  private[queries] def dsirBtSql(hash: String => String, postBody: String): String =
+    s"""SELECT doc_id, ${hash("token")} % $dsirBuckets AS b, tf,
+       |  CASE WHEN sum(CASE WHEN token = 'vector' THEN tf ELSE 0 END)
+       |         OVER (PARTITION BY doc_id) * 16
+       |       >= sum(tf) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS is_tgt
+       |FROM ($postBody) post""".stripMargin
+
+  private def dsirSql(f: String => String, btBody: String, idiv: String): String =
+    s"""WITH bt AS ($btBody),
+       |btot AS (
+       |  SELECT b, sum(tf) AS cr, sum(tf * is_tgt) AS ct
+       |  FROM bt GROUP BY b),
        |wb AS (
-       |  SELECT r.b,
-       |    (${f("coalesce(g.ct, 0) + 1")} - ${f(s"t.tt + $dsirBuckets")})
-       |      - (${f("r.cr + 1")} - ${f(s"t.tr + $dsirBuckets")}) + $dsirShift AS w
-       |  FROM raw r LEFT JOIN tgt g ON r.b = g.b CROSS JOIN tots t),
+       |  SELECT b,
+       |    (${f("ct + 1")} - ${f(s"sum(ct) OVER () + $dsirBuckets")})
+       |      - (${f("cr + 1")} - ${f(s"sum(cr) OVER () + $dsirBuckets")}) + $dsirShift AS w
+       |  FROM btot),
        |nwr AS (
        |  SELECT /*+ BROADCAST(wb) */ bt.doc_id,
        |    CAST((sum(bt.tf * wb.w) * 65536) $idiv sum(bt.tf) AS BIGINT) AS nw
@@ -370,11 +383,15 @@ object Classify {
   def dsir(spark: SparkSession, dir: String): DataFrame = {
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
     TextAnalysis.tokenPostings(spark, "documents")
-    spark.sql(dsirSql(Dedup.portableHash60Spark, flog2Spark, sparkPost, "div"))
+    val bt = Engine.cacheSwap("dsir_bt",
+      spark.sql(dsirBtSql(Dedup.portableHash60Spark, sparkPost)))
+    bt.createOrReplaceTempView("dsir_bt")
+    spark.sql(dsirSql(flog2Spark,
+      "SELECT doc_id, b, tf, is_tgt FROM dsir_bt", "div"))
   }
 
   private val dsirOracle =
-    dsirSql(Dedup.portableHash60Duck, flog2Duck, duckPost, "//")
+    dsirSql(flog2Duck, dsirBtSql(Dedup.portableHash60Duck, duckPost), "//")
 
   val dsirDef: QueryDef = QueryDef.sqlBacked("pipeline_dsir", dsirOracle)(dsir(_, _))
 
@@ -400,10 +417,11 @@ object Classify {
     s.sql(nbScoreSql(
       "SELECT token, pos, tf FROM nb_model",
       "SELECT n1, n0 FROM nb_prior",
-      """SELECT doc_id, token, count(*) AS tf FROM (
-        |  SELECT doc_id, explode(word_ngrams(lower(text), 1)) AS token
-        |  FROM nb_batch) t
-        |GROUP BY doc_id, token""".stripMargin,
+      // per-row kernel aggregate (r15): doc_id unique per batch row, so
+      // the GROUP BY exchange was pure recombination — see
+      // TextAnalysis.tokenPostings
+      """SELECT doc_id, inline(word_ngram_tfs(lower(text), 1))
+        |FROM nb_batch""".stripMargin,
       flog2Spark))
   }
 

@@ -714,8 +714,18 @@ object Curate {
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
     TextAnalysis.tokenPostings(spark, "documents")
+    // OPTIMIZATION r15 (VERDICT r14 #6 — the lm_ppl fix applied here):
+    // the per-token count relation is referenced by the scoring join AND
+    // by `tot`; CTE inlining re-aggregated the corpus per reference
+    // (plans/r15/pipeline_lm_score_before.txt). The unigram LM is the
+    // model — it rides the session swap-cache like lm_c1-3, computed
+    // once per corpus epoch, and its exact cached size grounds the
+    // planner's join decisions.
+    val cnt = Engine.cacheSwap("lm_cnt", spark.sql(
+      "SELECT token, sum(tf) AS cnt FROM tok_tf GROUP BY token"))
+    cnt.createOrReplaceTempView("lm_cnt")
     spark.sql(
-      s"""WITH cnt AS (SELECT token, sum(tf) AS cnt FROM tok_tf GROUP BY token),
+      s"""WITH cnt AS (SELECT token, cnt FROM lm_cnt),
          |tot AS (SELECT sum(cnt) AS total FROM cnt)
          |SELECT doc_id, n_tok, sur,
          |  CAST(sur AS DOUBLE) / n_tok AS q,

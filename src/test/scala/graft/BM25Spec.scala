@@ -150,6 +150,28 @@ class BM25Spec extends AnyFunSuite {
       "stored-index probe diverged from the in-flight ranking")
   }
 
+  test("stored doclen (r15 per-row projection) equals the posting roll-up it replaced") {
+    // writeBm25Slice now writes dl = size(word_ngrams(lower(text), n))
+    // per row instead of re-aggregating the posting relation; the stored
+    // rows must equal `SELECT doc_id, sum(tf) … GROUP BY doc_id` exactly
+    // (same doc set — zero-n-gram docs excluded — same BIGINT values)
+    val sf = "/root/testdata/sf0.001"
+    val idx = Engine.scratchDir("graft_bm25_dlspec_") + "/index"
+    TextAnalysis.writeBm25Index(spark, sf, idx)
+    val stored = spark.read.parquet(s"$idx/doclen")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Engine.registerAll(spark, sf)
+    val agg = spark.sql(
+      """SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, explode(word_ngrams(lower(text), 2)) AS token
+        |    FROM documents) t
+        |  GROUP BY doc_id, token) p
+        |GROUP BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored.nonEmpty && stored == agg)
+  }
+
   test("serving default keeps a colliding doc_id in the ranking; census flag drops it") {
     // query_id 10 collides with corpus doc 10 — the ADVICE r12 case:
     // an arbitrary batch's id namespace must not silently exclude doc 10.

@@ -239,6 +239,56 @@ class ClassifySpec extends AnyFunSuite {
       s"operating curve collapsed to ${bins.length} bit bins — scores no longer separate")
   }
 
+  test("dsir r15 window-fused spelling equals the r14 join spelling row for row") {
+    // the OPTIMIZATION r15 rewrite (is_tgt window + fused per-bucket
+    // aggregate + window totals) against the r14 template it replaced,
+    // inlined verbatim here with the same hash/flog2 spellings — the two
+    // must agree on every (doc_id, nw, rnk), not just the selected set
+    Engine.table(spark, sf, "documents").createOrReplaceTempView("documents")
+    def h(x: String) = s"CAST(conv(substr(md5($x), 1, 15), 16, 10) AS BIGINT)"
+    def f(x: String) =
+      s"((length(bin($x)) - 1) * 65536 + (($x - shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1)) * 65536) div shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1))"
+    val old = spark.sql(
+      s"""WITH post AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, explode(word_ngrams(lower(text), 1)) AS token
+         |    FROM documents) t
+         |  GROUP BY doc_id, token),
+         |bt AS (
+         |  SELECT doc_id, ${h("token")} % 1024 AS b, tf FROM post),
+         |tgtd AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, sum(CASE WHEN token = 'vector' THEN tf ELSE 0 END) AS v,
+         |           sum(tf) AS n
+         |    FROM post GROUP BY doc_id) g
+         |  WHERE v * 16 >= n),
+         |tgt AS (
+         |  SELECT bt.b, sum(bt.tf) AS ct FROM bt
+         |  JOIN tgtd ON bt.doc_id = tgtd.doc_id
+         |  GROUP BY bt.b),
+         |raw AS (SELECT b, sum(tf) AS cr FROM bt GROUP BY b),
+         |tots AS (
+         |  SELECT (SELECT sum(ct) FROM tgt) AS tt, (SELECT sum(cr) FROM raw) AS tr),
+         |wb AS (
+         |  SELECT r.b,
+         |    (${f("coalesce(g.ct, 0) + 1")} - ${f("t.tt + 1024")})
+         |      - (${f("r.cr + 1")} - ${f("t.tr + 1024")}) + ${1 << 24} AS w
+         |  FROM raw r LEFT JOIN tgt g ON r.b = g.b CROSS JOIN tots t),
+         |nwr AS (
+         |  SELECT bt.doc_id,
+         |    CAST((sum(bt.tf * wb.w) * 65536) div sum(bt.tf) AS BIGINT) AS nw
+         |  FROM bt JOIN wb ON bt.b = wb.b
+         |  GROUP BY bt.doc_id)
+         |SELECT doc_id, nw,
+         |  CAST(row_number() OVER (ORDER BY nw DESC, doc_id) AS INT) AS rnk
+         |FROM (SELECT doc_id, nw FROM nwr ORDER BY nw DESC, doc_id LIMIT 128) s
+         |ORDER BY rnk""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val now = Classify.dsir(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(now == old)
+  }
+
   test("plan contracts: the model broadcasts into the scoring join; DSIR selects via top-k, not a global sort") {
     val cPlan = Classify.classify(spark, sf).queryExecution.executedPlan.toString
     assert(cPlan.contains("BroadcastHashJoin"),

@@ -69,10 +69,70 @@ class WordNgramsSpec extends AnyFunSuite {
   test("NULL propagates; n must be a foldable INT literal") {
     val r = spark.sql("SELECT word_ngrams(CAST(NULL AS STRING), 2) AS k").head()
     assert(r.isNullAt(0))
+    // the foldable spelling must SUCCEED (outside the intercept — ADVICE
+    // r14: a throw here used to satisfy the intercept and hide itself)
+    val ok = spark.sql("SELECT word_ngrams('a b', 1 + 0) AS k").head()
+    assert(ok.getSeq[String](0) == Seq("a", "b"))
     val e = intercept[Exception] {
-      spark.sql("SELECT word_ngrams('a b', 1 + 0)").head() // foldable: fine
       spark.sql("SELECT word_ngrams('a b', CAST(rand() * 2 AS INT))").head()
     }
     assert(e.getMessage.contains("word_ngrams"))
+  }
+
+  // --- word_ngram_tfs (OPTIMIZATION r15): per-row counting kernel ---------
+  // Replaces `explode(word_ngrams(...)) … GROUP BY doc_id, token` in every
+  // posting builder — doc_id is unique per corpus row, so the kernel's
+  // in-row counts must equal the aggregate's per-group counts exactly.
+
+  test("word_ngram_tfs equals the explode+GROUP BY aggregate on edge shapes") {
+    for (n <- 1 to 3) {
+      val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "t")
+      df.createOrReplaceTempView("wnt_cases")
+      val kern = spark.sql(
+        s"SELECT doc_id, inline(word_ngram_tfs(t, $n)) FROM wnt_cases")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val agg = spark.sql(
+        s"""SELECT doc_id, token, count(*) AS tf FROM (
+           |  SELECT doc_id, explode(word_ngrams(t, $n)) AS token FROM wnt_cases) x
+           |GROUP BY doc_id, token""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(kern == agg, s"n=$n")
+    }
+  }
+
+  test("word_ngram_tfs equals the aggregate on the gate corpus (all orders)") {
+    Engine.registerAll(spark, "/root/testdata/sf0.001")
+    for (n <- 1 to 3) {
+      val kern = spark.sql(
+        s"SELECT doc_id, inline(word_ngram_tfs(lower(text), $n)) FROM documents")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val agg = spark.sql(
+        s"""SELECT doc_id, token, count(*) AS tf FROM (
+           |  SELECT doc_id, explode(word_ngrams(lower(text), $n)) AS token
+           |  FROM documents) x
+           |GROUP BY doc_id, token""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(kern == agg, s"n=$n")
+    }
+  }
+
+  test("word_ngram_tfs: NULL propagates, validated builder, deterministic order") {
+    val r = spark.sql("SELECT word_ngram_tfs(CAST(NULL AS STRING), 1) AS k").head()
+    assert(r.isNullAt(0))
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_ngram_tfs('a b', CAST(rand() * 2 AS INT))").head()
+    }
+    assert(e.getMessage.contains("word_ngram_tfs"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT word_ngram_tfs('a b')").head()
+    }
+    assert(e2.getMessage.contains("word_ngram_tfs"))
+    // first-occurrence order — the same input must produce the same array
+    val rows = spark.sql(
+      "SELECT word_ngram_tfs('b a b c a b', 1) AS k").collect()
+    val arr = rows(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(arr == Seq(("b", 3L), ("a", 2L), ("c", 1L)))
   }
 }
