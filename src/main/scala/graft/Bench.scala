@@ -260,6 +260,38 @@ object Bench {
     }
   }
 
+  // Rare-shingle index split cells (OPTIMIZATION r15 / VERDICT r14 #4):
+  // dedup_ngram_jaccard's in-cell number tokenizes, shingles, and builds
+  // the rare-shingle inverted index inside every invocation — honest
+  // one-shot pricing, but it says nothing about steady-state serving. A
+  // deployment pays the index write ONCE per corpus epoch
+  // (`dedup_ngram_write` — shingle pass + df aggregate + two sorted
+  // parquet writes) and then answers from storage
+  // (`dedup_ngram_probe`, best-of-2 with the session caches dropped:
+  // the candidate self-join + two-phase verify over the stored
+  // sid-sorted postings and doc-keyed arrays, no tokenize pass at all).
+  // NgramIndexSpec pins probe ≡ the census key's pairs.
+  private def ngramSplitTimes(s: SparkSession, dir: String): (Option[Double], Option[Double]) = {
+    try {
+      val idx = Engine.scratchDir("graft_bench_ngram_") + "/index"
+      val t0 = System.nanoTime()
+      queries.Dedup.writeNgramIndex(s, dir, idx)
+      val w = (System.nanoTime() - t0) / 1e9
+      Engine.clearSwapCaches(s) // cold start: storage is the only index
+      System.gc()
+      def once(): Double = {
+        val p0 = System.nanoTime()
+        queries.Dedup.probeNgramIndex(s, idx)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - p0) / 1e9
+      }
+      (Some(w), Some(math.min(once(), once())))
+    } catch { case e: Throwable =>
+      recordError(QueryDef.rowsOnly("dedup_ngram_probe")((_, _) => null), dir, e)
+      (None, None)
+    }
+  }
+
   /** One (tier × core-count) measurement cell in its own session: warm
     * codegen on sf0.001, calibrate, time each query, stop the session.
     * Returns the per-set timings, the cell's calibration constant, and
@@ -332,8 +364,15 @@ object Bench {
           val bmCal = Some(calibrate(s))
           cellcal += ("ta_bm25_write" -> bmCal)
           cellcal += ("ta_bm25_probe" -> bmCal)
+          val (ngW, ngP) = ngramSplitTimes(s, dir)
+          val ngCal = Some(calibrate(s))
+          cellcal += ("dedup_ngram_write" -> ngCal)
+          cellcal += ("dedup_ngram_probe" -> ngCal)
+          Engine.clearSwapCaches(s)
+          System.gc()
           timed.init :+ (timed.last :+ probe :+ sq8p :+ rpp :+ pqp :+
-            ("ta_bm25_write" -> bmW) :+ ("ta_bm25_probe" -> bmP))
+            ("ta_bm25_write" -> bmW) :+ ("ta_bm25_probe" -> bmP) :+
+            ("dedup_ngram_write" -> ngW) :+ ("dedup_ngram_probe" -> ngP))
         } else timed
       (withP, cal, cellcal.result())
     } finally s.stop()

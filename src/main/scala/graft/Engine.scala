@@ -55,9 +55,14 @@ object Engine {
       // Parameterized (OPTIMIZATION r15, VERDICT r14 #2's adjudication
       // hook): SPARK_GRAFT_SHJ_THRESHOLD overrides for controlled A/Bs
       // (graft.ShjDev runs the TPC-H set under a given cap and dumps the
-      // FINAL adaptive plans); the default stays the concurrency-priced
-      // 64m above. The r15 A/B evidence lives in OPTIMIZATION_r15.md and
-      // plans/r15/q*_shj*.txt.
+      // FINAL adaptive plans). Adjudicated at sf10: the lineitem⋈orders
+      // SMJ→SHJ conversion fires under BOTH 64m and 256m (the final
+      // plans in plans/r15/q{3,5,10}*_shj{64,256}m.txt all show
+      // ShuffledHashJoin BuildRight on o_orderkey — sf10's per-partition
+      // build side is well under the cap), and the timed A/B at
+      // comparable cal showed no difference (q3 2.14 vs 2.02, q5 3.35
+      // vs 3.54, q10 2.66 vs 2.66) — the r14 fresh-run TPC-H residual
+      // was not this cap. The concurrency-priced 64m default stands.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       // Broadcast threshold stays at the Spark DEFAULT (10m). Round 7

@@ -86,6 +86,40 @@ object R15Dev {
         "doclen-per-row" -> (() => spark.sql(
           """SELECT doc_id, CAST(size(word_ngrams(lower(text), 2)) AS BIGINT) AS dl
             |FROM documents WHERE size(word_ngrams(lower(text), 2)) > 0""".stripMargin)))
+      case "prof" =>
+        // component split of the bigram BM25 one-shot: kernel pass alone,
+        // cache materialization, dl roll-up, then the score over warm
+        // caches — where do the seconds go?
+        Seq(
+          "kernel-pass-noop" -> (() => spark.sql(
+            """SELECT doc_id, inline(word_ngram_tfs(lower(text), 2))
+              |FROM documents""".stripMargin)),
+          "kernel-pass-repart" -> (() => spark.sql(
+            """SELECT doc_id, inline(word_ngram_tfs(lower(text), 2))
+              |FROM documents""".stripMargin)
+            .repartition(32, col("doc_id"))),
+          "repart-then-kernel" -> (() => spark.sql("SELECT doc_id, text FROM documents")
+            .repartition(32, col("doc_id"))
+            .selectExpr("doc_id", "inline(word_ngram_tfs(lower(text), 2))")))
+      case "prof2" =>
+        // the bigram BM25 one-shot, split at its seams: cache
+        // materialization (count forces it), the dl roll-up, the score
+        // over warm caches, and the score's two cache scans
+        def bg(): Unit = queries.TextAnalysis.bigramPostings(spark, "documents")
+        Seq(
+          "btok-cache-build" -> (() => {
+            Engine.clearSwapCaches(spark); System.gc()
+            bg(); spark.table("btok_tf")
+          }),
+          "dl-over-warm" -> (() => {
+            bg()
+            spark.sql("SELECT doc_id, sum(tf) AS dl FROM btok_tf GROUP BY doc_id")
+          }),
+          "score-over-warm" -> (() => queries.TextAnalysis.bm25Bigram(spark, dir)),
+          "one-shot" -> (() => {
+            Engine.clearSwapCaches(spark); System.gc()
+            queries.TextAnalysis.bm25Bigram(spark, dir)
+          }))
       case other => sys.error(s"unknown probe: $other")
     }
     // warm codegen on each arm once

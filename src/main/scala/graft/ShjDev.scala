@@ -36,13 +36,20 @@ object ShjDev {
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
-        if (i == n) outDir.foreach { o =>
-          java.nio.file.Files.write(o.resolve(s"${nm}_shj$thr.txt"),
-            df.queryExecution.executedPlan.toString
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        }
         System.gc()
         t
+      }
+      // the FINAL adaptive plan: collect() executes on the DataFrame's
+      // own QueryExecution (TPC-H outputs are tiny), so executedPlan now
+      // prints isFinalPlan=true with any AQE join rewrites applied —
+      // df.write would plan a separate QueryExecution and leave `df`'s
+      // plan initial
+      outDir.foreach { o =>
+        val df = qs(nm)(spark, dir)
+        df.collect()
+        java.nio.file.Files.write(o.resolve(s"${nm}_shj$thr.txt"),
+          df.queryExecution.executedPlan.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       println(f"[shjdev] $nm@$dir thr=$thr: " +
         times.map(t => f"$t%.3f").mkString(" ") + f" min=${times.min}%.3f")

@@ -180,16 +180,33 @@ object Classify {
     * cacheSwap swaps rather than aliasing).
     */
   private def cachedModelBodies(spark: SparkSession, edit: String = ""): (String, String) = {
-    val td = Engine.cacheSwap("nb_traindocs", spark.sql(trainDocsOver(sparkPost, edit)))
-    td.createOrReplaceTempView("nb_traindocs")
+    // OPTIMIZATION r15 (guide §2.4 — the dsir is_tgt shape applied
+    // here): the label is a PER-DOC predicate over the same posting rows
+    // it then joins back to, so one window over the train slice replaces
+    // the r14 shape's per-doc label aggregate + the full-corpus doc_id
+    // SortMergeJoin (which sorted ALL of tok_tf just to attach pos).
+    // Identical rows: the window's per-doc sums are the aggregate's, the
+    // inner join contributed exactly the train docs' posting rows, and a
+    // doc with no postings appeared in neither spelling. The windowed
+    // slice is swap-cached (`nb_trw`); the vocabulary-sized model
+    // aggregate (`nb_tragg`) caches on top of it as before, and the
+    // class prior derives from nb_trw's per-doc roll-up (partitioning
+    // preserved from the window — no extra exchange).
+    val lw = Engine.cacheSwap("nb_trw", spark.sql(
+      s"""SELECT doc_id, token, tf,
+         |  CASE WHEN sum(CASE WHEN token = 'fast' THEN tf ELSE 0 END)
+         |         OVER (PARTITION BY doc_id)
+         |       > sum(CASE WHEN token = 'slow' THEN tf ELSE 0 END)
+         |         OVER (PARTITION BY doc_id)
+         |       THEN 1 ELSE 0 END AS pos
+         |FROM tok_tf WHERE $trainPred$edit""".stripMargin))
+    lw.createOrReplaceTempView("nb_trw")
     val tr = Engine.cacheSwap("nb_tragg", spark.sql(
-      s"""SELECT /*+ MERGE(d) */ t.token, d.pos, sum(t.tf) AS tf
-         |FROM tok_tf t JOIN (SELECT doc_id, pos FROM nb_traindocs) d
-         |  ON t.doc_id = d.doc_id
-         |GROUP BY t.token, d.pos""".stripMargin))
+      """SELECT token, pos, sum(tf) AS tf
+        |FROM nb_trw GROUP BY token, pos""".stripMargin))
     tr.createOrReplaceTempView("nb_tragg")
     ("SELECT token, pos, tf FROM nb_tragg",
-      priOver("SELECT doc_id, pos FROM nb_traindocs"))
+      priOver("SELECT doc_id, max(pos) AS pos FROM nb_trw GROUP BY doc_id"))
   }
 
   // --- ta_nb_train: the trained model is itself a relation ------------------
@@ -347,12 +364,18 @@ object Classify {
   //     1024-row btot relation (sum OVER () ≡ the scalar subqueries).
   // The flagged-bucket relation `bt` is referenced twice (btot, nwr), so
   // the Spark side swap-caches it (`dsir_bt`, the tok_tf pattern) — the
-  // window runs once, and because InMemoryRelation preserves the
-  // window's hash(doc_id) partitioning, the nwr per-doc roll-up needs NO
-  // exchange. Corpus-scale exchanges: 3 (tgtd agg + SMJ sort + nwr) → 1
-  // (the window). The oracle inlines the same bt text (DuckDB
-  // materializes multi-referenced CTEs); provably row-identical, and the
-  // shared template keeps both engines on one spelling.
+  // window runs once, riding the parallelCorpus doc_id exchange (the
+  // after-plan shows Window directly over Sort over that one Exchange —
+  // no second shuffle to establish the window's distribution). The nwr
+  // per-doc roll-up keeps its own exchange (a cached adaptive plan
+  // reports unknown partitioning), but it moves partially-aggregated
+  // (doc_id, sums) rows. Corpus-scale plan: tgtd aggregate + both SMJ
+  // sort-exchanges + raw's second bt pass all GONE
+  // (plans/r15/pipeline_dsir_{before,after}.txt: 36 → 11 Exchange
+  // refs, SortMergeJoin → none, 66 → 31 nodes). The oracle inlines the
+  // same bt text (DuckDB materializes multi-referenced CTEs); provably
+  // row-identical, and the shared template keeps both engines on one
+  // spelling.
   private[queries] def dsirBtSql(hash: String => String, postBody: String): String =
     s"""SELECT doc_id, ${hash("token")} % $dsirBuckets AS b, tf,
        |  CASE WHEN sum(CASE WHEN token = 'vector' THEN tf ELSE 0 END)
@@ -382,9 +405,16 @@ object Classify {
 
   def dsir(spark: SparkSession, dir: String): DataFrame = {
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
-    TextAnalysis.tokenPostings(spark, "documents")
+    // r15: dsir reads the posting relation exactly once (the bt window
+    // consumes it), so the kernel stream feeds the window directly — no
+    // tok_tf InMemoryRelation materialization in this cell's one-shot
+    // cost; the cached relation here is the flagged bucket relation
+    // itself, which IS read twice (btot + nwr).
+    TextAnalysis.ngramPostingsDf(spark, "documents", 1)
+      .createOrReplaceTempView("dsir_post")
     val bt = Engine.cacheSwap("dsir_bt",
-      spark.sql(dsirBtSql(Dedup.portableHash60Spark, sparkPost)))
+      spark.sql(dsirBtSql(Dedup.portableHash60Spark,
+        "SELECT doc_id, token, tf FROM dsir_post")))
     bt.createOrReplaceTempView("dsir_bt")
     spark.sql(dsirSql(flog2Spark,
       "SELECT doc_id, b, tf, is_tgt FROM dsir_bt", "div"))

@@ -808,8 +808,13 @@ object Curate {
     * the spec's planted-corpus entry point (flog2 hand-checks need a
     * corpus whose counts fit in a comment). */
   private[graft] def lmPplOver(spark: SparkSession): DataFrame = {
-    TextAnalysis.tokenPostings(spark, "documents")
-    TextAnalysis.bigramPostings(spark, "documents")
+    // OPTIMIZATION r15: only the TRIGRAM posting relation has two readers
+    // here (c3 trains on its even half, scoring reads its odd half), so
+    // only it rides the session cache. The uni/bigram relations were
+    // materialized as full InMemoryRelations solely to be rolled up into
+    // the vocabulary-sized c1/c2 models — the roll-ups now consume the
+    // kernel posting stream directly and the two corpus-sized cache
+    // materializations disappear from the one-shot cost.
     TextAnalysis.trigramPostings(spark, "documents")
     // OPTIMIZATION r14 (guide §2.4 / §7.2 "duplicated subtrees"): the
     // score SQL references c2 twice (bxv and bvu arms) and c1 three
@@ -823,14 +828,19 @@ object Curate {
     // InMemoryRelation, and — because cached relations carry EXACT size
     // statistics — the planner's broadcast decision for the five probe
     // joins is grounded at any tier instead of estimated.
-    def model(key: String, rel: String): Unit = {
-      val df = Engine.cacheSwap(key, spark.sql(
-        s"SELECT token, sum(tf) AS c FROM $rel WHERE doc_id % 2 = 0 GROUP BY token"))
+    def model(key: String, n: Int): Unit = {
+      val df = Engine.cacheSwap(key,
+        TextAnalysis.ngramPostingsDf(spark,
+          "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)", n)
+          .groupBy("token")
+          .agg(org.apache.spark.sql.functions.sum("tf").as("c")))
       df.createOrReplaceTempView(key)
     }
-    model("lm_c1", "tok_tf")
-    model("lm_c2", "btok_tf")
-    model("lm_c3", "ttok_tf")
+    model("lm_c1", 1)
+    model("lm_c2", 2)
+    val c3 = Engine.cacheSwap("lm_c3", spark.sql(
+      "SELECT token, sum(tf) AS c FROM ttok_tf WHERE doc_id % 2 = 0 GROUP BY token"))
+    c3.createOrReplaceTempView("lm_c3")
     spark.sql(lmPplScoreSparkSql(
       "SELECT token, c FROM lm_c1",
       "SELECT token, c FROM lm_c2",

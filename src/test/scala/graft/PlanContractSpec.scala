@@ -302,25 +302,35 @@ class PlanContractSpec extends AnyFunSuite {
   test("dedup_containment: candidate exchanges never carry text or string-shingle arrays") {
     // The two-phase design's payoff is payload shape: everything from the
     // posting-list explode through the hashed prefilter shuffles 8-byte
-    // hashes and ids only. String shingle arrays (~3 KB/doc) may ride an
-    // exchange ONLY on doc-keyed verify/cache-build paths (fp or doc_id
-    // partitioning, cardinality = corpus), never the sid-keyed posting or
-    // pair-keyed candidate exchanges whose cardinality is the exploded
-    // index — a regression re-inflates the biggest shuffles in the op by
-    // ~400× and it shows nowhere else (results stay identical).
+    // hashes and ids only. Heavy payloads may ride an exchange ONLY on
+    // the doc-keyed verify/cache-build paths (fp or doc_id partitioning,
+    // cardinality = corpus, crossed once per epoch), never the sid-keyed
+    // posting or pair-keyed candidate exchanges whose cardinality is the
+    // exploded index — a regression re-inflates the biggest shuffles in
+    // the op by ~400× and it shows nowhere else (results stay identical).
+    // OPTIMIZATION r15 amended WHICH payload the one cache-build
+    // exchange carries: the is_rep window now runs over (doc_id, fp,
+    // text) and the shingle arrays are computed above it, so the fp
+    // exchange moves the raw text (~1/3 the bytes of the
+    // distinct-shingle arrays it used to move — every word rides three
+    // shingles). The pin therefore allows text exactly where it allows
+    // arrays: fp/doc-keyed exchanges only.
     val p = plan("dedup_containment")
     val exchanges = """\(\d+\) Exchange\n(Input[^\n]*)\n(Arguments:[^\n]*)""".r
       .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
     assert(exchanges.nonEmpty, "no Exchange details found in formatted plan")
     val textAttr = """\b(t|text)#\d+""".r
     val stringShingles = """\bshingles#\d+""".r // \b rejects hshingles# (long hashes — allowed)
+    val candidateKeyed = (args: String) =>
+      args.contains("hashpartitioning(sid#") ||
+        args.contains("hashpartitioning(id_a") ||
+        args.contains("hashpartitioning(id_b")
     exchanges.foreach { case (in, args) =>
-      assert(textAttr.findFirstIn(in).isEmpty,
-        s"document text rides a containment exchange: $in")
+      if (textAttr.findFirstIn(in).isDefined)
+        assert(!candidateKeyed(args) && args.contains("hashpartitioning(fp#"),
+          s"document text rides a non-cache-build containment exchange: $in / $args")
       if (stringShingles.findFirstIn(in).isDefined)
-        assert(!args.contains("hashpartitioning(sid#")
-          && !args.contains("hashpartitioning(id_a")
-          && !args.contains("hashpartitioning(id_b"),
+        assert(!candidateKeyed(args),
           s"string shingle arrays entered a candidate-side exchange: $in / $args")
     }
   }
