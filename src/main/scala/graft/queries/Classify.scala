@@ -371,8 +371,8 @@ object Classify {
   // reports unknown partitioning), but it moves partially-aggregated
   // (doc_id, sums) rows. Corpus-scale plan: tgtd aggregate + both SMJ
   // sort-exchanges + raw's second bt pass all GONE
-  // (plans/r15/pipeline_dsir_{before,after}.txt: 36 → 11 Exchange
-  // refs, SortMergeJoin → none, 66 → 31 nodes). The oracle inlines the
+  // (plans/r15/pipeline_dsir_{before,after}.txt: 90 → 31 plan nodes,
+  // 12 → 4 Exchange nodes, 2 SortMergeJoins → 0). The oracle inlines the
   // same bt text (DuckDB materializes multi-referenced CTEs); provably
   // row-identical, and the shared template keeps both engines on one
   // spelling.
