@@ -31,7 +31,10 @@ object PlanDump {
           txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         println(s"[plandump] $name ok (${txt.linesIterator.count(_.contains("Exchange"))} Exchange refs)")
       } catch { case e: Throwable =>
-        println(s"[plandump] $name FAILED: ${e.toString.linesIterator.next().take(160)}")
+        // nextOption: an empty rendered exception must not throw
+        // NoSuchElementException and mask the original failure (ADVICE r14)
+        println(s"[plandump] $name FAILED: " +
+          e.toString.linesIterator.nextOption().getOrElse(e.getClass.getName).take(160))
       }
       Engine.clearSwapCaches(spark)
     }

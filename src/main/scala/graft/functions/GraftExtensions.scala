@@ -59,9 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("word_ngram_tfs", "distinct word n-grams with in-document counts, array<struct<token,tf>> (one codegen pass; args: text, n)",
         exprs => WordNgramTfs.build(exprs)),
       ("pq_encode", "packed PQ code word of a fixed-point vector vs per-subspace codebooks (argmin d2*16+j per subspace)",
-        exprs => PqEncode(exprs(0), exprs(1))),
+        exprs => PqEncode.build(exprs)),
       ("pq_adc", "asymmetric-distance score of a packed PQ code word against a query LUT",
-        exprs => PqAdc(exprs(0), exprs(1))))
+        exprs => PqAdc.build(exprs)))
     val fns = base ++ GraftFunctions.referenceNames.map { case (name, builder) =>
       (name, s"reference registry name $name (cast/predicate semantics)", builder)
     }

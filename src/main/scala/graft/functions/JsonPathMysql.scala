@@ -235,9 +235,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "word_ngram_tfs", exprs => WordNgramTfs.build(exprs), "built-in")
     reg.createOrReplaceTempFunction(
-      "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
+      "pq_encode", exprs => PqEncode.build(exprs), "built-in")
     reg.createOrReplaceTempFunction(
-      "pq_adc", exprs => PqAdc(exprs(0), exprs(1)), "built-in")
+      "pq_adc", exprs => PqAdc.build(exprs), "built-in")
     GraftFunctions.referenceNames.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }

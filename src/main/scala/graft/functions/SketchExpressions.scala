@@ -1197,7 +1197,10 @@ case class NotInSorted64(child: Expression,
   *
   * NULL domain: a NULL element in `vf` (or a NULL codebook entry/element)
   * yields NULL — nothing may read as 0 through the primitive slot
-  * (ADVICE r12 discipline). Empty codebook yields NULL. */
+  * (ADVICE r12 discipline). Empty codebook yields NULL, and so does any
+  * MALFORMED shape (len(cb) not a multiple of 16, or len(vf) not a
+  * multiple of m) — never a silent truncation of trailing entries/dims
+  * (ADVICE r14). */
 case class PqEncode(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
@@ -1217,7 +1220,12 @@ case class PqEncode(left: Expression, right: Expression)
     val vf = v.asInstanceOf[ArrayData]
     val cb = cbAny.asInstanceOf[ArrayData]
     val m = cb.numElements() / 16
-    if (m == 0) return null
+    // malformed inputs yield NULL, never a silent truncation (ADVICE
+    // r14): a codebook that is not m*16 entries or a vector that is not
+    // m*subDim dims would otherwise drop trailing entries/dims and
+    // diverge from the SQL spelling this kernel is pinned equal to
+    if (m == 0 || cb.numElements() % 16 != 0) return null
+    if (vf.numElements() % m != 0) return null
     val subDim = vf.numElements() / m
     var i = 0
     while (i < vf.numElements()) { if (vf.isNullAt(i)) return null; i += 1 }
@@ -1258,7 +1266,8 @@ case class PqEncode(left: Expression, right: Expression)
       val outer = ctx.freshName("outer")
       s"""
          |int $m = $cb.numElements() / 16;
-         |if ($m == 0) { ${ev.isNull} = true; }
+         |if ($m == 0 || $cb.numElements() % 16 != 0
+         |    || $v.numElements() % $m != 0) { ${ev.isNull} = true; }
          |for (int $i = 0; !${ev.isNull} && $i < $v.numElements(); $i++) {
          |  if ($v.isNullAt($i)) { ${ev.isNull} = true; }
          |}
@@ -1290,6 +1299,18 @@ case class PqEncode(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object PqEncode {
+  /** Validated SQL-registry builder (ADVICE r14 — the WordNgrams
+    * discipline): a wrong argument count reports a clear analysis-time
+    * error instead of an IndexOutOfBoundsException. */
+  def build(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"pq_encode expects 2 arguments (vec array<bigint>, codebook array<array<bigint>>); got ${exprs.length}")
+    PqEncode(exprs(0), exprs(1))
+  }
+}
+
 /** Asymmetric-distance score of a packed PQ code word against a query's
   * lookup table — the codegen kernel behind the `ann_ivf_pq` / PQ-probe
   * ADC stage (OPTIMIZATION r14).
@@ -1301,7 +1322,14 @@ case class PqEncode(left: Expression, right: Expression)
   * interpreted lambda chain per candidate row (the probed cells' full
   * candidate set). NULL domain: NULL lut element at a read index → NULL
   * (element_at parity); a lut whose length isn't a multiple of 16 scores
-  * its complete subspaces (our luts are exactly m*16 by construction). */
+  * its complete subspaces (our luts are exactly m*16 by construction).
+  *
+  * Precondition (ADVICE r14): `cw` must be NON-NEGATIVE. The kernel's
+  * `(cw >> 4s) & 15` and the replaced SQL's sign-following
+  * `shiftright(cw, 4s) % 16` agree only then — pq_encode can never set
+  * bit 63 (m ≤ 15 subspaces × 4 bits), so every stored/in-flight code
+  * word satisfies it by construction; a hand-built negative cw is out
+  * of contract. */
 case class PqAdc(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
@@ -1350,4 +1378,14 @@ case class PqAdc(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+object PqAdc {
+  /** Validated SQL-registry builder (ADVICE r14 — see [[PqEncode.build]]). */
+  def build(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"pq_adc expects 2 arguments (lut array<bigint>, cw bigint); got ${exprs.length}")
+    PqAdc(exprs(0), exprs(1))
+  }
 }
