@@ -181,12 +181,16 @@ object Curate {
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     Engine.table(spark, dir, "documents").createOrReplaceTempView("documents")
+    // OPTIMIZATION r15: 5-grams through the word_ngrams kernel (one
+    // codegen byte walk) instead of the interpreted transform/sequence/
+    // concat_ws lambda chain — identical grams (WordNgramsSpec pins the
+    // kernel against the transform spelling; the oracle tokenizes
+    // independently), and size(word_ngrams(text, 5)) > 0 ⟺
+    // size(tokens) >= 5, the original row predicate. NOTE no lower():
+    // decontamination matches grams case-sensitively, as before.
     val grams = spark.sql(
-      s"""SELECT doc_id, explode(array_distinct(transform(
-         |    sequence(0, size(tokens)-5), i -> ${fiveGram("tokens", "i")}))) AS gram
-         |FROM (SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS tokens
-         |      FROM documents)
-         |WHERE size(tokens) >= 5""".stripMargin)
+      """SELECT doc_id, explode(array_distinct(word_ngrams(text, 5))) AS gram
+        |FROM documents WHERE size(word_ngrams(text, 5)) > 0""".stripMargin)
     grams.createOrReplaceTempView("grams")
     spark.sql(
       """WITH eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0),

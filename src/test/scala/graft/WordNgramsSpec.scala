@@ -66,6 +66,25 @@ class WordNgramsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngrams(t, 5) equals the decontamination transform/concat_ws spelling") {
+    val df = cases.toDF("t")
+    val rows = df.selectExpr(
+      "word_ngrams(t, 5) AS k",
+      """CASE WHEN size(filter(split(t, ' '), x -> x <> '')) < 5 THEN array()
+        |ELSE transform(
+        |  sequence(0, size(filter(split(t, ' '), x -> x <> '')) - 5),
+        |  i -> concat_ws(' ',
+        |       filter(split(t, ' '), x -> x <> '')[i],
+        |       filter(split(t, ' '), x -> x <> '')[i + 1],
+        |       filter(split(t, ' '), x -> x <> '')[i + 2],
+        |       filter(split(t, ' '), x -> x <> '')[i + 3],
+        |       filter(split(t, ' '), x -> x <> '')[i + 4])) END AS s""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("NULL propagates; n must be a foldable INT literal") {
     val r = spark.sql("SELECT word_ngrams(CAST(NULL AS STRING), 2) AS k").head()
     assert(r.isNullAt(0))
