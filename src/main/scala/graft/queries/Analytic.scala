@@ -126,7 +126,7 @@ object Analytic {
   // shuffle; the only exchange is the final presentation sort.
   private val unnestSpark =
     """SELECT doc_id, CAST(pos + 1 AS INT) AS pos, tok
-      |FROM (SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS toks
+      |FROM (SELECT doc_id, word_ngrams(text, 1) AS toks
       |      FROM documents)
       |LATERAL VIEW posexplode(toks) t AS pos, tok
       |ORDER BY doc_id, pos""".stripMargin

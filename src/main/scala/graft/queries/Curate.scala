@@ -350,7 +350,7 @@ object Curate {
          |  FROM (
          |    SELECT doc_id,
          |      ${Dedup.hash60SparkSql("CAST(doc_id AS STRING)")} % 8 AS bucket,
-         |      CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |      CAST(size(word_ngrams(text, 1)) AS BIGINT) AS n_tokens
          |    FROM documents))
          |ORDER BY bucket, doc_id""".stripMargin)
   }

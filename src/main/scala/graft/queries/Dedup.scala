@@ -240,11 +240,12 @@ object Dedup {
     * gymnastics; the batch path (minhashPairs) keeps the lean
     * join-back shape instead. */
   private[graft] def bandedShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs.selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS tokens")
-      .where("size(tokens) >= 3")
-      .selectExpr("doc_id",
-        """sort_array(array_distinct(transform(sequence(0, size(tokens)-3),
-          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))) AS shingles""".stripMargin)
+    // r15: the streaming path's shingles ride the word_ngrams kernel
+    // like the batch cachedShingles (identical arrays — WordNgramsSpec;
+    // size(word_ngrams(text, 3)) > 0 ⟺ size(tokens) >= 3)
+    docs.selectExpr("doc_id",
+        "sort_array(array_distinct(word_ngrams(text, 3))) AS shingles")
+      .where("size(shingles) > 0")
       .selectExpr("doc_id", "shingles",
         "minhash64(transform(shingles, x -> xxhash64(x))) AS minhash")
       .selectExpr("doc_id", "shingles",
